@@ -1,0 +1,60 @@
+"""Global type/dtype registry and runtime configuration.
+
+TPU-native counterpart of the reference's ``romcomma/base/definitions.py``
+(which delegates dtypes to gpflow config and forces float64 at
+``user/contexts.py:67``). Here precision is a process-wide JAX setting:
+
+  - float64 is enabled by default (``jax_enable_x64``) so that CPU runs and
+    verification match the reference's forced-f64 numerics at 1e-6 rtol.
+  - On TPU, the compute dtype may be lowered per-call (mixed-precision
+    calibration polishes in f64 after an f32 descent) — see
+    ``romcomma_tpu.models.gp``.
+
+Everything importing this module gets x64 configured before any jax arrays
+are created, mirroring how the reference configures gpflow before model
+construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+# Enable x64 before jax initializes its backends. Users can opt out by
+# setting ROMCOMMA_X64=0 in the environment *before* import.
+if os.environ.get('ROMCOMMA_X64', '1') != '0':
+    os.environ.setdefault('JAX_ENABLE_X64', 'True')
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+if os.environ.get('ROMCOMMA_X64', '1') != '0':
+    jax.config.update('jax_enable_x64', True)
+
+#: Quantities smaller than this are considered zero (reference: base/definitions.py:36).
+EFFECTIVELY_ZERO = 1.0e-64
+
+#: Lower bound on the diagonal of a trainable covariance Cholesky (reference: gpf/base.py:35).
+CHOLESKY_DIAGONAL_LOWER_BOUND = 1e-3
+
+#: Floor on likelihood noise variance (reference: gpr/models.py:62-65).
+LIKELIHOOD_VARIANCE_FLOOR = 1.0001e-6
+
+#: Floor on kernel signal variance (reference: gpr/kernels.py:176).
+KERNEL_VARIANCE_FLOOR = 1.0005e-6
+
+
+def FLOAT() -> np.dtype:
+    """The default float dtype: float64 when x64 is enabled, else float32."""
+    return np.dtype(np.float64) if jax.config.jax_enable_x64 else np.dtype(np.float32)
+
+
+def INT() -> np.dtype:
+    """The default int dtype."""
+    return np.dtype(np.int64) if jax.config.jax_enable_x64 else np.dtype(np.int32)
+
+
+def compute_dtype() -> jnp.dtype:
+    """The dtype hot kernels run in. Same as FLOAT() for now; mixed-precision
+    paths override locally."""
+    return FLOAT()

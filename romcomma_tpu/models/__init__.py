@@ -1,0 +1,1 @@
+from romcomma_tpu.models import params, gp

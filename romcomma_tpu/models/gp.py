@@ -1,0 +1,180 @@
+"""Functional multi-output GP core: log-marginal likelihood, calibration,
+prediction, and posterior factors — pure jitted functions over parameter
+pytrees.
+
+This replaces the reference's object web of gpflow models
+(romcomma/gpf/models.py MOGPR + per-output gpflow GPRs built in
+romcomma/gpr/models.py:332-343) with two code paths:
+
+  - variant: L independent ARD-RBF GPs, vmapped over the output axis — the
+    whole L-way Python loop of the reference collapses into one compiled
+    batched computation, including L *independent* L-BFGS descents
+    (matching the reference's per-GP scipy optimizations,
+    gpr/models.py:359-361).
+  - covariant: one (LN,LN) system with full (L,L) signal/noise covariances
+    (reference math: gpf/models.py:73-82, gpf/likelihoods.py:64-67).
+
+Shapes follow the reference conventions so the GSA layer can consume
+``K_cho`` (L,N,N)|(LN,LN) and ``K_inv_Y`` (L,1,N) unchanged
+(gpr/models.py:427-444).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from romcomma_tpu.ops.gram import rbf_gram, rbf_gram_variant, rbf_gram_covariant
+from romcomma_tpu.ops.linalg import cholesky, tri_solve, cho_solve, add_diag, mvn_logpdf
+from romcomma_tpu.ops import lbfgs
+from romcomma_tpu.models.params import (VariantParams, CovariantParams,
+                                        variant_constrain, covariant_constrain)
+
+
+# --------------------------------------------------------------------------- #
+# Variant path: L independent GPs, vmapped over outputs.
+# --------------------------------------------------------------------------- #
+
+def _noisy_chol_single(x, lengthscales, variance, noise):
+    k = rbf_gram(x, x, lengthscales, variance)
+    return cholesky(add_diag(k, noise))
+
+
+def lml_single(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """LML of ONE output's GP. raw leaves are unbatched: raw_variance scalar,
+    raw_lengthscales (M,), raw_noise scalar. y: (N,)."""
+    c = variant_constrain(raw)
+    chol = _noisy_chol_single(x, c['lengthscales'], c['variance'], c['noise'])
+    return jnp.sum(mvn_logpdf(y[:, None], jnp.zeros_like(y)[:, None], chol))
+
+
+def lml_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-output LML vector (L,). raw batched over L; y: (N,L)."""
+    return jax.vmap(lml_single, in_axes=(VariantParams(0, 0, 0), None, 1))(raw, x, y)
+
+
+@partial(jax.jit, static_argnames=('maxiter',))
+def calibrate_variant(raw: VariantParams, mask: VariantParams, x: jnp.ndarray,
+                      y: jnp.ndarray, maxiter: int = 5000, gtol: float = 1e-16,
+                      ftol: float = lbfgs.SCIPY_FTOL):
+    """L independent on-device L-BFGS maximizations of the per-output LML.
+
+    mask leaves are 0/1 floats switching trainability per the reference META
+    system; frozen leaves never move. Returns (raw_opt, lml (L,), iters (L,)).
+    """
+    def one(raw_l: VariantParams, y_l: jnp.ndarray):
+        frozen = raw_l
+
+        def objective(p: VariantParams) -> jnp.ndarray:
+            eff = jax.tree_util.tree_map(
+                lambda pv, fv, m: fv + m * (pv - fv), p, frozen, mask)
+            return -lml_single(eff, x, y_l)
+
+        res = lbfgs.minimize(objective, raw_l, maxiter=maxiter, gtol=gtol, ftol=ftol)
+        eff = jax.tree_util.tree_map(
+            lambda pv, fv, m: fv + m * (pv - fv), res.params, frozen, mask)
+        return eff, -res.value, res.iterations
+
+    return jax.vmap(one, in_axes=(VariantParams(0, 0, 0), 1))(raw, y)
+
+
+def predict_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray,
+                    xs: jnp.ndarray, y_instead_of_f: bool = True
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Posterior mean/variance at xs. Returns (mean (o,L), var (o,L))."""
+    c = variant_constrain(raw)
+    K = rbf_gram_variant(x, x, c['lengthscales'], c['variance'])        # (L,N,N)
+    chol = cholesky(K + c['noise'][:, None, None] * jnp.eye(x.shape[0], dtype=x.dtype))
+    Ks = rbf_gram_variant(x, xs, c['lengthscales'], c['variance'])      # (L,N,o)
+    A = tri_solve(chol, Ks)                                             # (L,N,o)
+    alpha = tri_solve(chol, y.T[..., None])                             # (L,N,1)
+    mean = jnp.einsum('lno,lni->ol', A, alpha)
+    var_f = c['variance'][None, :] - jnp.einsum('lno,lno->ol', A, A)
+    var = var_f + (c['noise'][None, :] if y_instead_of_f else 0.0)
+    return mean, var
+
+
+def posterior_factors_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray):
+    """(K_cho (L,N,N), K_inv_Y (L,1,N)) — the GSA inputs (gpr/models.py:427-444)."""
+    c = variant_constrain(raw)
+    K = rbf_gram_variant(x, x, c['lengthscales'], c['variance'])
+    chol = cholesky(K + c['noise'][:, None, None] * jnp.eye(x.shape[0], dtype=x.dtype))
+    k_inv_y = cho_solve(chol, y.T[..., None])                           # (L,N,1)
+    return chol, jnp.swapaxes(k_inv_y, -1, -2)                          # (L,1,N)
+
+
+# --------------------------------------------------------------------------- #
+# Covariant path: one (LN,LN) system.
+# --------------------------------------------------------------------------- #
+
+def _covariant_noisy_K(c: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """(LN,LN) noisy gram: K + Sigma kron I_N (gpf/likelihoods.py:64-67)."""
+    L = c['lengthscales'].shape[0]
+    N = x.shape[0]
+    K4 = rbf_gram_covariant(x, x, c['lengthscales'], c['F'])            # (L,N,L,N)
+    noise4 = c['noise_cov'][:, None, :, None] * jnp.eye(N, dtype=x.dtype)[None, :, None, :]
+    return (K4 + noise4).reshape(L * N, L * N)
+
+
+def lml_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """LML of the covariant MOGP. y: (N,L), internally stacked to (LN,1)
+    output-major exactly like the reference (gpf/models.py:130)."""
+    c = covariant_constrain(raw)
+    Kn = _covariant_noisy_K(c, x)
+    chol = cholesky(Kn)
+    yy = y.T.reshape(-1, 1)
+    return jnp.sum(mvn_logpdf(yy, jnp.zeros_like(yy), chol))
+
+
+@partial(jax.jit, static_argnames=('maxiter',))
+def calibrate_covariant(raw: CovariantParams, mask: CovariantParams,
+                        x: jnp.ndarray, y: jnp.ndarray, maxiter: int = 5000,
+                        gtol: float = 1e-16, ftol: float = lbfgs.SCIPY_FTOL):
+    frozen = raw
+
+    def objective(p: CovariantParams) -> jnp.ndarray:
+        eff = jax.tree_util.tree_map(
+            lambda pv, fv, m: fv + m * (pv - fv), p, frozen, mask)
+        return -lml_covariant(eff, x, y)
+
+    res = lbfgs.minimize(objective, raw, maxiter=maxiter, gtol=gtol, ftol=ftol)
+    eff = jax.tree_util.tree_map(
+        lambda pv, fv, m: fv + m * (pv - fv), res.params, frozen, mask)
+    return eff, -res.value, res.iterations
+
+
+def predict_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray,
+                      xs: jnp.ndarray, y_instead_of_f: bool = True
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Posterior mean/variance at xs for the covariant MOGP.
+    Returns (mean (o,L), var (o,L)) — the diagonal (over both output and
+    sample) of the full predictive covariance, matching the reference's
+    predict_y path (gpf/models.py:84-111 with full_cov=full_output_cov=False)."""
+    c = covariant_constrain(raw)
+    L = c['lengthscales'].shape[0]
+    N, o = x.shape[0], xs.shape[0]
+    Kn = _covariant_noisy_K(c, x)
+    chol = cholesky(Kn)
+    Kmn = rbf_gram_covariant(x, xs, c['lengthscales'], c['F']).reshape(L * N, L * o)
+    A = tri_solve(chol, Kmn)                                            # (LN,Lo)
+    alpha = tri_solve(chol, y.T.reshape(-1, 1))                         # (LN,1)
+    mean = (A.T @ alpha).reshape(L, o).T                                # (o,L)
+    # Diagonal of k(xs,xs): per (l,sample) it is F[l,l].
+    knn_diag = jnp.broadcast_to(jnp.diag(c['F'])[:, None], (L, o))
+    var_f = (knn_diag - jnp.sum(A * A, axis=0).reshape(L, o)).T         # (o,L)
+    var = var_f + (jnp.diag(c['noise_cov'])[None, :] if y_instead_of_f else 0.0)
+    return mean, var
+
+
+def posterior_factors_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray):
+    """(K_cho (LN,LN), K_inv_Y (L,1,N)) per gpr/models.py:427-444."""
+    c = covariant_constrain(raw)
+    L = c['lengthscales'].shape[0]
+    N = x.shape[0]
+    chol = cholesky(_covariant_noisy_K(c, x))
+    k_inv_y = cho_solve(chol, y.T.reshape(-1, 1))
+    return chol, k_inv_y.reshape(L, N)[:, None, :]

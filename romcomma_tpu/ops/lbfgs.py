@@ -1,0 +1,86 @@
+"""On-device L-BFGS minimization.
+
+The reference optimizes GP hyperparameters with gpflow's Scipy wrapper around
+Fortran L-BFGS-B (gpr/models.py:359-361), paying a host<->device round trip
+per iteration. Here the whole descent is one jitted lax.while_loop over
+optax.lbfgs with zoom linesearch — zero host traffic until convergence.
+
+Stopping rules mirror scipy.optimize.minimize(method='L-BFGS-B'):
+  - maxiter      (reference META: 5000, gpr/models.py:330)
+  - gtol         max|grad| <= gtol (reference META: 1e-16, i.e. never binding)
+  - ftol         (f_prev - f) / max(|f_prev|, |f|, 1) <= ftol
+                 (scipy default 2.22e-9 — the rule that actually terminates
+                 the reference's runs)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+#: scipy's default ftol for L-BFGS-B = 2.220446049250313e-09.
+SCIPY_FTOL = 2.220446049250313e-09
+
+
+class MinimizeResult(NamedTuple):
+    params: Any
+    value: jnp.ndarray
+    grad_norm: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray     # True if stopped on ftol/gtol rather than maxiter
+
+
+def _tree_inf_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return jnp.asarray(0.0)
+    return jnp.max(jnp.stack([jnp.max(jnp.abs(leaf)) for leaf in leaves]))
+
+
+def minimize(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
+             ftol: float = SCIPY_FTOL, memory_size: int = 30) -> MinimizeResult:
+    """Minimize ``fun(params)`` over a pytree. Fully jittable."""
+    opt = optax.lbfgs(memory_size=memory_size)
+    value_and_grad = optax.value_and_grad_from_state(fun)
+
+    class Carry(NamedTuple):
+        params: Any
+        state: Any
+        prev_value: jnp.ndarray
+        value: jnp.ndarray
+        grad_norm: jnp.ndarray
+        it: jnp.ndarray
+        done: jnp.ndarray
+
+    v0, g0 = jax.value_and_grad(fun)(params)
+    state0 = opt.init(params)
+    carry0 = Carry(params, state0, jnp.inf, v0, _tree_inf_norm(g0),
+                   jnp.asarray(0), jnp.asarray(False))
+
+    def cond(c: Carry):
+        return jnp.logical_and(c.it < maxiter, jnp.logical_not(c.done))
+
+    def body(c: Carry):
+        value, grad = value_and_grad(c.params, state=c.state)
+        updates, state = opt.update(grad, c.state, c.params, value=value,
+                                    grad=grad, value_fn=fun)
+        new_params = optax.apply_updates(c.params, updates)
+        new_value = optax.tree.get(state, 'value')
+        gnorm = _tree_inf_norm(optax.tree.get(state, 'grad'))
+        rel_decrease = (value - new_value) / jnp.maximum(
+            jnp.maximum(jnp.abs(value), jnp.abs(new_value)), 1.0)
+        done = jnp.logical_or(gnorm <= gtol, rel_decrease <= ftol)
+        # Guard against a linesearch failure producing NaN: keep old params.
+        bad = jnp.logical_not(jnp.isfinite(new_value))
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(bad, old, new), new_params, c.params)
+        new_value = jnp.where(bad, value, new_value)
+        return Carry(new_params, state, value, new_value, gnorm, c.it + 1,
+                     jnp.logical_or(done, bad))
+
+    final = jax.lax.while_loop(cond, body, carry0)
+    return MinimizeResult(final.params, final.value, final.grad_norm,
+                          final.it, final.done)
