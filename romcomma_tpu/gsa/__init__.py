@@ -1,1 +1,1 @@
-
+from romcomma_tpu.gsa import base, calibrators, models

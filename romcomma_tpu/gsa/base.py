@@ -1,0 +1,100 @@
+"""GSA primitives: the (un-normalized) Gaussian pdf algebra.
+
+Counterpart of the reference's ``romcomma/gsa/base.py``. ``Gaussian`` stores a
+pdf as a broadcast-aware (exponent, cho_diag) pair so *ratios* of Gaussians
+cost one exp and no overflow (reference gsa/base.py:52-127). Broadcast
+semantics — including the LBunch axis-insertion rule and the equal-shape
+outer-product rule — are reproduced exactly, since every ClosedSobol einsum
+downstream depends on them.
+"""
+
+from __future__ import annotations
+
+import copy
+from abc import ABC, abstractmethod
+from typing import Dict, Sequence
+
+import jax.numpy as jnp
+
+from romcomma_tpu.ops.linalg import tri_solve
+
+
+def diag_det(tensor: jnp.ndarray) -> jnp.ndarray:
+    """Determinant of a diagonal tensor stored as its last axis."""
+    return jnp.prod(tensor, axis=-1)
+
+
+class Calibrator(ABC):
+    """Interface to a GSA calibrator."""
+
+    @abstractmethod
+    def marginalize(self, m) -> Dict[str, jnp.ndarray]:
+        raise NotImplementedError
+
+
+class Gaussian:
+    """An un-normalized Gaussian pdf held as (exponent, cho_diag).
+
+    ``pdf = exp(exponent) / prod(cho_diag, -1)`` — the 2*pi factor is omitted
+    throughout, exactly as in the reference (gsa/base.py:52-66).
+    """
+
+    exponent: jnp.ndarray
+    cho_diag: jnp.ndarray
+
+    def __init__(self, mean: jnp.ndarray, variance: jnp.ndarray,
+                 is_variance_diagonal: bool, ordinate=None, LBunch: int = 2):
+        mean = jnp.asarray(mean)
+        variance = jnp.asarray(variance)
+        ordinate = jnp.asarray(0.0, dtype=mean.dtype) if ordinate is None else jnp.asarray(ordinate)
+        variance_cho = jnp.sqrt(variance) if is_variance_diagonal else jnp.linalg.cholesky(variance)
+        # Equal-shape rule: ordinate and mean expand into each other's batch
+        # dims (outer product) — reference gsa/base.py:108-112.
+        if ordinate.shape == mean.shape:
+            shape = list(ordinate.shape)
+            fill = [1] * (len(shape) - 1)
+            ordinate = ordinate.reshape(shape[:-1] + fill + [shape[-1]])
+            mean = mean.reshape(fill + shape)
+        ordinate = ordinate - mean
+        # LBunch rule: insert broadcast axes into variance_cho every LBunch
+        # output dims — reference gsa/base.py:114-118.
+        insertions = variance_cho.ndim - (1 if is_variance_diagonal else 2)
+        insertions -= insertions % LBunch
+        for axis in range(insertions, 0, -LBunch):
+            variance_cho = jnp.expand_dims(variance_cho, axis=axis)
+        if is_variance_diagonal:
+            target = tuple(variance_cho.shape[:-2]) + tuple(ordinate.shape[-2:])
+            exponent = ordinate / jnp.broadcast_to(variance_cho, target)
+        else:
+            exponent = jnp.squeeze(tri_solve(variance_cho, ordinate[..., None]), axis=-1)
+        self.exponent = -0.5 * jnp.einsum('...o, ...o -> ...', exponent, exponent)
+        self.cho_diag = (variance_cho if is_variance_diagonal
+                         else jnp.diagonal(variance_cho, axis1=-2, axis2=-1))
+
+    @property
+    def det(self) -> jnp.ndarray:
+        """sqrt-determinant of the covariance (product of Cholesky diagonal)."""
+        return jnp.prod(self.cho_diag, axis=-1)
+
+    @property
+    def pdf(self) -> jnp.ndarray:
+        return jnp.exp(self.exponent) / self.det
+
+    def expand_dims(self, axes: Sequence[int]) -> 'Gaussian':
+        result = copy.copy(self)
+        for axis in sorted(axes, reverse=True):
+            result.exponent = jnp.expand_dims(result.exponent, axis)
+            result.cho_diag = jnp.expand_dims(result.cho_diag,
+                                              (axis - 1) if axis < 0 else axis)
+        return result
+
+    def __truediv__(self, other: 'Gaussian') -> 'Gaussian':
+        result = copy.copy(self)
+        result.exponent = self.exponent - other.exponent
+        result.cho_diag = self.cho_diag / other.cho_diag
+        return result
+
+
+def sym_check(tensor: jnp.ndarray, transposition: Sequence[int]) -> jnp.ndarray:
+    """Symmetry residual — debug reduction (reference gsa/base.py:129-130)."""
+    return jnp.sum((tensor - jnp.transpose(tensor, transposition)) ** 2)

@@ -1,0 +1,367 @@
+"""Closed-form Sobol' index calibrators.
+
+TPU-native rebuild of ``romcomma/gsa/calibrators.py``: the conditional-
+variance integrals of the GP posterior evaluate to products/ratios of
+Gaussian pdfs contracted through einsum chains of effective rank 8. Under
+XLA there is no rank-6 einsum limit, so the reference's ``_equateRanks``
+reshape-merge workaround (calibrators.py:172-191) is preserved only where it
+defines *semantics* (which axes are diagonalized/summed), not as a
+performance device.
+
+Math summary (diagonal signal variance F, the supported error path):
+  g0[l,n]   = F_l * prod_m (lam2_l+1)^-1/2 * exp(-x_n^2/(2(lam2_l+1)))  — the
+              kernel expectation E_z k_l(z, x_n) under z ~ N(0, I)
+  g0KY      = g0 * K^-1 Y, centred
+  G, Phi    = (lam2_l+1)^-1 x_n, (lam2_l+1)^-1
+  V_m       = g0KY . H_m . g0KY  with H_m a ratio of Gaussians over the
+              slice [m0:m1] of input axes              (reference _V)
+  S_m       = V_m / V_M
+with first-order/closed/total selected by the slice (gsa/models.py:77-90).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from romcomma_tpu.base.definitions import FLOAT
+from romcomma_tpu.gsa.base import Calibrator, Gaussian, diag_det
+from romcomma_tpu.models.gpr import GPR
+from romcomma_tpu.ops.linalg import tri_solve
+
+
+def _set_diag(x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    L = x.shape[-1]
+    idx = jnp.arange(L)
+    return x.at[..., idx, idx].set(d)
+
+
+def _diag_part(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.diagonal(x, axis1=-2, axis2=-1)
+
+
+class ClosedSobol(Calibrator):
+    """Closed Sobol' indices from a trained GP posterior
+    (reference calibrators.py:31-143)."""
+
+    META: Dict[str, Any] = {}
+
+    def __init__(self, gp: GPR, **kwargs: Any):
+        self.gp = gp
+        self.meta = dict(self.META) | kwargs
+        self.L, self.M, self.N = gp.L, gp.M, gp.N
+        self.Ms = (0, self.M)
+        self.F = jnp.asarray(np.asarray(gp.kernel.data.variance.np, dtype=FLOAT()))
+        self.K_cho = jnp.asarray(gp.K_cho)
+        self.K_inv_Y = jnp.asarray(gp.K_inv_Y)
+        # F-diagonality is inferred from the *GP's* meta.json kernel options
+        # (reference calibrators.py:129-132).
+        self.is_F_diagonal = self.meta.pop('is_F_diagonal', None)
+        if self.is_F_diagonal is None:
+            gp_options = gp.read_meta() if gp._meta_json.exists() else dict(gp.META)
+            self.is_F_diagonal = not gp_options.pop('kernel', {}).pop('covariance', False)
+        if self.is_F_diagonal:
+            self.F = self.F if self.F.shape[0] == 1 else _diag_part(self.F)
+            self.F = self.F.reshape(self.L, 1)
+        else:
+            self.K_inv_Y = jnp.transpose(self.K_inv_Y, (1, 0, 2))
+        self.Lambda = jnp.broadcast_to(
+            jnp.asarray(np.asarray(gp.kernel.data.lengthscales.np, dtype=FLOAT())),
+            (self.L, self.M))
+        self.Lambda2 = self._Lambda2()
+        self.X = jnp.asarray(np.asarray(gp.X, dtype=FLOAT()))
+        self._calibrate()
+
+    def _Lambda2(self) -> Dict[int, Tuple[jnp.ndarray, ...]]:
+        """Powers of <Lambda^2 + J> for J in {0,1,2} (calibrators.py:99-109)."""
+        if self.is_F_diagonal:
+            result = jnp.einsum('lM, lM -> lM', self.Lambda, self.Lambda)[:, None, :]
+        else:
+            result = jnp.einsum('lM, LM -> lLM', self.Lambda, self.Lambda)
+        result = tuple(result + j for j in range(3))
+        return {1: result, -1: tuple(value ** (-1) for value in result)}
+
+    def _V(self, G: jnp.ndarray, Phi: jnp.ndarray) -> jnp.ndarray:
+        """Conditional variance (L,L) for the current marginalization slice
+        (reference calibrators.py:60-80)."""
+        Gamma = 1 - Phi
+        Psi = (jnp.expand_dims(jnp.expand_dims(Gamma, axis=2), axis=2)
+               + Gamma[None, None, ...])
+        Psi = Psi - jnp.einsum('lLM, jJM -> lLjJM', Gamma, Gamma)
+        PsiPhi = jnp.einsum('lLjJM, lLM -> lLjJM', Psi, Phi)
+        PhiG = jnp.expand_dims(jnp.einsum('lLM, jJnM -> lLjJnM', Phi, G), axis=2)
+        PhiGauss = Gaussian(mean=G, variance=Phi, is_variance_diagonal=True, LBunch=2)
+        H = Gaussian(mean=PhiG, variance=PsiPhi,
+                     ordinate=G[..., None, None, None, :], is_variance_diagonal=True, LBunch=2)
+        H = H / PhiGauss.expand_dims([-1, -2, -3])
+        return jnp.einsum('lLN, lLNjJn, jJn -> lj', self.g0KY, H.pdf, self.g0KY)
+
+    def _calibrate(self):
+        """Pre-compute everything independent of the marginalization slice
+        (reference calibrators.py:82-97)."""
+        pre_factor = jnp.sqrt(diag_det(self.Lambda2[1][0] * self.Lambda2[-1][1])) * self.F
+        self.g0 = jnp.exp(Gaussian(mean=self.X[None, None, ...], variance=self.Lambda2[1][1],
+                                   is_variance_diagonal=True, LBunch=2).exponent)
+        self.g0 = self.g0 * pre_factor[..., None]
+        self.g0KY = self.g0 * self.K_inv_Y
+        self.g0KY = self.g0KY - (jnp.einsum('lLN -> l', self.g0KY)[..., None, None]
+                                 / float(np.prod(self.g0KY.shape[1:])))
+        self.G = jnp.einsum('lLM, NM -> lLNM', self.Lambda2[-1][1], self.X)
+        self.Phi = self.Lambda2[-1][1]
+        self.V = {0: self._V(self.G, self.Phi)}
+        self.V |= {1: _diag_part(self.V[0])}
+        V = jnp.sqrt(self.V[1])
+        self.V |= {2: jnp.einsum('l, i -> li', V, V)}
+        self.S = self.V[0] / self.V[2]
+
+    def marginalize(self, m: Tuple[int, int]) -> Dict[str, jnp.ndarray]:
+        """Sobol' V and S of the slice [m[0]:m[1]] (calibrators.py:49-58)."""
+        G, Phi = self.G[..., m[0]:m[1]], self.Phi[..., m[0]:m[1]]
+        result = {'V': self._V(G, Phi)}
+        result['S'] = result['V'] / self.V[2]
+        return result
+
+
+class ClosedSobolWithError(ClosedSobol):
+    """Closed Sobol' indices with standard errors
+    (reference calibrators.py:146-402)."""
+
+    META: Dict[str, Any] = {'is_T_partial': True}
+
+    class RankEquation(NamedTuple):
+        l: str
+        i: str
+        j: str
+        k: str
+
+    class RankEquations(NamedTuple):
+        DIAGONAL: Any
+        MIXED: Any
+
+    RANK_EQUATIONS = RankEquations(
+        DIAGONAL=(RankEquation(l='j', i='k', j='l', k='i'),
+                  RankEquation(l='k', i='j', j='i', k='l')),
+        MIXED=(RankEquation(l='k', i='k', j='j', k='i'),))
+
+    def _equateRanks(self, liLNjkJM: jnp.ndarray, rank_eq: 'RankEquation') -> jnp.ndarray:
+        """Diagonalize/sum tensor ranks per rank_eq (calibrators.py:172-191).
+        The reference's reshape-merge of the last two axes (TF's rank-6 einsum
+        limit) is kept verbatim since the axis bookkeeping depends on it."""
+        shape = list(liLNjkJM.shape)
+        eqRanks_j = 'j' if shape[4] == 1 else rank_eq.j
+        eqRanks_k = 'k' if shape[5] == 1 else rank_eq.k
+        t = liLNjkJM.reshape(shape[:-2] + [-1])
+        if rank_eq in self.RANK_EQUATIONS.MIXED:
+            result = jnp.einsum('iiLNjkS -> LNjiS', t)
+        else:
+            result = jnp.einsum(f'liLN{eqRanks_j}{eqRanks_k}S -> LN{rank_eq.j}{rank_eq.k}S', t)
+        result = result.reshape(list(result.shape[:-1]) + shape[-2:])
+        return (jnp.einsum('LNjjJM -> LNjJM', result)[..., None, :, :]
+                if rank_eq.j == 'i' else result)
+
+    def _equatedRanksGaussian(self, mean: jnp.ndarray, variance: jnp.ndarray,
+                              ordinate, rank_eqs) -> List[Gaussian]:
+        """(calibrators.py:193-212)"""
+        result = []
+        N_axis = 3
+        ordinate = jnp.asarray(ordinate)
+        for rank_eq in rank_eqs:
+            eq_ranks_variance = self._equateRanks(jnp.expand_dims(variance, N_axis), rank_eq)[..., None, :]
+            eq_ranks_mean = self._equateRanks(mean, rank_eq)[..., None, :]
+            shape = (tuple(eq_ranks_mean.shape[:-2]) + tuple(ordinate.shape[-2:])
+                     if ordinate.ndim > 2 else None)
+            eq_ranks_mean = (eq_ranks_mean if shape is None
+                             else jnp.broadcast_to(eq_ranks_mean, shape)) - ordinate
+            result += [Gaussian(mean=eq_ranks_mean, variance=eq_ranks_variance,
+                                is_variance_diagonal=True, LBunch=10000)]
+        return result
+
+    def _OmegaGaussian(self, mp, G: jnp.ndarray, Phi: jnp.ndarray, Upsilon: jnp.ndarray,
+                       rank_eqs) -> List[Gaussian]:
+        """The Omega integral family (calibrators.py:214-242)."""
+        Gamma = 1 - Phi
+        Gamma_inv = 1 / Gamma
+        Pi = 1 + Phi + jnp.einsum('ikM, ikM, ikM -> ikM', Phi, Gamma_inv, Phi)
+        Pi = 1 / Pi
+        B = jnp.einsum('jJM, jJM -> jJM', Gamma, Phi)[None, :, None, ...]
+        B = B + jnp.einsum('jJM, ikM, jJM -> ijkJM', Phi, Pi, Phi)
+        Gamma_reshape = Gamma[:, None, :, None, :]
+        C = Gamma_reshape / (1 - jnp.einsum('lLM, ikM -> liLkM', Phi, Upsilon))
+        C = jnp.einsum('ikM, liLkM -> liLkM', (1 - Upsilon), C)
+        Omega = jnp.einsum('ikM, ikM, ikM -> ikM', Pi, Phi, Gamma_inv)
+        Omega = jnp.einsum('jJM, ikM -> ijkJM', Phi, Omega)
+        mean = jnp.einsum('ijkJM, liLkM, lLM, lLNM -> liLNjkJM', Omega, C, Gamma_inv, G)
+        variance = (B[None, :, None, ...]
+                    + jnp.einsum('ijkJM, liLkM, ijkJM -> liLjkJM', Omega, C, Omega))
+        if mp is not self.Ms:
+            variance = variance[..., mp[0]:mp[1]]
+            mean = mean[..., mp[0]:mp[1]]
+            G = G[..., mp[0]:mp[1]]
+        return self._equatedRanksGaussian(mean, variance, G[:, None, ...], rank_eqs)
+
+    def _UpsilonGaussian(self, G: jnp.ndarray, Phi: jnp.ndarray, Upsilon: jnp.ndarray,
+                         rank_eqs) -> List[Gaussian]:
+        """The Upsilon integral family (calibrators.py:244-257)."""
+        Upsilon_cho = jnp.sqrt(Upsilon)
+        mean = jnp.einsum('ikM, lLNM -> liLNkM', Upsilon_cho, G)[..., None, :, None, :]
+        variance = 1 - jnp.einsum('ikM, lLM, ikM -> liLkM', Upsilon_cho, Phi,
+                                  Upsilon_cho)[..., None, :, None, :]
+        return self._equatedRanksGaussian(mean, variance,
+                                          jnp.asarray(0.0, dtype=FLOAT()), rank_eqs)
+
+    def _mu_phi_mu(self, GGaussian: Gaussian, UpsilonGaussians: List[Gaussian],
+                   OmegaGaussians: List[Gaussian], rank_eqs) -> jnp.ndarray:
+        """E_m E_mp (mu[m] phi[m][mp] mu[mp])  (calibrators.py:259-288)."""
+        GGaussian = GGaussian.expand_dims([2])
+        mu_phi_mu = 0.0
+        for i, rank_eq in enumerate(rank_eqs):
+            OmegaGaussians[i] = OmegaGaussians[i] / GGaussian
+            OmegaGaussians[i].exponent = (OmegaGaussians[i].exponent
+                                          + UpsilonGaussians[i].exponent)
+            if UpsilonGaussians[i].cho_diag.shape[-1] == GGaussian.cho_diag.shape[-1]:
+                OmegaGaussians[i].cho_diag = (OmegaGaussians[i].cho_diag
+                                              * UpsilonGaussians[i].cho_diag)
+            else:
+                OmegaGaussians[i].cho_diag = (diag_det(OmegaGaussians[i].cho_diag)
+                                              * diag_det(UpsilonGaussians[i].cho_diag))[..., None]
+            if rank_eq in self.RANK_EQUATIONS.MIXED:
+                result = jnp.einsum('kLN, LNjkJn, jJn -> jk', self.g0KY,
+                                    OmegaGaussians[i].pdf, self.g0KY)
+                mu_phi_mu = mu_phi_mu + jnp.einsum('k, jk -> jk',
+                                                   self.mu_phi_mu['pre-factor'], result)
+                mu_phi_mu = _set_diag(mu_phi_mu, 2 * _diag_part(mu_phi_mu))
+            elif rank_eq.l == 'k' and rank_eq.i == 'j':
+                result = jnp.einsum('jLN, LNjkJn, jJn -> j', self.g0KY,
+                                    OmegaGaussians[i].pdf, self.g0KY)
+                mu_phi_mu = mu_phi_mu + jnp.diag(jnp.einsum('j, j -> j',
+                                                            self.mu_phi_mu['pre-factor'], result))
+            else:
+                result = jnp.einsum('jLN, LNjkJn, jJn -> jk', self.g0KY,
+                                    OmegaGaussians[i].pdf, self.g0KY)
+                mu_phi_mu = mu_phi_mu + jnp.einsum('k, jk -> jk',
+                                                   self.mu_phi_mu['pre-factor'], result)
+        return mu_phi_mu
+
+    def _psi_factor(self, G: jnp.ndarray, Phi: jnp.ndarray, GGaussian: Gaussian) -> jnp.ndarray:
+        """The psi factor of E_m E_mp (mu psi mu) (calibrators.py:290-309)."""
+        D = Phi[..., None, None, :] - jnp.einsum('lLM, iIM, lLM -> lLiIM', Phi, Phi, Phi)
+        mean = jnp.einsum('lLM, iInM -> lLiInM', Phi, G)
+        mean = mean[:, :, None, ...] - G[..., None, None, None, :]
+        gaussian = Gaussian(mean=mean, variance=D, is_variance_diagonal=True, LBunch=2)
+        gaussian = gaussian / GGaussian.expand_dims([-1, -2, -3])
+        factor = jnp.einsum('lLN, iIn, lLNiIn -> liIn', self.g0KY, self.g0, gaussian.pdf)
+        if self.K_cho.ndim == 2 and factor.shape[-2] == 1:
+            inner = jnp.einsum('liIN -> lNi', factor)
+            diag = jnp.zeros(inner.shape + (inner.shape[-1],), dtype=inner.dtype)
+            idx = jnp.arange(inner.shape[-1])
+            diag = diag.at[..., idx, idx].set(inner)
+            factor = jnp.einsum('lNiI -> liIN', diag)
+        factor = factor.reshape(list(factor.shape[:-2]) + [-1, 1])
+        factor = jnp.squeeze(tri_solve(self.K_cho, factor), axis=-1)
+        return factor
+
+    def _mu_psi_mu(self, psi_factor: jnp.ndarray, rank_eqs) -> jnp.ndarray:
+        """(calibrators.py:311-322)"""
+        first_psi_factor = (self.psi_factor if rank_eqs is self.RANK_EQUATIONS.MIXED
+                            else psi_factor)
+        first_ein = 'liS' if rank_eqs is self.RANK_EQUATIONS.DIAGONAL else 'iiS'
+        result = jnp.einsum(f'{first_ein}, liS -> li', first_psi_factor, psi_factor)
+        return _set_diag(result, 2 * _diag_part(result))
+
+    def _W(self, mu_phi_mu: jnp.ndarray, mu_psi_mu: jnp.ndarray) -> jnp.ndarray:
+        W = mu_phi_mu - mu_psi_mu
+        W = W + W.T
+        return W
+
+    def _T(self, Wmm: jnp.ndarray, WMm: jnp.ndarray = None, Vm: jnp.ndarray = None) -> jnp.ndarray:
+        if self.meta['is_T_partial']:
+            Q = Wmm
+        else:
+            Q = Wmm - 2 * Vm * WMm / self.V[1] + Vm * Vm * self.Q
+        return jnp.sqrt(jnp.abs(Q) / self.V[4])
+
+    def marginalize(self, m: Tuple[int, int]) -> Dict[str, jnp.ndarray]:
+        """(calibrators.py:348-373)"""
+        result = super().marginalize(m)
+        G, Phi, Upsilon = tuple(tensor[..., m[0]:m[1]]
+                                for tensor in (self.G, self.Phi, self.Upsilon))
+        GGaussian = Gaussian(G, Phi, is_variance_diagonal=True, LBunch=2)
+        psi_factor = self._psi_factor(G, Phi, GGaussian)
+        if self.meta['is_T_partial']:
+            UpsilonGaussians = self._UpsilonGaussian(G, Phi, Upsilon, self.RANK_EQUATIONS.DIAGONAL)
+            OmegaGaussians = self._OmegaGaussian(m, self.G, self.Phi, self.Upsilon,
+                                                 self.RANK_EQUATIONS.DIAGONAL)
+            Wmm = self._W(self._mu_phi_mu(GGaussian, UpsilonGaussians, OmegaGaussians,
+                                          self.RANK_EQUATIONS.DIAGONAL),
+                          self._mu_psi_mu(psi_factor, self.RANK_EQUATIONS.DIAGONAL))
+            result |= {'W': Wmm, 'T': self._T(Wmm)}
+        else:
+            UpsilonGaussians = self.RankEquations(
+                *(self._UpsilonGaussian(G, Phi, Upsilon, rank_eqs)
+                  for rank_eqs in self.RANK_EQUATIONS))
+            OmegaGaussians = self.RankEquations(
+                *(self._OmegaGaussian(m, self.G, self.Phi, self.Upsilon, rank_eqs)
+                  for rank_eqs in self.RANK_EQUATIONS))
+            Wmm = self._W(self._mu_phi_mu(GGaussian, UpsilonGaussians.DIAGONAL,
+                                          OmegaGaussians.DIAGONAL, self.RANK_EQUATIONS.DIAGONAL),
+                          self._mu_psi_mu(psi_factor, self.RANK_EQUATIONS.DIAGONAL))
+            WMm = self._W(self._mu_phi_mu(GGaussian, UpsilonGaussians.MIXED,
+                                          OmegaGaussians.MIXED, self.RANK_EQUATIONS.MIXED),
+                          self._mu_psi_mu(psi_factor, self.RANK_EQUATIONS.MIXED))
+            result |= {'W': Wmm, 'T': self._T(Wmm, WMm, result['V'])}
+        return result
+
+    def _calibrate(self):
+        """(calibrators.py:375-402)"""
+        super()._calibrate()
+        if not self.is_F_diagonal:
+            raise NotImplementedError('If the MOGP kernel covariance is not diagonal, '
+                                      'the Sobol error calculation is unstable.')
+        self.Upsilon = self.Lambda2[-1][2]
+        self.V |= {4: jnp.einsum('li, li -> li', self.V[2], self.V[2])}
+        self.mu_phi_mu = {'pre-factor': jnp.reshape(
+            jnp.sqrt(jnp.prod(self.Lambda2[1][0] * self.Lambda2[-1][2], axis=-1)) * self.F, [-1])}
+        self.GGaussian = Gaussian(mean=self.G, variance=self.Phi,
+                                  is_variance_diagonal=True, LBunch=2)
+        self.psi_factor = self._psi_factor(self.G, self.Phi, self.GGaussian)
+        if self.meta['is_T_partial']:
+            self.UpsilonGaussians = self._UpsilonGaussian(self.G, self.Phi, self.Upsilon,
+                                                          self.RANK_EQUATIONS.DIAGONAL)
+            self.OmegaGaussians = self._OmegaGaussian(self.Ms, self.G, self.Phi, self.Upsilon,
+                                                      self.RANK_EQUATIONS.DIAGONAL)
+            self.W = self._W(self._mu_phi_mu(self.GGaussian, self.UpsilonGaussians,
+                                             self.OmegaGaussians, self.RANK_EQUATIONS.DIAGONAL),
+                             self._mu_psi_mu(self.psi_factor, self.RANK_EQUATIONS.DIAGONAL))
+        else:
+            self.UpsilonGaussians = self.RankEquations(
+                *(self._UpsilonGaussian(self.G, self.Phi, self.Upsilon, rank_eq)
+                  for rank_eq in self.RANK_EQUATIONS))
+            self.OmegaGaussians = self.RankEquations(
+                *(self._OmegaGaussian(self.Ms, self.G, self.Phi, self.Upsilon, rank_eq)
+                  for rank_eq in self.RANK_EQUATIONS))
+            self.W = self.RankEquations(
+                *(self._W(self._mu_phi_mu(self.GGaussian, self.UpsilonGaussians[i],
+                                          self.OmegaGaussians[i], rank_eq),
+                          self._mu_psi_mu(self.psi_factor, rank_eq))
+                  for i, rank_eq in enumerate(self.RANK_EQUATIONS)))
+            self.Q = _diag_part(self.W.MIXED) / (4.0 * self.V[1] * self.V[1])
+            self.Q = self.Q[None, ...] + self.Q[..., None] + 2.0 * jnp.diag(self.Q)
+            self.T = self._T(self.W.DIAGONAL, self.W.MIXED, self.V[0])
+
+
+class ClosedSobolWithRotation(ClosedSobol):
+    """Closed Sobol' indices under a basis rotation U = Theta X — the ROM hook
+    (reference calibrators.py:405-423)."""
+
+    def _matrix_inverse(self, tensor: jnp.ndarray, I: jnp.ndarray = None) -> jnp.ndarray:
+        """Invert the inner (M,M) matrix of an (L,L,M,M) or (L,L,L,L,M,M) tensor."""
+        if I is None:
+            I = jnp.eye(self.M, dtype=tensor.dtype)[None, None, None, None, ...]
+            ein = 'IiLlmM, IiLlmJ -> IiLlMJ'
+        else:
+            ein = 'LlmM, LlmJ -> LlMJ'
+        result = jnp.linalg.cholesky(tensor)
+        result = tri_solve(result, jnp.broadcast_to(I, tensor.shape).astype(tensor.dtype))
+        return jnp.einsum(ein, result, result)

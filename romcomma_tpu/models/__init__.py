@@ -1,1 +1,1 @@
-from romcomma_tpu.models import params, gp
+from romcomma_tpu.models import params, gp, kernels, gpr

@@ -1,0 +1,370 @@
+"""Persistent Gaussian Process models: Likelihood, GPR, MOGP.
+
+Counterpart of the reference's ``romcomma/gpr/models.py``: the same folder
+layout (``fold.k/<name>/`` with ``kernel/``, ``likelihood/``, ``kernel.csv``
+type tag, ``test.csv``, ``test_summary.csv``) and the same META/meta.json
+option flow — but calibration is one jitted on-device L-BFGS
+(romcomma_tpu.models.gp) instead of L scipy round-trip optimizations
+(reference gpr/models.py:345-373).
+"""
+
+from __future__ import annotations
+
+from abc import abstractmethod
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from romcomma_tpu.base.classes import Data, Model
+from romcomma_tpu.base.definitions import FLOAT, LIKELIHOOD_VARIANCE_FLOOR
+from romcomma_tpu.data.storage import Fold, Frame
+from romcomma_tpu.models import gp
+from romcomma_tpu.models.kernels import Kernel, RBF
+from romcomma_tpu.models.params import (variant_init, covariant_init,
+                                        variant_mask, covariant_mask,
+                                        variant_constrain, covariant_constrain)
+from romcomma_tpu.ops.gram import rbf_gram_variant, rbf_gram_covariant
+
+
+class Likelihood(Model):
+    """Persistent likelihood: (L,L)|(1,L) noise variance + recorded
+    log_marginal output (reference gpr/models.py:35-84)."""
+
+    class Data(Data):
+        FIELDS = {'variance': np.atleast_2d(0.02), 'log_marginal': np.atleast_2d(1.0)}
+
+    META: Dict[str, Any] = {'variance': True, 'covariance': True}
+
+    VARIANCE_FLOOR: float = LIKELIHOOD_VARIANCE_FLOOR
+
+    def __init__(self, parent: 'GPR', read_data: bool = False, **kwargs):
+        super().__init__(parent.folder / 'likelihood', read_data, **kwargs)
+        self._parent = parent
+
+    @property
+    def is_covariant(self) -> bool:
+        return self._data.variance.df.shape[0] > 1
+
+    def calibrate(self, **kwargs) -> Dict[str, Any]:
+        """Resolve trainability flags only (reference gpr/models.py:71-80)."""
+        return dict(self.META) | kwargs
+
+
+class GPR(Model):
+    """Persistent GP regression model (reference gpr/models.py:88-321)."""
+
+    class Data(Data):
+        FIELDS = {'kernel': np.atleast_2d(None)}
+
+    META: Dict[str, Any] = {}
+
+    KERNEL_FOLDER_NAME: str = 'kernel'
+
+    def __init__(self, name: str, fold: Fold, is_read: Optional[bool], is_covariant: bool,
+                 is_isotropic: bool, kernel_parameters: Optional[Dict] = None,
+                 likelihood_variance=None):
+        self._fold = fold
+        self._X = fold.X.to_numpy(dtype=FLOAT(), copy=True)
+        self._Y = fold.Y.to_numpy(dtype=FLOAT(), copy=True)
+        self._N, self._M, self._L = fold.N, fold.M, fold.L
+        super().__init__(fold.folder / name, bool(is_read))
+        self._likelihood = (Likelihood(self, bool(is_read)) if likelihood_variance is None
+                            else Likelihood(self, bool(is_read), variance=likelihood_variance))
+        if is_read and kernel_parameters is None:
+            kernel_type = Kernel.TypeFromIdentifier(str(self._data.kernel.np[0, 0]))
+            self._kernel = kernel_type(self._folder / self.KERNEL_FOLDER_NAME, True)
+        else:
+            kernel_parameters = kernel_parameters or {}
+            self._kernel = RBF(self._folder / self.KERNEL_FOLDER_NAME, bool(is_read),
+                               **kernel_parameters)
+            self._data.replace(kernel=np.atleast_2d(RBF.TYPE_IDENTIFIER()))
+        self.broadcast_parameters(is_covariant, is_isotropic)
+
+    # -- structure ----------------------------------------------------------- #
+
+    @property
+    def fold(self) -> Fold:
+        return self._fold
+
+    @property
+    def kernel(self) -> Kernel:
+        return self._kernel
+
+    @property
+    def likelihood(self) -> Likelihood:
+        return self._likelihood
+
+    @property
+    def L(self) -> int:
+        return self._L
+
+    @property
+    def M(self) -> int:
+        return self._M
+
+    @property
+    def N(self) -> int:
+        return self._N
+
+    @property
+    def X(self) -> np.ndarray:
+        return self._X
+
+    @property
+    def Y(self) -> np.ndarray:
+        return self._Y
+
+    @property
+    def test_csv(self) -> Path:
+        return self._folder / 'test.csv'
+
+    @property
+    def test_summary_csv(self) -> Path:
+        return self._folder / 'test_summary.csv'
+
+    def broadcast_parameters(self, is_covariant: bool, is_isotropic: bool) -> 'GPR':
+        """Grow parameters to the requested covariance/anisotropy
+        (reference gpr/models.py:274-288)."""
+        target_shape = (self._L, self._L) if is_covariant else (1, self._L)
+        self._likelihood.data.variance.broadcast_value(target_shape=target_shape, is_diagonal=True)
+        self._kernel.broadcast_parameters(variance_shape=target_shape,
+                                          M=1 if is_isotropic else self._M)
+        return self
+
+    # -- parameter pytrees --------------------------------------------------- #
+
+    @property
+    def is_covariant(self) -> bool:
+        return self._likelihood.is_covariant
+
+    def _variant_raw(self):
+        return variant_init(self._kernel.data.variance.np[0],
+                            self._kernel.data.lengthscales.np,
+                            self._likelihood.data.variance.np[0])
+
+    def _covariant_raw(self):
+        return covariant_init(self._kernel.data.variance.np,
+                              self._kernel.data.lengthscales.np,
+                              self._likelihood.data.variance.np)
+
+    def _raw(self):
+        return self._covariant_raw() if self.is_covariant else self._variant_raw()
+
+    # -- compute ------------------------------------------------------------- #
+
+    @abstractmethod
+    def calibrate(self, **kwargs) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def predict(self, x: np.ndarray, y_instead_of_f: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        """Posterior (mean (o,L), std (o,L)) at x (reference gpr/models.py:375-384)."""
+        x = jnp.asarray(np.asarray(x, dtype=FLOAT()))
+        if self.is_covariant:
+            mean, var = gp.predict_covariant(self._covariant_raw(), jnp.asarray(self._X),
+                                             jnp.asarray(self._Y), x, y_instead_of_f)
+        else:
+            mean, var = gp.predict_variant(self._variant_raw(), jnp.asarray(self._X),
+                                           jnp.asarray(self._Y), x, y_instead_of_f)
+        return np.atleast_2d(np.asarray(mean)), np.atleast_2d(np.sqrt(np.asarray(var)))
+
+    @property
+    def K_cho(self) -> jnp.ndarray:
+        """(L,N,N) variant | (LN,LN) covariant Cholesky of the noisy gram
+        (reference gpr/models.py:427-439)."""
+        if self.is_covariant:
+            chol, _ = gp.posterior_factors_covariant(self._covariant_raw(),
+                                                     jnp.asarray(self._X), jnp.asarray(self._Y))
+        else:
+            chol, _ = gp.posterior_factors_variant(self._variant_raw(),
+                                                   jnp.asarray(self._X), jnp.asarray(self._Y))
+        return chol
+
+    @property
+    def K_inv_Y(self) -> jnp.ndarray:
+        """(L,1,N) == ChoSolve(K_cho, Y) (reference gpr/models.py:441-444)."""
+        if self.is_covariant:
+            _, kiy = gp.posterior_factors_covariant(self._covariant_raw(),
+                                                    jnp.asarray(self._X), jnp.asarray(self._Y))
+        else:
+            _, kiy = gp.posterior_factors_variant(self._variant_raw(),
+                                                  jnp.asarray(self._X), jnp.asarray(self._Y))
+        return kiy
+
+    def check_K_inv_Y(self, x: np.ndarray) -> np.ndarray:
+        """Numerical self-test: predict(x) == k(x,X) K^-1 Y to tolerance
+        (reference gpr/models.py:446-463)."""
+        predicted = self.predict(x)[0]
+        o = predicted.shape[0]
+        kiy = self.K_inv_Y
+        if self.is_covariant:
+            c = covariant_constrain(self._covariant_raw())
+            kern = rbf_gram_covariant(jnp.asarray(np.asarray(x, FLOAT())), jnp.asarray(self._X),
+                                      c['lengthscales'], c['F'])      # (L,o,L,N)
+            result = jnp.einsum('loLN, LiN -> ol', kern, kiy)
+        else:
+            c = variant_constrain(self._variant_raw())
+            kern = rbf_gram_variant(jnp.asarray(np.asarray(x, FLOAT())), jnp.asarray(self._X),
+                                    c['lengthscales'], c['variance'])  # (L,o,N)
+            result = jnp.einsum('loN, liN -> ol', kern, kiy)
+        result = result - predicted
+        return np.asarray(jnp.sqrt(jnp.sum(result * result, axis=0) / o))
+
+    def predict_df(self, x: np.ndarray, y_instead_of_f: bool = True,
+                   is_normalized: bool = True) -> pd.DataFrame:
+        """(X, Mean, SD) prediction frame, optionally denormalized
+        (reference gpr/models.py:202-222)."""
+        X_heading = self._fold.meta['data']['X_heading']
+        Y_heading = self._fold.meta['data']['Y_heading']
+        prediction = self.predict(x, y_instead_of_f)
+        result = pd.DataFrame(np.concatenate([x, prediction[0]], axis=1),
+                              columns=self._fold.test_data.df.columns)
+        predictive_std = result.loc[:, [Y_heading]].copy()
+        predictive_std.iloc[:] = prediction[1]
+        if not is_normalized:
+            result = self._fold.normalization.undo_from(result)
+            predictive_std = self._fold.normalization.unscale_Y(predictive_std)
+        result = result.rename(columns={Y_heading: 'Mean'}, level=0)
+        predictive_std = predictive_std.rename(columns={Y_heading: 'SD'}, level=0)
+        return result.join([predictive_std])
+
+    def test(self) -> Frame:
+        """Write test.csv (per-sample Mean/SD/Abs Error/Z Score/Outlier) and
+        test_summary.csv (RMSE/mean-SD/outlier-rate), reference gpr/models.py:235-272."""
+        result = Frame(self.test_csv, self._fold.test_data.df)
+        Y_heading = self._fold.meta['data']['Y_heading']
+        prediction = self.predict(self._fold.test_x.values)
+        predictive_mean = (result.df.loc[:, [Y_heading]].copy()
+                           .rename(columns={Y_heading: 'Mean'}, level=0))
+        predictive_mean.iloc[:] = prediction[0]
+        predictive_std = (result.df.loc[:, [Y_heading]].copy()
+                          .rename(columns={Y_heading: 'SD'}, level=0))
+        predictive_std.iloc[:] = prediction[1]
+        predictive_score = (result.df.loc[:, [Y_heading]].copy()
+                            .rename(columns={Y_heading: 'Z Score'}, level=0))
+        predictive_score.iloc[:] -= predictive_mean.to_numpy(dtype=float, copy=False)
+        abs_err = (result.df.loc[:, [Y_heading]].copy()
+                   .rename(columns={Y_heading: 'Abs Error'}, level=0))
+        abs_err.iloc[:] -= predictive_mean.to_numpy(dtype=float, copy=False)
+        abs_err = abs(abs_err)
+        rmse = abs_err.iloc[:].copy().rename(columns={'Abs Error': 'RMSE'}, level=0)
+        predictive_score.iloc[:] /= predictive_std.to_numpy(dtype=float, copy=False)
+        out_bool = predictive_score.to_numpy(dtype=float, copy=False) ** 2 > 4.0
+        outlier_columns = (result.df.loc[:, [Y_heading]]
+                           .rename(columns={Y_heading: 'Outlier'}, level=0).columns)
+        outliers = pd.DataFrame(out_bool, index=result.df.index, columns=outlier_columns)
+        outliers = outliers.join(pd.DataFrame(
+            np.column_stack((np.logical_or.reduce(out_bool, axis=1),
+                             np.logical_and.reduce(out_bool, axis=1))),
+            index=outliers.index,
+            columns=pd.MultiIndex.from_tuples([('Outlier', 'Any Output'), ('Outlier', 'All Outputs')])))
+        result.df = result.df.join([predictive_mean, predictive_std, abs_err,
+                                    predictive_score, outliers])
+        result.write()
+        rmse = rmse ** 2
+        rmse = (rmse.sum(axis=0) / rmse.count(axis=0)) ** 0.5
+        rmse = rmse if isinstance(rmse, pd.DataFrame) else pd.DataFrame(rmse).transpose()
+        predictive_std = predictive_std.sum(axis=0) / predictive_std.count(axis=0)
+        predictive_std = (predictive_std if isinstance(predictive_std, pd.DataFrame)
+                          else pd.DataFrame(predictive_std).transpose())
+        outlier_rate = outliers.sum(axis=0) / outliers.count(axis=0)
+        outlier_rate = (outlier_rate if isinstance(outlier_rate, pd.DataFrame)
+                        else pd.DataFrame(outlier_rate).transpose())
+        summary = rmse.join([predictive_std, outlier_rate])
+        Frame(self.test_summary_csv, summary)
+        return result
+
+
+class MOGP(GPR):
+    """The concrete multi-output GP (reference gpr/models.py:324-463)."""
+
+    META: Dict[str, Any] = {'maxiter': 5000, 'gtol': 1e-16}
+
+    def calibrate(self, method: str = 'L-BFGS-B', **kwargs) -> Dict[str, Any]:
+        """Maximize the LML on-device; write optimized parameters back to the
+        kernel/likelihood CSV frames (reference gpr/models.py:345-373)."""
+        meta = self.read_meta() if self._meta_json.exists() else dict(self.META)
+        kernel_options = self._kernel.calibrate(**(meta.pop('kernel', {}) | kwargs.pop('kernel', {})))
+        likelihood_options = self._likelihood.calibrate(**(meta.pop('likelihood', {}) | kwargs.pop('likelihood', {})))
+        meta.update(kwargs)
+        meta.pop('result', None)
+        maxiter = int(meta.get('maxiter', 5000))
+        gtol = float(meta.get('gtol', 1e-16))
+        x = jnp.asarray(self._X)
+        y = jnp.asarray(self._Y)
+        if self.is_covariant:
+            mask = covariant_mask(kernel_variance=kernel_options['variance'],
+                                  kernel_covariance=kernel_options['covariance'],
+                                  lengthscales=kernel_options['lengthscales']['covariant'],
+                                  noise_variance=likelihood_options['variance'],
+                                  noise_covariance=likelihood_options['covariance'])
+            raw_opt, lml, iters = gp.calibrate_covariant(self._covariant_raw(), mask, x, y,
+                                                         maxiter=maxiter, gtol=gtol)
+            c = jax.tree_util.tree_map(np.asarray, covariant_constrain(raw_opt))
+            self._likelihood.data.replace(variance=c['noise_cov'],
+                                          log_marginal=np.atleast_2d(float(lml)))
+            self._kernel.data.replace(variance=c['F'], lengthscales=c['lengthscales'])
+            result = f'Converged in {int(iters)} L-BFGS iterations, lml={float(lml)}'
+        else:
+            mask = variant_mask(kernel_variance=kernel_options['variance'],
+                                lengthscales=kernel_options['lengthscales']['variant'],
+                                noise=likelihood_options['variance'])
+            raw_opt, lml, iters = gp.calibrate_variant(self._variant_raw(), mask, x, y,
+                                                       maxiter=maxiter, gtol=gtol)
+            c = jax.tree_util.tree_map(np.asarray, variant_constrain(raw_opt))
+            self._likelihood.data.replace(variance=c['noise'][None, :],
+                                          log_marginal=np.asarray(lml)[None, :])
+            self._kernel.data.replace(variance=c['variance'][None, :],
+                                      lengthscales=c['lengthscales'])
+            result = (f'Converged in {np.asarray(iters).tolist()} L-BFGS iterations, '
+                      f'lml={np.asarray(lml).tolist()}')
+        meta.update({'result': result, 'kernel': kernel_options, 'likelihood': likelihood_options})
+        self.write_meta(meta)
+        return meta
+
+    def predict_gradient(self, x: np.ndarray, y_instead_of_f: bool = True
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Gradient-GP prediction dy/dx: mean (o,L,M) and covariance
+        (reference gpr/models.py:386-415), using the analytic RBF derivative
+        d k(X,x)/dx = k(X,x) * (X - x)/lam^2 instead of a GradientTape jacobian."""
+        x = jnp.asarray(np.asarray(x, dtype=FLOAT()))
+        X = jnp.asarray(self._X)
+        o = x.shape[0]
+        kiy = self.K_inv_Y                      # (L,1,N)
+        chol = self.K_cho
+        if self.is_covariant:
+            c = covariant_constrain(self._covariant_raw())
+            lam = c['lengthscales']             # (L,Mls)
+            lam_full = jnp.broadcast_to(lam, (self._L, self._M))
+            KXx = rbf_gram_covariant(X, x, lam, c['F'])     # (L,N,l,o)
+            # d/dx_o[m] of k(X_n, x_o): with u = X/lam_L, v = x/lam_l —
+            # derivative wrt x touches only v: dK/dx_m = K * (u_m - v_m)/lam_l[m]
+            u = X[None, :, None, None, :] / lam_full[:, None, None, None, :]     # (L,N,1,1,M)
+            v = x[None, None, None, :, :] / lam_full[None, None, :, None, :]     # (1,1,l,o,M)
+            dxKXx = KXx[..., None] * (u - v) / lam_full[None, None, :, None, :]  # (L,N,l,o,M)
+            mean = jnp.einsum('LNloM, LiN -> olM', dxKXx, kiy)
+            dxKXx2 = dxKXx.reshape(self._L * self._N, self._L * o * self._M)
+            var = gp.tri_solve(chol, dxKXx2).reshape(self._L, self._N, self._L, o, self._M)
+            var = -jnp.einsum('LNlOM, LNlom -> OLolMm', var, var)
+            Lam = jnp.broadcast_to(1.0 / lam_full[None, :, :], (o, self._L, self._M))
+            kxx = rbf_gram_covariant(x, x, lam, c['F'])      # (L,o,l,o)
+            ddxxkxx = jnp.einsum('OLM, olM, LOlo -> OLolM', Lam, Lam, kxx)
+            var = var.at[..., jnp.arange(self._M), jnp.arange(self._M)].add(ddxxkxx)
+        else:
+            c = variant_constrain(self._variant_raw())
+            lam = jnp.broadcast_to(c['lengthscales'], (self._L, self._M))
+            KXx = rbf_gram_variant(X, x, c['lengthscales'], c['variance'])   # (L,N,o)
+            diff = (X[None, :, None, :] - x[None, None, :, :]) / (lam ** 2)[:, None, None, :]
+            dxKXx = KXx[..., None] * diff                    # (L,N,o,M)
+            mean = jnp.einsum('lNoM, liN -> olM', dxKXx, kiy)
+            A = gp.tri_solve(chol, dxKXx.reshape(self._L, self._N, o * self._M))
+            A = A.reshape(self._L, self._N, o, self._M)
+            var = -jnp.einsum('LNOM, LNom -> OoLMm', A, A)
+            Lam = jnp.broadcast_to(1.0 / lam[None, :, :], (o, self._L, self._M))
+            kxx = rbf_gram_variant(x, x, c['lengthscales'], c['variance'])   # (L,o,o)
+            ddxxkxx = jnp.einsum('OLM, oLM, LOo -> OoLM', Lam, Lam, kxx)
+            var = var.at[..., jnp.arange(self._M), jnp.arange(self._M)].add(ddxxkxx)
+        return np.asarray(mean), np.asarray(var)

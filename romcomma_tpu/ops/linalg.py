@@ -22,7 +22,13 @@ def cholesky(a: jnp.ndarray) -> jnp.ndarray:
 
 def tri_solve(chol: jnp.ndarray, b: jnp.ndarray, lower: bool = True,
               trans: bool = False) -> jnp.ndarray:
-    """Solve chol x = b (or cholᵀ x = b) for triangular chol; batched."""
+    """Solve chol x = b (or cholᵀ x = b) for triangular chol.
+
+    Batch dimensions broadcast against each other (TF-style), which
+    lax.linalg.triangular_solve does not do natively."""
+    batch = jnp.broadcast_shapes(chol.shape[:-2], b.shape[:-2])
+    chol = jnp.broadcast_to(chol, batch + chol.shape[-2:])
+    b = jnp.broadcast_to(b, batch + b.shape[-2:])
     return lax.linalg.triangular_solve(chol, b, left_side=True, lower=lower,
                                        transpose_a=trans)
 
