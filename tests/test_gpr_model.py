@@ -1,0 +1,100 @@
+"""Persistent MOGP tests: calibration, persistence round-trip, test() output
+formats, warm-start copy chain."""
+
+import numpy as np
+import pandas as pd
+
+from romcomma_tpu.data.storage import Fold, Repository
+from romcomma_tpu.models.gpr import MOGP
+from romcomma_tpu.user import run, sample, functions
+
+
+def _repo(tmp_root, N=60, M=3, K=-1):
+    noise = sample.GaussianNoise.Variance(3, 0.1, False, True)
+    return sample.Function(tmp_root, sample.DOE.latin_hypercube, functions.ISHIGAMI,
+                           N, M, noise, overwrite_existing=True).repo.into_K_folds(K)
+
+
+def test_mogp_calibrate_persist_reload(tmp_root):
+    repo = _repo(tmp_root)
+    fold = Fold(repo, 0)
+    gp = MOGP('gpr.v.a', fold, is_read=False, is_covariant=False, is_isotropic=False)
+    meta = gp.calibrate(maxiter=150)
+    assert 'result' in meta and meta['kernel']['variance'] is True
+    folder = fold.folder / 'gpr.v.a'
+    for f in ['kernel.csv', 'meta.json', 'kernel/variance.csv', 'kernel/lengthscales.csv',
+              'likelihood/variance.csv', 'likelihood/log_marginal.csv']:
+        assert (folder / f).exists(), f
+    # Reload from disk: same parameters, same LML.
+    gp2 = MOGP('gpr.v.a', fold, is_read=True, is_covariant=False, is_isotropic=False)
+    np.testing.assert_allclose(gp2.kernel.data.lengthscales.np,
+                               gp.kernel.data.lengthscales.np, rtol=1e-12)
+    lml_disk = gp.likelihood.data.log_marginal.np
+    from romcomma_tpu.models import gp as gpcore
+    import jax.numpy as jnp
+    lml_recomputed = np.asarray(gpcore.lml_variant(gp2._variant_raw(),
+                                                   jnp.asarray(gp2.X), jnp.asarray(gp2.Y)))
+    np.testing.assert_allclose(lml_recomputed[None, :], lml_disk, rtol=1e-9)
+
+
+def test_mogp_test_outputs(tmp_root):
+    repo = _repo(tmp_root, N=100, K=2)
+    # The reference's default flow: isotropic first, warm-started anisotropic —
+    # which escapes the local optimum a cold anisotropic start can fall into.
+    run.gpr('gpr', repo, is_read=False, is_covariant=False, is_isotropic=None,
+            ignore_exceptions=False)
+    fold = Fold(repo, 2)  # the improper fold: train == test == all data
+    test = pd.read_csv(fold.folder / 'gpr.v.a' / 'test.csv', header=[0, 1], index_col=0)
+    heads = {c[0] for c in test.columns}
+    assert {'X', 'Y', 'Mean', 'SD', 'Abs Error', 'Z Score', 'Outlier'} <= heads
+    assert ('Outlier', 'Any Output') in test.columns
+    summary = pd.read_csv(fold.folder / 'gpr.v.a' / 'test_summary.csv', header=[0, 1], index_col=0)
+    assert {'RMSE', 'SD', 'Outlier'} <= {c[0] for c in summary.columns}
+    # Abs Error equals |Y - Mean|
+    np.testing.assert_allclose(test['Abs Error'].values,
+                               np.abs(test['Y'].values - test['Mean'].values), atol=1e-5)
+    # On the improper (overfit-control) fold a trained GP must beat chance easily.
+    assert np.all(summary['RMSE'].values < 0.2)
+
+
+def test_check_K_inv_Y_small(tmp_root):
+    repo = _repo(tmp_root)
+    fold = Fold(repo, 0)
+    gp = MOGP('gpr.v.a', fold, is_read=False, is_covariant=False, is_isotropic=False)
+    resid = gp.check_K_inv_Y(gp.X[:10])
+    assert np.all(resid < 1e-8)
+
+
+def test_warm_start_copy_chain(tmp_root):
+    """is_read=None copies gpr.v.i -> gpr.v.a before calibrating
+    (reference run.py:79-88)."""
+    repo = _repo(tmp_root)
+    models = run.gpr('gpr', repo, is_read=False, is_covariant=False, is_isotropic=True,
+                     ignore_exceptions=False, maxiter=100)
+    assert models == ['gpr.v.i']
+    fold = Fold(repo, 0)
+    iso_ls = MOGP('gpr.v.i', fold, True, False, True).kernel.data.lengthscales.np
+    assert iso_ls.shape == (3, 1)
+    models = run.gpr('gpr', repo, is_read=None, is_covariant=False, is_isotropic=False,
+                     ignore_exceptions=False, is_calibrated=False, is_tested=False)
+    assert models == ['gpr.v.a']
+    aniso = MOGP('gpr.v.a', fold, True, False, False)
+    # warm start: anisotropic lengthscales broadcast from the isotropic ones
+    assert aniso.kernel.data.lengthscales.np.shape == (3, 3)
+    np.testing.assert_allclose(aniso.kernel.data.lengthscales.np,
+                               np.broadcast_to(iso_ls, (3, 3)), rtol=1e-12)
+
+
+def test_covariant_roundtrip(tmp_root):
+    repo = _repo(tmp_root, N=40)
+    fold = Fold(repo, 0)
+    gp = MOGP('gpr.c.a', fold, is_read=False, is_covariant=True, is_isotropic=False)
+    assert gp.is_covariant
+    assert gp.kernel.data.variance.np.shape == (3, 3)
+    gp.calibrate(maxiter=60)
+    gp2 = MOGP('gpr.c.a', fold, is_read=True, is_covariant=True, is_isotropic=False)
+    mean, sd = gp2.predict(gp2.X[:5])
+    assert mean.shape == (5, 3) and sd.shape == (5, 3)
+    assert np.all(sd > 0)
+    resid = gp2.check_K_inv_Y(gp2.X[:8])
+    assert np.all(resid < 1e-6)

@@ -1,0 +1,105 @@
+"""GSA tests: analytic Ishigami oracle plus structural invariants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from romcomma_tpu.data.storage import Fold
+from romcomma_tpu.gsa.models import GSA
+from romcomma_tpu.user import functions, run, sample
+from romcomma_tpu.user.functions import ishigami_analytic_sobol
+
+
+@pytest.fixture(scope='module')
+def trained_repo(tmp_path_factory):
+    """One Ishigami repository with a trained anisotropic variant GP and all
+    three GSA kinds with errors. Module-scoped: GSA tests share it."""
+    np.random.seed(0)
+    import random
+    random.seed(0)
+    root = tmp_path_factory.mktemp('gsa')
+    noise = sample.GaussianNoise.Variance(3, 0.05, False, True)
+    repo = sample.Function(root, sample.DOE.latin_hypercube, functions.ISHIGAMI,
+                           250, 3, noise, overwrite_existing=True).repo.into_K_folds(-1)
+    run.gpr('gpr', repo, is_read=False, is_covariant=False, is_isotropic=None,
+            ignore_exceptions=False)
+    run.gsa('gpr', repo, is_covariant=False, is_isotropic=False,
+            is_error_calculated=True, ignore_exceptions=False, is_T_partial=False)
+    return repo
+
+
+def _S(repo, kind: str) -> pd.DataFrame:
+    return pd.read_csv(repo.fold_folder(0) / 'gpr.v.a' / 'gsa' / kind / 'S.csv')
+
+
+def _diag_rows(df: pd.DataFrame, L=3) -> np.ndarray:
+    """Rows where l.0 == l.1 — the per-output index vectors."""
+    d = df[df['l.0'] == df['l.1']].sort_values('l.0')
+    return d.iloc[:, 2:].values  # drop l.0, l.1
+
+
+def test_first_order_matches_analytic_ishigami(trained_repo):
+    S = _diag_rows(_S(trained_repo, 'first_order'))
+    oracles = [ishigami_analytic_sobol(7.0, 0.1)['S'],
+               ishigami_analytic_sobol(20.0, 1.0)['S'],
+               ishigami_analytic_sobol(0.0, 0.0)['S']]
+    for l, oracle in enumerate(oracles):
+        np.testing.assert_allclose(S[l, :3], oracle, atol=0.06)
+    # the final column is S over all inputs == 1 by normalization
+    np.testing.assert_allclose(S[:, 3], 1.0, atol=1e-6)
+
+
+def test_total_matches_analytic_ishigami(trained_repo):
+    S = _diag_rows(_S(trained_repo, 'total'))
+    oracles = [ishigami_analytic_sobol(7.0, 0.1)['ST'],
+               ishigami_analytic_sobol(20.0, 1.0)['ST'],
+               ishigami_analytic_sobol(0.0, 0.0)['ST']]
+    for l, oracle in enumerate(oracles):
+        # column m of TOTAL = S_M - S_closed[complement]; column 0 is the
+        # total index of input 0. Columns 1,2 are totals of {0,1},{0,1,2}.
+        np.testing.assert_allclose(S[l, 0], oracle[0], atol=0.06)
+
+
+def test_closed_is_monotone_and_normalized(trained_repo):
+    """Closed indices S[0:m] are nondecreasing in m and reach 1 at m=M."""
+    S = _diag_rows(_S(trained_repo, 'closed'))
+    assert np.all(np.diff(S, axis=1) > -0.02)
+    np.testing.assert_allclose(S[:, -1], 1.0, atol=1e-6)
+
+
+def test_error_outputs_exist_and_are_positive(trained_repo):
+    folder = trained_repo.fold_folder(0) / 'gpr.v.a' / 'gsa' / 'first_order'
+    for f in ['S.csv', 'V.csv', 'T.csv', 'W.csv']:
+        assert (folder / f).exists()
+    T = pd.read_csv(folder / 'T.csv')
+    assert np.all(T.iloc[:, 2:].values >= 0)
+    # The standard error should be small relative to the indices themselves.
+    assert np.nanmean(T.iloc[:, 2:].values) < 0.5
+
+
+def test_sin_output_is_pure_first_input(trained_repo):
+    """Output 2 is sin(x1) alone: S ~ [1, 0, 0] exactly."""
+    S = _diag_rows(_S(trained_repo, 'first_order'))
+    np.testing.assert_allclose(S[2, :3], [1.0, 0.0, 0.0], atol=0.02)
+
+
+def test_gsa_meta_written(trained_repo):
+    import json
+    meta = json.loads((trained_repo.fold_folder(0) / 'gpr.v.a' / 'gsa' / 'total'
+                       / 'meta.json').read_text())
+    assert meta['m'] == -1 and meta['M'] == 3 and 'is_T_partial' in meta
+
+
+def test_collect_wrote_provenance(trained_repo):
+    S = pd.read_csv(trained_repo.folder / 'gpr.v.a' / 'gsa' / 'first_order' / 'S.csv')
+    assert {'fold', 'N'} <= set(S.columns)
+
+
+def test_single_m_gsa(trained_repo):
+    from romcomma_tpu.gsa.models import Sobol
+    from romcomma_tpu.models.gpr import MOGP
+    fold = Fold(trained_repo, 0)
+    gp = MOGP('gpr.v.a', fold, is_read=True, is_covariant=False, is_isotropic=False)
+    meta = Sobol(gp, GSA.Kind.CLOSED, m=1, is_error_calculated=False).calibrate()
+    S = pd.read_csv(fold.folder / 'gpr.v.a' / 'gsa' / 'closed.1' / 'S.csv')
+    assert list(S.columns[2:]) == ['1', '3']  # m column then M column
