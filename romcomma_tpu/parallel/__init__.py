@@ -1,1 +1,1 @@
-
+from romcomma_tpu.parallel import mesh

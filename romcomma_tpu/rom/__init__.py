@@ -1,1 +1,1 @@
-
+from romcomma_tpu.rom.rom import ROM, run_rom

@@ -1,0 +1,135 @@
+"""ROM: Reduced Order Modelling via iterative input-basis rotation.
+
+The reference's ROM is dormant — ``romcomma/rom/old.py`` is one fully
+commented-out class referencing an API that no longer exists. This module is
+a working re-design of that intent (reference rom/old.py:59-74,200-214): an
+alternating loop that
+
+  1. calibrates the GP in the current (rotated) input basis,
+  2. estimates the *active subspace* of the GP posterior mean — the
+     eigenbasis of C = E[grad f grad f^T] under the N(0,I) input measure,
+     computed from the analytic gradient GP (models.gpr.MOGP.predict_gradient)
+     on a Gauss-sample of inputs,
+  3. rotates the Fold's inputs onto that eigenbasis (leading directions
+     first) through the cumulative ``X_rotation`` machinery
+     (data/storage.py Fold.X_rotation), and
+  4. re-calibrates, until the leading closed Sobol' index S[0:m] of the
+     rotated basis converges.
+
+Because the normalized inputs are N(0,1) i.i.d., the input measure is
+rotation-invariant, so the Sobol' indices of the rotated model remain
+well-defined — the property the whole ROM construction relies on.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from romcomma_tpu.data.storage import Fold, Repository
+from romcomma_tpu.gsa.calibrators import ClosedSobol
+from romcomma_tpu.gsa.models import GSA, Sobol
+from romcomma_tpu.models.gpr import MOGP
+
+
+class ROM:
+    """Iterative input-basis rotation for dimension reduction."""
+
+    META: Dict[str, Any] = {'iterations': 4, 'm': 1, 'sample_size': 1024,
+                            'tolerance': 1e-3}
+
+    def __init__(self, name: str, fold: Fold, gp_name: str = 'gpr.v.a',
+                 is_covariant: bool = False, is_isotropic: bool = False,
+                 **kwargs: Any):
+        self.name = name
+        self.fold = fold
+        self.gp_name = gp_name
+        self.is_covariant = is_covariant
+        self.is_isotropic = is_isotropic
+        self.meta = dict(self.META) | kwargs
+        self.folder = fold.folder / name
+        self.folder.mkdir(mode=0o777, parents=True, exist_ok=True)
+        self.history: List[Dict[str, Any]] = []
+
+    def _gp(self, is_read: bool) -> MOGP:
+        return MOGP(self.gp_name, self.fold, is_read, self.is_covariant, self.is_isotropic)
+
+    def _active_subspace_rotation(self, gp: MOGP, sample_size: int, rng) -> np.ndarray:
+        """Eigenbasis of C = E[grad f grad f^T], gradients from the GP."""
+        Z = rng.standard_normal((sample_size, gp.M))
+        batch = 256
+        C = np.zeros((gp.M, gp.M))
+        for start in range(0, sample_size, batch):
+            g_mean, _ = gp.predict_gradient(Z[start:start + batch])  # (o,L,M)
+            C += np.einsum('olM, olm -> Mm', g_mean, g_mean)
+        C /= sample_size
+        eigenvalues, eigenvectors = np.linalg.eigh(C)
+        order = eigenvalues.argsort()[::-1]
+        rotation = eigenvectors[:, order].T          # rows = new basis vectors
+        # Fix signs for determinism: make each leading entry positive.
+        signs = np.sign(rotation[np.arange(gp.M), np.abs(rotation).argmax(axis=1)])
+        rotation = rotation * signs[:, None]
+        if np.linalg.det(rotation) < 0:
+            rotation[-1] *= -1.0
+        return rotation
+
+    def _leading_closed_sobol(self, gp: MOGP, m: int) -> float:
+        """Mean over outputs of the closed Sobol' index S[0:m] — S is (L,L)
+        with per-output indices on the diagonal."""
+        calibrator = ClosedSobol(gp)
+        S = np.asarray(calibrator.marginalize((0, m))['S'])
+        return float(np.mean(np.diagonal(S)))
+
+    def calibrate(self, **kwargs) -> Dict[str, Any]:
+        """Run the alternating rotation loop; persists per-iteration history
+        and the final closed Sobol' indices."""
+        meta = self.meta | kwargs
+        m, iterations = int(meta['m']), int(meta['iterations'])
+        tolerance = float(meta['tolerance'])
+        rng = np.random.default_rng(meta.get('seed', 0))
+        opt_kwargs = {k: meta[k] for k in ('maxiter', 'gtol') if k in meta}
+        gp = self._gp(is_read=False)
+        gp.calibrate(**opt_kwargs)
+        score = self._leading_closed_sobol(gp, m)
+        self.history.append({'iteration': 0, 'S_m': score})
+        for it in range(1, iterations + 1):
+            rotation = self._active_subspace_rotation(gp, int(meta['sample_size']), rng)
+            self.fold.X_rotation = rotation
+            gp = self._gp(is_read=True)       # warm start from previous params
+            gp.calibrate(**opt_kwargs)
+            new_score = self._leading_closed_sobol(gp, m)
+            self.history.append({'iteration': it, 'S_m': new_score})
+            if abs(new_score - score) < tolerance:
+                score = new_score
+                break
+            score = new_score
+        Sobol(gp, GSA.Kind.CLOSED, is_error_calculated=False).calibrate()
+        meta['history'] = self.history
+        meta['S_m'] = score
+        with open(self.folder / 'meta.json', 'w') as f:
+            json.dump(meta, f, indent=8, default=str)
+        np.savetxt(self.folder / 'rotation.csv', self.fold.X_rotation, delimiter=',')
+        return meta
+
+    def reduce(self, Mu: int) -> Path:
+        """Truncate to the leading Mu rotated inputs: write a reduced data.csv
+        (X[:, :Mu], Y) beside the fold (reference intent rom/old.py:230-237)."""
+        df = self.fold.data.df
+        X = df.iloc[:, :Mu]
+        Y = df.iloc[:, self.fold.M:]
+        reduced = X.join(Y)
+        out = self.folder / f'reduced.{Mu}.csv'
+        reduced.to_csv(out)
+        return out
+
+
+def run_rom(name: str, repo: Repository, m: int = 1, **kwargs) -> List[Dict[str, Any]]:
+    """Run ROM across all folds of a Repository (user-facing helper)."""
+    metas = []
+    for k in repo.folds:
+        fold = Fold(repo, k)
+        metas.append(ROM(name, fold, m=m, **kwargs).calibrate())
+    return metas
