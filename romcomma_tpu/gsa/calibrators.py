@@ -49,29 +49,56 @@ class ClosedSobol(Calibrator):
     META: Dict[str, Any] = {}
 
     def __init__(self, gp: GPR, **kwargs: Any):
-        self.gp = gp
-        self.meta = dict(self.META) | kwargs
-        self.L, self.M, self.N = gp.L, gp.M, gp.N
-        self.Ms = (0, self.M)
-        self.F = jnp.asarray(np.asarray(gp.kernel.data.variance.np, dtype=FLOAT()))
-        self.K_cho = jnp.asarray(gp.K_cho)
-        self.K_inv_Y = jnp.asarray(gp.K_inv_Y)
-        # F-diagonality is inferred from the *GP's* meta.json kernel options
-        # (reference calibrators.py:129-132).
-        self.is_F_diagonal = self.meta.pop('is_F_diagonal', None)
-        if self.is_F_diagonal is None:
+        meta = dict(self.META) | kwargs
+        is_F_diagonal = meta.pop('is_F_diagonal', None)
+        if is_F_diagonal is None:
+            # F-diagonality is inferred from the *GP's* meta.json kernel
+            # options (reference calibrators.py:129-132).
             gp_options = gp.read_meta() if gp._meta_json.exists() else dict(gp.META)
-            self.is_F_diagonal = not gp_options.pop('kernel', {}).pop('covariance', False)
+            is_F_diagonal = not gp_options.pop('kernel', {}).pop('covariance', False)
+        arrays = self.gather_arrays(gp)
+        self._setup(is_F_diagonal=is_F_diagonal, L=gp.L, M=gp.M, N=gp.N,
+                    meta=meta, **arrays)
+
+    @staticmethod
+    def gather_arrays(gp: GPR) -> Dict[str, jnp.ndarray]:
+        """Host-side gathering of the traced inputs — everything device-side
+        downstream is pure jnp and therefore jittable."""
+        K_cho, K_inv_Y = gp.posterior_factors
+        return {'F': jnp.asarray(np.asarray(gp.kernel.data.variance.np, dtype=FLOAT())),
+                'K_cho': K_cho,
+                'K_inv_Y': K_inv_Y,
+                'Lambda': jnp.asarray(np.asarray(gp.kernel.data.lengthscales.np,
+                                                 dtype=FLOAT())),
+                'X': jnp.asarray(np.asarray(gp.X, dtype=FLOAT()))}
+
+    @classmethod
+    def from_arrays(cls, F, K_cho, K_inv_Y, Lambda, X, *, is_F_diagonal: bool,
+                    L: int, M: int, N: int, **meta) -> 'ClosedSobol':
+        """Construct (and pre-calibrate) from raw arrays — the traced
+        constructor used under jit."""
+        self = cls.__new__(cls)
+        meta = dict(cls.META) | meta
+        meta.pop('is_F_diagonal', None)
+        self._setup(F=F, K_cho=K_cho, K_inv_Y=K_inv_Y, Lambda=Lambda, X=X,
+                    is_F_diagonal=is_F_diagonal, L=L, M=M, N=N, meta=meta)
+        return self
+
+    def _setup(self, F, K_cho, K_inv_Y, Lambda, X, is_F_diagonal: bool,
+               L: int, M: int, N: int, meta: Dict[str, Any]):
+        self.meta = meta
+        self.L, self.M, self.N = L, M, N
+        self.Ms = (0, self.M)
+        self.F, self.K_cho, self.K_inv_Y = F, K_cho, K_inv_Y
+        self.is_F_diagonal = is_F_diagonal
         if self.is_F_diagonal:
             self.F = self.F if self.F.shape[0] == 1 else _diag_part(self.F)
             self.F = self.F.reshape(self.L, 1)
         else:
             self.K_inv_Y = jnp.transpose(self.K_inv_Y, (1, 0, 2))
-        self.Lambda = jnp.broadcast_to(
-            jnp.asarray(np.asarray(gp.kernel.data.lengthscales.np, dtype=FLOAT())),
-            (self.L, self.M))
+        self.Lambda = jnp.broadcast_to(Lambda, (self.L, self.M))
         self.Lambda2 = self._Lambda2()
-        self.X = jnp.asarray(np.asarray(gp.X, dtype=FLOAT()))
+        self.X = X
         self._calibrate()
 
     def _Lambda2(self) -> Dict[int, Tuple[jnp.ndarray, ...]]:
@@ -349,6 +376,51 @@ class ClosedSobolWithError(ClosedSobol):
             self.Q = _diag_part(self.W.MIXED) / (4.0 * self.V[1] * self.V[1])
             self.Q = self.Q[None, ...] + self.Q[..., None] + 2.0 * jnp.diag(self.Q)
             self.T = self._T(self.W.DIAGONAL, self.W.MIXED, self.V[0])
+
+
+_MARGINALIZE_ALL_CACHE: Dict[Any, Any] = {}
+
+
+def marginalize_all(gp: GPR, slices: Tuple[Tuple[int, int], ...],
+                    is_error_calculated: bool, **meta):
+    """Run a whole GSA kind — calibrator construction plus every m-slice
+    marginalization — as ONE jitted XLA computation.
+
+    The reference drives each slice through a Python/TF loop of eager ops
+    (gsa/models.py:124-134); on TPU that is hundreds of small dispatches.
+    Here the full einsum chain for all slices fuses into a single program,
+    compiled once per (kind, shape) signature.
+
+    Returns (results, extras): results[key] has the slice axis last;
+    extras = {'V0','S'[,'T']} — the quantities _post_calibrate needs.
+    """
+    cls = ClosedSobolWithError if is_error_calculated else ClosedSobol
+    meta = {k: v for k, v in meta.items() if k not in ('folder', 'm', 'M')}
+    is_F_diagonal = meta.pop('is_F_diagonal', None)
+    if is_F_diagonal is None:
+        gp_options = gp.read_meta() if gp._meta_json.exists() else dict(gp.META)
+        is_F_diagonal = not gp_options.pop('kernel', {}).pop('covariance', False)
+    arrays = ClosedSobol.gather_arrays(gp)
+    shapes = tuple((k, v.shape, str(v.dtype)) for k, v in sorted(arrays.items()))
+    key = (cls.__name__, tuple(slices), bool(is_F_diagonal), gp.L, gp.M, gp.N,
+           tuple(sorted(meta.items())), shapes)
+
+    if key not in _MARGINALIZE_ALL_CACHE:
+        import jax
+
+        def _run(F, K_cho, K_inv_Y, Lambda, X):
+            cal = cls.from_arrays(F, K_cho, K_inv_Y, Lambda, X,
+                                  is_F_diagonal=is_F_diagonal,
+                                  L=gp.L, M=gp.M, N=gp.N, **meta)
+            outs = [cal.marginalize(s) for s in slices]
+            results = {k: jnp.stack([o[k] for o in outs], axis=-1) for k in outs[0]}
+            extras = {'V0': cal.V[0], 'S': cal.S}
+            if is_error_calculated and not cal.meta['is_T_partial']:
+                extras['T'] = cal.T
+            return results, extras
+
+        _MARGINALIZE_ALL_CACHE[key] = jax.jit(_run)
+    return _MARGINALIZE_ALL_CACHE[key](**arrays)
 
 
 class ClosedSobolWithRotation(ClosedSobol):

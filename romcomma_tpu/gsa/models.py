@@ -81,7 +81,7 @@ class GSA(Model):
         raise NotImplementedError
 
     @abstractmethod
-    def _post_calibrate(self, calibrator: Calibrator,
+    def _post_calibrate(self, extras: Dict[str, jnp.ndarray],
                         results: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         raise NotImplementedError
 
@@ -99,18 +99,13 @@ class GSA(Model):
                 df.to_csv(self._folder / f'{key}.csv', float_format='%.6f')
 
     def calibrate(self, method: str = None, **kwargs) -> Dict[str, Any]:
-        """Loop the m-slices through calibrator.marginalize, concat along a
-        new last axis, post-process, save (reference gsa/models.py:117-137)."""
-        calibrator = self.calibrator
-        results: Dict[str, jnp.ndarray] = {}
-        for mm in self._m_dataset:
-            result = calibrator.marginalize(mm)
-            if not results:
-                results = {key: value[..., None] for key, value in result.items()}
-            else:
-                for key in results.keys():
-                    results[key] = jnp.concatenate([results[key], result[key][..., None]], axis=-1)
-        results = self._post_calibrate(calibrator, results)
+        """Marginalize every m-slice, concat along a new last axis,
+        post-process, save (reference gsa/models.py:117-137). The whole kind
+        runs as one jitted XLA computation (calibrators.marginalize_all)."""
+        from romcomma_tpu.gsa.calibrators import marginalize_all
+        results, extras = marginalize_all(self.gp, tuple(self._m_dataset),
+                                          self.is_error_calculated, **self.meta)
+        results = self._post_calibrate(extras, results)
         self._compose_and_save(results)
         return self.meta
 
@@ -132,16 +127,16 @@ class Sobol(GSA):
         return (ClosedSobolWithError(self.gp, **self.meta) if self.is_error_calculated
                 else ClosedSobol(self.gp, **self.meta))
 
-    def _post_calibrate(self, calibrator: Calibrator,
+    def _post_calibrate(self, extras: Dict[str, jnp.ndarray],
                         results: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         """Append the m=M column; TOTAL converts S to S_M - S_complement
         (reference gsa/models.py:207-214)."""
-        results['V'] = jnp.concatenate([results['V'], calibrator.V[0][..., None]], axis=-1)
-        results['S'] = (calibrator.S[..., None] - results['S']
+        results['V'] = jnp.concatenate([results['V'], extras['V0'][..., None]], axis=-1)
+        results['S'] = (extras['S'][..., None] - results['S']
                         if self.kind == GSA.Kind.TOTAL else results['S'])
-        results['S'] = jnp.concatenate([results['S'], calibrator.S[..., None]], axis=-1)
+        results['S'] = jnp.concatenate([results['S'], extras['S'][..., None]], axis=-1)
         if 'T' in results and not self.meta['is_T_partial']:
-            results['T'] = (calibrator.T[..., None] + results['T']
+            results['T'] = (extras['T'][..., None] + results['T']
                             if self.kind == GSA.Kind.TOTAL else results['T'])
-            results['T'] = jnp.concatenate([results['T'], calibrator.T[..., None]], axis=-1)
+            results['T'] = jnp.concatenate([results['T'], extras['T'][..., None]], axis=-1)
         return results

@@ -172,27 +172,24 @@ class GPR(Model):
         return np.atleast_2d(np.asarray(mean)), np.atleast_2d(np.sqrt(np.asarray(var)))
 
     @property
+    def posterior_factors(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One Cholesky: (K_cho, K_inv_Y) together."""
+        if self.is_covariant:
+            return gp.posterior_factors_covariant(self._covariant_raw(),
+                                                  jnp.asarray(self._X), jnp.asarray(self._Y))
+        return gp.posterior_factors_variant(self._variant_raw(),
+                                            jnp.asarray(self._X), jnp.asarray(self._Y))
+
+    @property
     def K_cho(self) -> jnp.ndarray:
         """(L,N,N) variant | (LN,LN) covariant Cholesky of the noisy gram
         (reference gpr/models.py:427-439)."""
-        if self.is_covariant:
-            chol, _ = gp.posterior_factors_covariant(self._covariant_raw(),
-                                                     jnp.asarray(self._X), jnp.asarray(self._Y))
-        else:
-            chol, _ = gp.posterior_factors_variant(self._variant_raw(),
-                                                   jnp.asarray(self._X), jnp.asarray(self._Y))
-        return chol
+        return self.posterior_factors[0]
 
     @property
     def K_inv_Y(self) -> jnp.ndarray:
         """(L,1,N) == ChoSolve(K_cho, Y) (reference gpr/models.py:441-444)."""
-        if self.is_covariant:
-            _, kiy = gp.posterior_factors_covariant(self._covariant_raw(),
-                                                    jnp.asarray(self._X), jnp.asarray(self._Y))
-        else:
-            _, kiy = gp.posterior_factors_variant(self._variant_raw(),
-                                                  jnp.asarray(self._X), jnp.asarray(self._Y))
-        return kiy
+        return self.posterior_factors[1]
 
     def check_K_inv_Y(self, x: np.ndarray) -> np.ndarray:
         """Numerical self-test: predict(x) == k(x,X) K^-1 Y to tolerance
