@@ -31,6 +31,16 @@ import numpy as np  # noqa: E402
 if os.environ.get('ROMCOMMA_X64', '1') != '0':
     jax.config.update('jax_enable_x64', True)
 
+# Persistent compilation cache: first-compile costs (20-40s per program on a
+# tunneled TPU) amortize across processes/rounds.
+_cache_dir = os.environ.get('ROMCOMMA_JAX_CACHE', os.path.expanduser('~/.cache/romcomma_jax'))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+except Exception:  # cache is an optimization only — never fail import
+    pass
+
 #: Quantities smaller than this are considered zero (reference: base/definitions.py:36).
 EFFECTIVELY_ZERO = 1.0e-64
 
