@@ -36,6 +36,14 @@ def _sqdist(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(uu[:, None] + vv[None, :] - 2.0 * uv, 0.0)
 
 
+def _use_pallas(*arrays) -> bool:
+    """Route to the fused Pallas tile kernel for f32 compute on TPU; the jnp
+    path below stays as the f64/CPU implementation and numerical oracle."""
+    from romcomma_tpu.ops import pallas_kernels
+    return (all(jnp.asarray(a).dtype == jnp.float32 for a in arrays)
+            and pallas_kernels.available())
+
+
 def rbf_gram(x1: jnp.ndarray, x2: jnp.ndarray, lengthscales: jnp.ndarray,
              variance: jnp.ndarray) -> jnp.ndarray:
     """Single-output ARD-RBF gram: variance * exp(-1/2 ||(x1-x2)/ls||^2).
@@ -45,6 +53,10 @@ def rbf_gram(x1: jnp.ndarray, x2: jnp.ndarray, lengthscales: jnp.ndarray,
         lengthscales: (M,) or scalar. variance: scalar.
     Returns: (A,B).
     """
+    if _use_pallas(x1, x2, lengthscales, variance):
+        from romcomma_tpu.ops import pallas_kernels
+        return pallas_kernels.rbf_gram_pallas(x1, x2, jnp.asarray(lengthscales),
+                                              jnp.asarray(variance))
     ls = jnp.broadcast_to(jnp.asarray(lengthscales), (x1.shape[-1],))
     return variance * jnp.exp(-0.5 * _sqdist(x1 / ls, x2 / ls))
 
@@ -73,6 +85,9 @@ def rbf_gram_covariant(x1: jnp.ndarray, x2: jnp.ndarray, lengthscales: jnp.ndarr
         x1: (A,M). x2: (B,M). lengthscales: (L,M). F: (L,L) signal covariance.
     Returns: (L,A,L,B).
     """
+    if _use_pallas(x1, x2, lengthscales, F):
+        from romcomma_tpu.ops import pallas_kernels
+        return pallas_kernels.rbf_gram_covariant_pallas(x1, x2, lengthscales, F)
     L, M = lengthscales.shape
     A, B = x1.shape[0], x2.shape[0]
     u = (x1[None, :, :] / lengthscales[:, None, :]).reshape(L * A, M)

@@ -1,0 +1,511 @@
+"""Distributed dense GP linear algebra over a 1-D ('n') device mesh.
+
+This is the scale-out layer SURVEY.md §7 step 7 calls the hard part: the
+reference caps out near N≈10k on one device (benchmark_script.py:36-38)
+because the noisy gram K (N,N), its Cholesky, and the posterior solves are
+all single-device. Here every O(N^2)/O(N^3) object is sharded over the mesh:
+
+  - ``ring_gram``: X row-blocks rotate around the ICI ring (lax.ppermute) so
+    each device builds its (N/S, N) slab of the ARD-RBF gram tile by tile —
+    the structural analog of ring attention's KV rotation; no device ever
+    holds all pairwise work.
+  - ``cholesky``: right-looking blocked Cholesky with **block-cyclic** row
+    ownership (block g of the elimination order lives on device g mod S) so
+    the trailing update stays load-balanced to the last panel. The panel is
+    all-gathered and the (cheap) panel solve is computed redundantly on every
+    device — a broadcast-free formulation; the O(N^3) trailing update is a
+    per-device (B,B)x(B,N) MXU matmul stream.
+  - ``solve_forward``/``solve_backward``: block forward/back substitution
+    with masked-psum ownership selection.
+  - ``lml``: the exact GP log marginal likelihood with a **custom VJP**: the
+    reverse pass materializes K^{-1} slab-by-slab (chunked identity solves +
+    the dLML/dK = (alpha alpha^T - K^{-1})/2 identity) and reduces every
+    hyperparameter gradient to row sums and matvecs of (dLML/dK ∘ K) — all
+    distributed, never an (N,N,M) tensor. This removes the reverse-mode
+    differentiation of the factorization loop entirely.
+
+Storage layout. All (N, ·) objects live in "stored order": the N axis is
+padded to NB·B rows and block-permuted owner-major, so stored block
+t = d·c + ci on device d is global elimination block g = ci·S + d
+(g_of_t(t) = (t mod c)·S + t//c). Rows AND columns of K are permuted
+consistently, so chol/solves/logdet are those of P K Pᵀ — identical LML.
+Padding blocks are identity rows (unit diagonal, zero off-diagonal): they
+factorize to themselves, contribute log 1 = 0 to the log determinant, and
+carry zero right-hand sides.
+
+Single-output (L=1) per call: the scale regime is huge-N ARD-RBF GPs (the
+v5e benchmark target is N=20k..50k, M=30, L=1); multi-output variant models
+loop L over the same compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map          # jax >= 0.6 style
+except ImportError:                                   # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def _i32(*vals):
+    """Cast slice indices to a uniform int32 (axis_index is int32; x64 mode
+    promotes python ints to int64 — lax requires matching index dtypes)."""
+    return tuple(jnp.asarray(v).astype(jnp.int32) for v in vals)
+
+
+def make_n_mesh(n_devices: int | None = None) -> Mesh:
+    """A 1-D ('n',) mesh over the first n_devices devices."""
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=('n',))
+
+
+class Plan(NamedTuple):
+    """Static blocking plan for one (N, B, S) problem."""
+    N: int          # real rows
+    B: int          # block size
+    S: int          # devices
+    NB: int         # total blocks (padded)
+    c: int          # blocks per device
+    Npad: int       # NB * B
+    g_of_t: Tuple[int, ...]   # stored slot -> global elimination block
+    perm: Tuple[int, ...]     # stored row  -> global row (< Npad)
+
+    @property
+    def dtype_rows_mask(self) -> np.ndarray:
+        """(Npad,) bool — stored rows that are real data rows."""
+        p = np.asarray(self.perm)
+        return p < self.N
+
+
+def plan(N: int, S: int, B: int = 256) -> Plan:
+    """Blocking plan: NB is the smallest multiple of S with NB*B >= N."""
+    NB = max(1, math.ceil(N / (B * S))) * S
+    c = NB // S
+    Npad = NB * B
+    g_of_t = tuple((t % c) * S + t // c for t in range(NB))
+    perm = tuple(g_of_t[r // B] * B + r % B for r in range(Npad))
+    return Plan(N=N, B=B, S=S, NB=NB, c=c, Npad=Npad, g_of_t=g_of_t, perm=perm)
+
+
+def to_stored(pl_: Plan, a: np.ndarray, fill: float = 0.0) -> np.ndarray:
+    """Host-side: global (N, ...) -> stored-order padded (Npad, ...)."""
+    out_shape = (pl_.Npad,) + tuple(a.shape[1:])
+    out = np.full(out_shape, fill, dtype=a.dtype)
+    perm = np.asarray(pl_.perm)
+    real = perm < pl_.N
+    out[real] = np.asarray(a)[perm[real]]
+    return out
+
+
+def from_stored(pl_: Plan, a: np.ndarray) -> np.ndarray:
+    """Host-side inverse of :func:`to_stored` (drops padding)."""
+    perm = np.asarray(pl_.perm)
+    real = perm < pl_.N
+    out_shape = (pl_.N,) + tuple(a.shape[1:])
+    out = np.empty(out_shape, dtype=np.asarray(a).dtype)
+    out[perm[real]] = np.asarray(a)[real]
+    return out
+
+
+def _row_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P('n'))
+
+
+def _rep_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+# --------------------------------------------------------------------------- #
+# Ring gram
+# --------------------------------------------------------------------------- #
+
+def ring_gram(pl_: Plan, mesh: Mesh):
+    """Jitted builder of the noisy stored-order gram, rows sharded over 'n'.
+
+    Returns fn(x_stored (Npad,M) sharded, ls (M,), s2, noise) -> K (Npad,Npad)
+    row-sharded. Padding rows get unit diagonal / zero off-diagonal.
+    """
+    from romcomma_tpu.ops.gram import rbf_gram
+
+    S, B, c, NB, Npad, N = pl_.S, pl_.B, pl_.c, pl_.NB, pl_.Npad, pl_.N
+    cB = c * B
+    real = jnp.asarray(pl_.dtype_rows_mask)            # (Npad,) stored-order
+
+    def local(x_local, real_local, ls, s2, noise):
+        # x_local (cB, M); rotate row blocks around the ring.
+        me = lax.axis_index('n')
+        right = [(i, (i + 1) % S) for i in range(S)]
+        buf = x_local
+        out = jnp.zeros((cB, Npad), dtype=x_local.dtype)
+        for s in range(S):
+            src = (me - s) % S                          # owner of buf's rows
+            tile = rbf_gram(x_local, buf, ls, s2)       # (cB, cB)
+            out = lax.dynamic_update_slice(out, tile, _i32(0, src * cB))
+            if s + 1 < S:
+                buf = lax.ppermute(buf, 'n', right)
+        # mask padding and add the noisy/unit diagonal
+        col_real = real                                  # (Npad,)
+        row_real = real_local[:, 0]                      # (cB,)
+        out = out * row_real[:, None] * col_real[None, :]
+        rows0 = me * cB
+        eye = (jnp.arange(Npad)[None, :] == (rows0 + jnp.arange(cB))[:, None])
+        out = out + eye * jnp.where(row_real, noise, 1.0)[:, None]
+        return out
+
+    fn = _shard_map(local, mesh=mesh,
+                    in_specs=(P('n'), P('n'), P(), P(), P()),
+                    out_specs=P('n'))
+
+    @jax.jit
+    def build(x_stored, ls, s2, noise):
+        return fn(x_stored, real[:, None].astype(x_stored.dtype), ls, s2, noise)
+
+    return build
+
+
+# --------------------------------------------------------------------------- #
+# Distributed blocked Cholesky (right-looking, block-cyclic)
+# --------------------------------------------------------------------------- #
+
+def cholesky(pl_: Plan, mesh: Mesh):
+    """Jitted distributed Cholesky of a stored-order row-sharded SPD matrix.
+
+    fn(K (Npad,Npad) row-sharded) -> L row-sharded, block-lower-masked.
+    """
+    S, B, c, NB, Npad = pl_.S, pl_.B, pl_.c, pl_.NB, pl_.Npad
+    g_vec = jnp.asarray(pl_.g_of_t)                     # (NB,) stored -> global
+
+    def local(K_local):
+        me = lax.axis_index('n')
+        A = K_local.reshape(c, B, Npad)
+        g_local = g_vec[me * c + jnp.arange(c)]         # (c,) global idx of rows
+
+        def body(k, A):
+            d_k = k % S
+            c_k = k // S
+            t_k = d_k * c + c_k                          # stored slot of step k
+            col = t_k * B
+            panel_local = lax.dynamic_slice(A, _i32(0, 0, col), (c, B, B))
+            panel_all = lax.all_gather(panel_local, 'n')  # (S, c, B, B) stored
+            panel_all = panel_all.reshape(NB, B, B)
+            L_kk = jnp.linalg.cholesky(panel_all[t_k])
+            # Redundant panel solve on every device: X L_kk^T = P.
+            sol = lax.linalg.triangular_solve(
+                jnp.broadcast_to(L_kk, (NB, B, B)), panel_all,
+                left_side=False, lower=True, transpose_a=True)
+            is_k = (g_vec == k)[:, None, None]
+            gt_k = (g_vec > k)[:, None, None]
+            P_L = jnp.where(is_k, L_kk[None], jnp.where(gt_k, sol, 0.0))
+            # Write the finalized column block for this device's rows.
+            mine = lax.dynamic_slice(P_L, _i32(me * c, 0, 0), (c, B, B))
+            A = lax.dynamic_update_slice(A, mine, _i32(0, 0, col))
+            # Trailing update on rows with global index > k, columns > k.
+            Pmat = jnp.where(gt_k, P_L, 0.0).reshape(Npad, B)
+            upd = jnp.einsum('cbi,ni->cbn', jnp.where(g_local[:, None, None] > k,
+                                                      mine, 0.0), Pmat)
+            return A - upd
+
+        A = lax.fori_loop(0, NB, body, A)
+        # Final mask: zero strictly-upper blocks and strict-upper of diagonals.
+        col_g = jnp.repeat(g_vec, B)                     # (Npad,) per column
+        row_in = jnp.arange(B)
+        col_in = jnp.tile(jnp.arange(B), NB)
+        keep = (g_local[:, None, None] > col_g[None, None, :]) | (
+            (g_local[:, None, None] == col_g[None, None, :])
+            & (row_in[None, :, None] >= col_in[None, None, :]))
+        return (A * keep).reshape(c * B, Npad)
+
+    fn = _shard_map(local, mesh=mesh, in_specs=(P('n'),), out_specs=P('n'))
+    return jax.jit(fn)
+
+
+# --------------------------------------------------------------------------- #
+# Distributed triangular solves (matrix RHS)
+# --------------------------------------------------------------------------- #
+
+def solve_forward(pl_: Plan, mesh: Mesh):
+    """fn(L row-sharded, Y (Npad,R) replicated) -> Z with L Z = Y, replicated."""
+    S, B, c, NB, Npad = pl_.S, pl_.B, pl_.c, pl_.NB, pl_.Npad
+
+    def local(L_local, Y):
+        me = lax.axis_index('n')
+        A = L_local.reshape(c, B, Npad)
+        R = Y.shape[1]
+
+        def body(k, Z):
+            d_k = k % S
+            c_k = k // S
+            t_k = d_k * c + c_k
+            col = t_k * B
+            slab = lax.dynamic_slice(A, _i32(c_k, 0, 0), (1, B, Npad))[0]  # (B,Npad)
+            L_kk = lax.dynamic_slice(slab, _i32(0, col), (B, B))
+            y_k = lax.dynamic_slice(Y, _i32(col, 0), (B, R))
+            rhs = y_k - slab @ Z
+            z_k = lax.linalg.triangular_solve(L_kk, rhs, left_side=True,
+                                              lower=True)
+            z_k = jnp.where(me == d_k, z_k, 0.0)
+            z_k = lax.psum(z_k, 'n')
+            return lax.dynamic_update_slice(Z, z_k, _i32(col, 0))
+
+        Z = lax.fori_loop(0, NB, body, jnp.zeros_like(Y))
+        return Z
+
+    fn = _shard_map(local, mesh=mesh, in_specs=(P('n'), P()), out_specs=P())
+    return jax.jit(fn)
+
+
+def solve_backward(pl_: Plan, mesh: Mesh):
+    """fn(L row-sharded, Z (Npad,R) replicated) -> W with Lᵀ W = Z, replicated."""
+    S, B, c, NB, Npad = pl_.S, pl_.B, pl_.c, pl_.NB, pl_.Npad
+    g_vec = jnp.asarray(pl_.g_of_t)
+
+    def local(L_local, Z):
+        me = lax.axis_index('n')
+        A = L_local.reshape(c, B, Npad)
+        g_local = g_vec[me * c + jnp.arange(c)]
+        R = Z.shape[1]
+        rows0 = me * c * B
+
+        def body(i, W):
+            k = NB - 1 - i
+            d_k = k % S
+            c_k = k // S
+            t_k = d_k * c + c_k
+            col = t_k * B
+            cols = lax.dynamic_slice(A, _i32(0, 0, col), (c, B, B))   # L[rows, k]
+            W_local = lax.dynamic_slice(W, _i32(rows0, 0), (c * B, R)).reshape(c, B, R)
+            mask = (g_local > k)[:, None, None]
+            partial = jnp.einsum('cbk,cbr->kr', jnp.where(mask, cols, 0.0), W_local)
+            total = lax.psum(partial, 'n')
+            diag_cand = lax.dynamic_slice(A, _i32(c_k, 0, col), (1, B, B))[0]
+            L_kk = lax.psum(jnp.where(me == d_k, diag_cand, 0.0), 'n')
+            z_k = lax.dynamic_slice(Z, _i32(col, 0), (B, R))
+            w_k = lax.linalg.triangular_solve(L_kk, z_k - total, left_side=True,
+                                              lower=True, transpose_a=True)
+            return lax.dynamic_update_slice(W, w_k, _i32(col, 0))
+
+        W = lax.fori_loop(0, NB, body, jnp.zeros_like(Z))
+        return W
+
+    fn = _shard_map(local, mesh=mesh, in_specs=(P('n'), P()), out_specs=P())
+    return jax.jit(fn)
+
+
+def log_diag_sum(pl_: Plan, mesh: Mesh):
+    """fn(L row-sharded) -> sum(log diag(L)) (padding contributes log 1 = 0)."""
+    S, B, c, NB, Npad = pl_.S, pl_.B, pl_.c, pl_.NB, pl_.Npad
+
+    def local(L_local):
+        me = lax.axis_index('n')
+        A = L_local.reshape(c, B, Npad)
+
+        def body(ci, acc):
+            col = (me * c + ci) * B
+            blk = lax.dynamic_slice(A, _i32(ci, 0, col), (1, B, B))[0]
+            return acc + jnp.sum(jnp.log(jnp.diagonal(blk)))
+
+        try:
+            acc0 = lax.pcast(jnp.asarray(0.0, L_local.dtype), ('n',), to='varying')
+        except (AttributeError, TypeError):  # older jax
+            acc0 = lax.pvary(jnp.asarray(0.0, L_local.dtype), 'n')
+        acc = lax.fori_loop(0, c, body, acc0)
+        return lax.psum(acc, 'n')
+
+    fn = _shard_map(local, mesh=mesh, in_specs=(P('n'),), out_specs=P())
+    return jax.jit(fn)
+
+
+# --------------------------------------------------------------------------- #
+# Distributed LML with analytic hyperparameter gradients
+# --------------------------------------------------------------------------- #
+
+class DistributedGP:
+    """Distributed single-output ARD-RBF GP: LML (custom VJP), calibration,
+    posterior solves — every O(N^2) object sharded over the mesh.
+
+    Hyperparameters enter *constrained* (ls (M,), s2, noise scalars); wrap
+    with the transforms in romcomma_tpu.models.params for raw-space descent.
+    """
+
+    def __init__(self, N: int, mesh: Mesh | None = None, block: int = 256):
+        self.mesh = mesh if mesh is not None else make_n_mesh()
+        self.plan = plan(N, S=self.mesh.devices.size, B=block)
+        self._gram = ring_gram(self.plan, self.mesh)
+        self._chol = cholesky(self.plan, self.mesh)
+        self._fwd = solve_forward(self.plan, self.mesh)
+        self._bwd = solve_backward(self.plan, self.mesh)
+        self._logdiag = log_diag_sum(self.plan, self.mesh)
+        self._lml = self._build_lml()
+
+    # -- host-side staging -------------------------------------------------- #
+
+    def stage(self, X: np.ndarray, Y: np.ndarray):
+        """Host (N,M) X / (N,1)|(N,) Y -> stored-order padded device arrays."""
+        X = np.asarray(X)
+        Y = np.asarray(Y).reshape(len(X), -1)
+        xs = to_stored(self.plan, X)
+        ys = to_stored(self.plan, Y)
+        x_dev = jax.device_put(jnp.asarray(xs), _row_sharding(self.mesh))
+        y_dev = jax.device_put(jnp.asarray(ys), _rep_sharding(self.mesh))
+        return x_dev, y_dev
+
+    # -- LML ----------------------------------------------------------------- #
+
+    def _grads_fn(self):
+        """Distributed reductions for dLML/d{ls, s2, noise} given
+        Bbar = dLML/dK = (alpha alphaᵀ - K⁻¹)/2, using
+        tr(Bbar dK/dθ) with dK/ds2 = (K-noise I)/s2, dK/dnoise = I, and
+        dK/dls_m = (K-noise I) ∘ D_m / ls_m³, D_m[a,b] = (x_am-x_bm)²."""
+        pl_, mesh = self.plan, self.mesh
+        S, B, c, NB, Npad = pl_.S, pl_.B, pl_.c, pl_.NB, pl_.Npad
+        real = jnp.asarray(pl_.dtype_rows_mask)
+
+        def local(K_local, Kinv_local, alpha, x, ls, s2, noise):
+            me = lax.axis_index('n')
+            cB = c * B
+            rows0 = me * cB
+            row_real = lax.dynamic_slice(real.astype(K_local.dtype), _i32(rows0), (cB,))
+            col_real = real.astype(K_local.dtype)
+            a_local = lax.dynamic_slice(alpha, _i32(rows0, 0), (cB, 1))
+            Bbar = 0.5 * (a_local * alpha[:, 0][None, :] - Kinv_local)
+            mask2 = row_real[:, None] * col_real[None, :]
+            Bbar = Bbar * mask2
+            eye = (jnp.arange(Npad)[None, :] == (rows0 + jnp.arange(cB))[:, None])
+            Knn = (K_local - eye * noise) * mask2        # signal gram, no noise
+            W = Bbar * Knn
+            ds2 = lax.psum(jnp.sum(W), 'n') / s2
+            dnoise = lax.psum(jnp.sum(Bbar * eye), 'n')
+            # lengthscale grads: sum_ab W_ab (x_am - x_bm)^2 / ls^3
+            x_local = lax.dynamic_slice(x, _i32(rows0, 0), (cB, x.shape[1]))
+            r = jnp.sum(W, axis=1)                       # (cB,) local rows
+            col_sum = lax.psum(jnp.sum(W, axis=0), 'n')  # (Npad,)
+            Wx = W @ x                                   # (cB, M)
+            term = (jnp.einsum('am,a->m', x_local * x_local, r)
+                    + jnp.einsum('am,am->m', x_local, Wx) * (-2.0))
+            term = lax.psum(term, 'n')
+            term = term + jnp.einsum('bm,b->m', x * x, col_sum)
+            dls = term / (ls ** 3)
+            return dls, ds2, dnoise
+
+        fn = _shard_map(local, mesh=mesh,
+                        in_specs=(P('n'), P('n'), P(), P(), P(), P(), P()),
+                        out_specs=(P(), P(), P()))
+        return jax.jit(fn)
+
+    def _build_lml(self):
+        pl_ = self.plan
+        Npad, B, NB, N = pl_.Npad, pl_.B, pl_.NB, pl_.N
+        gram, chol, fwd, bwd, logdiag = (self._gram, self._chol, self._fwd,
+                                         self._bwd, self._logdiag)
+        grads = self._grads_fn()
+        mesh = self.mesh
+
+        @jax.custom_vjp
+        def lml(ls, s2, noise, x, y):
+            K = gram(x, ls, s2, noise)
+            L = chol(K)
+            z = fwd(L, y)
+            quad = jnp.sum(z * z)
+            return (-0.5 * quad - logdiag(L)
+                    - 0.5 * N * jnp.log(2.0 * jnp.asarray(jnp.pi, y.dtype)))
+
+        def lml_fwd(ls, s2, noise, x, y):
+            K = gram(x, ls, s2, noise)
+            L = chol(K)
+            z = fwd(L, y)
+            alpha = bwd(L, z)
+            value = (-0.5 * jnp.sum(z * z) - logdiag(L)
+                     - 0.5 * N * jnp.log(2.0 * jnp.asarray(jnp.pi, y.dtype)))
+            return value, (ls, s2, noise, x, K, L, alpha)
+
+        row_shard = _row_sharding(mesh)
+
+        @functools.partial(jax.jit, out_shardings=row_shard)
+        def kinv_all(L):
+            """K^{-1} built B identity columns at a time; accumulated into a
+            row-sharded (Npad, Npad) slab so no device ever holds more than
+            its slab plus one replicated (Npad, B) chunk."""
+            def body(t, Kinv):
+                col0 = t * B
+                cols = (jnp.arange(Npad, dtype=jnp.int32)[:, None]
+                        == col0 + jnp.arange(B, dtype=jnp.int32)[None, :]
+                        ).astype(L.dtype)
+                chunk = bwd(L, fwd(L, cols))              # (Npad, B) replicated
+                return lax.dynamic_update_slice(Kinv, chunk, _i32(0, col0))
+
+            Kinv0 = lax.with_sharding_constraint(
+                jnp.zeros((Npad, Npad), dtype=L.dtype), row_shard)
+            return lax.fori_loop(0, NB, body, Kinv0)
+
+        def lml_bwd(res, gbar):
+            ls, s2, noise, x, K, L, alpha = res
+            Kinv = kinv_all(L)
+            dls, ds2, dnoise = grads(K, Kinv, alpha, x, ls, s2, noise)
+            return (gbar * dls, gbar * ds2, gbar * dnoise,
+                    jnp.zeros_like(x), jnp.zeros_like(alpha))
+
+        lml.defvjp(lml_fwd, lml_bwd)
+        return lml
+
+    def lml(self, ls, s2, noise, x_dev, y_dev):
+        """Exact LML (scalar). Differentiable in ls/s2/noise."""
+        return self._lml(ls, s2, noise, x_dev, y_dev)
+
+    # -- posterior ----------------------------------------------------------- #
+
+    def posterior_alpha(self, ls, s2, noise, x_dev, y_dev):
+        """alpha = K⁻¹ y (stored order, replicated) and L (row-sharded)."""
+        K = self._gram(x_dev, ls, s2, noise)
+        L = self._chol(K)
+        z = self._fwd(L, y_dev)
+        return self._bwd(L, z), L
+
+    def predict(self, ls, s2, noise, x_dev, y_dev, Xs: np.ndarray):
+        """Posterior mean/variance at host test points Xs (o, M)."""
+        from romcomma_tpu.ops.gram import rbf_gram
+        alpha, L = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
+        xs = jnp.asarray(np.asarray(Xs))
+        # Ks in stored order: k(x_stored, xs), zero for padding rows.
+        real = jnp.asarray(self.plan.dtype_rows_mask)
+        Ks = rbf_gram(x_dev, xs, ls, s2) * real[:, None]           # (Npad, o)
+        mean = Ks.T @ alpha                                        # (o, 1)
+        A = self._fwd(L, Ks)                                       # (Npad, o)
+        var = s2 - jnp.sum(A * A, axis=0) + noise
+        return mean[:, 0], var
+
+    # -- calibration ---------------------------------------------------------- #
+
+    def calibrate(self, X: np.ndarray, Y: np.ndarray, ls0, s2_0, noise0,
+                  maxiter: int = 5000, gtol: float = 1e-16):
+        """On-device L-BFGS maximization of the distributed LML. Returns
+        (ls, s2, noise), final LML, iterations."""
+        from romcomma_tpu.ops import lbfgs
+        from romcomma_tpu.ops.transforms import positive, positive_inverse
+        from romcomma_tpu.models.params import NOISE_LOWER_BOUND
+
+        x_dev, y_dev = self.stage(X, Y)
+        dt = x_dev.dtype
+        raw0 = (jnp.asarray(positive_inverse(np.asarray(ls0, dtype=dt), 0.0)),
+                jnp.asarray(positive_inverse(np.asarray(s2_0, dtype=dt), 0.0)),
+                jnp.asarray(positive_inverse(np.asarray(noise0, dtype=dt),
+                                             NOISE_LOWER_BOUND)))
+
+        def objective(raw):
+            rls, rs2, rnoise = raw
+            return -self._lml(positive(rls, 0.0), positive(rs2, 0.0),
+                              positive(rnoise, NOISE_LOWER_BOUND), x_dev, y_dev)
+
+        res = lbfgs.minimize(objective, raw0, maxiter=maxiter, gtol=gtol)
+        rls, rs2, rnoise = res.params
+        return ((positive(rls, 0.0), positive(rs2, 0.0),
+                 positive(rnoise, NOISE_LOWER_BOUND)),
+                -res.value, res.iterations)

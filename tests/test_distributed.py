@@ -1,0 +1,143 @@
+"""Distributed GP linalg on the 8-virtual-device CPU mesh vs single-device
+oracles: ring gram, blocked Cholesky, solves, LML value AND gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from romcomma_tpu.ops.gram import rbf_gram
+from romcomma_tpu.parallel import distributed as dist
+
+
+S = len(jax.devices())
+B = 16          # small block so tests exercise multiple panels per device
+N = 300         # deliberately NOT divisible by B*S -> padding path
+
+
+@pytest.fixture(scope='module')
+def problem():
+    rng = np.random.default_rng(42)
+    M = 5
+    X = rng.normal(size=(N, M))
+    Y = (np.sin(X[:, :1]) + 0.1 * rng.normal(size=(N, 1)))
+    ls = jnp.asarray(rng.uniform(0.8, 2.0, M))
+    s2, noise = jnp.asarray(1.7), jnp.asarray(0.05)
+    mesh = dist.make_n_mesh()
+    gp = dist.DistributedGP(N, mesh, block=B)
+    x_dev, y_dev = gp.stage(X, Y)
+    K_oracle = np.asarray(rbf_gram(jnp.asarray(X), jnp.asarray(X), ls, s2)
+                          + noise * jnp.eye(N))
+    return dict(X=X, Y=Y, ls=ls, s2=s2, noise=noise, gp=gp,
+                x_dev=x_dev, y_dev=y_dev, K_oracle=K_oracle)
+
+
+def test_plan_roundtrip():
+    pl_ = dist.plan(N, S=S, B=B)
+    a = np.arange(N * 3, dtype=float).reshape(N, 3)
+    np.testing.assert_array_equal(dist.from_stored(pl_, dist.to_stored(pl_, a)), a)
+    # every global block owned by device g % S
+    for t, g in enumerate(pl_.g_of_t):
+        assert t // pl_.c == g % S
+
+
+def test_ring_gram_matches_oracle(problem):
+    p = problem
+    gp = p['gp']
+    K = np.asarray(gp._gram(p['x_dev'], p['ls'], p['s2'], p['noise']))
+    pl_ = gp.plan
+    perm = np.asarray(pl_.perm)
+    real = perm < N
+    # real rows/cols must equal the permuted oracle
+    want = p['K_oracle'][np.ix_(perm[real], perm[real])]
+    got = K[np.ix_(real, real)]
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    # padding rows are identity
+    pad = ~real
+    np.testing.assert_allclose(K[np.ix_(pad, pad)], np.eye(pad.sum()), atol=0)
+    assert np.all(K[np.ix_(pad, real)] == 0)
+
+
+def test_distributed_cholesky_matches_oracle(problem):
+    p = problem
+    gp = p['gp']
+    K = gp._gram(p['x_dev'], p['ls'], p['s2'], p['noise'])
+    L = np.asarray(gp._chol(K))
+    np.testing.assert_allclose(L @ L.T, np.asarray(K), rtol=1e-8, atol=1e-10)
+    # lower-triangular in global elimination order
+    pl_ = gp.plan
+    g_row = np.repeat(np.asarray(pl_.g_of_t), pl_.B)
+    order = np.argsort(g_row, kind='stable')
+    Lg = L[np.ix_(order, order)]
+    assert np.allclose(Lg, np.tril(Lg))
+
+
+def test_solves_and_logdet(problem):
+    p = problem
+    gp = p['gp']
+    K = gp._gram(p['x_dev'], p['ls'], p['s2'], p['noise'])
+    L = gp._chol(K)
+    z = gp._fwd(L, p['y_dev'])
+    np.testing.assert_allclose(np.asarray(L) @ np.asarray(z), np.asarray(p['y_dev']),
+                               rtol=1e-8, atol=1e-10)
+    alpha = gp._bwd(L, z)
+    np.testing.assert_allclose(np.asarray(K) @ np.asarray(alpha),
+                               np.asarray(p['y_dev']), rtol=1e-7, atol=1e-9)
+    got_logdet = 2 * float(gp._logdiag(L))
+    want_logdet = float(np.linalg.slogdet(p['K_oracle'])[1])
+    np.testing.assert_allclose(got_logdet, want_logdet, rtol=1e-10)
+
+
+def _oracle_lml(X, Y, ls, s2, noise):
+    K = rbf_gram(jnp.asarray(X), jnp.asarray(X), ls, s2) + noise * jnp.eye(len(X))
+    chol = jnp.linalg.cholesky(K)
+    z = jax.scipy.linalg.solve_triangular(chol, jnp.asarray(Y), lower=True)
+    return (-0.5 * jnp.sum(z * z) - jnp.sum(jnp.log(jnp.diagonal(chol)))
+            - 0.5 * len(X) * jnp.log(2 * jnp.pi))
+
+
+def test_lml_value_and_grad_match_oracle(problem):
+    p = problem
+    gp = p['gp']
+
+    def f_dist(ls, s2, noise):
+        return gp.lml(ls, s2, noise, p['x_dev'], p['y_dev'])
+
+    def f_oracle(ls, s2, noise):
+        return _oracle_lml(p['X'], p['Y'], ls, s2, noise)
+
+    v_d = float(f_dist(p['ls'], p['s2'], p['noise']))
+    v_o = float(f_oracle(p['ls'], p['s2'], p['noise']))
+    np.testing.assert_allclose(v_d, v_o, rtol=1e-9)
+
+    g_d = jax.grad(f_dist, argnums=(0, 1, 2))(p['ls'], p['s2'], p['noise'])
+    g_o = jax.grad(f_oracle, argnums=(0, 1, 2))(p['ls'], p['s2'], p['noise'])
+    for gd, go in zip(g_d, g_o):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(go),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_predict_matches_oracle(problem):
+    p = problem
+    gp = p['gp']
+    Xs = np.random.default_rng(7).normal(size=(9, p['X'].shape[1]))
+    mean, var = gp.predict(p['ls'], p['s2'], p['noise'], p['x_dev'], p['y_dev'], Xs)
+    Ks = np.asarray(rbf_gram(jnp.asarray(p['X']), jnp.asarray(Xs), p['ls'], p['s2']))
+    Kinv = np.linalg.inv(p['K_oracle'])
+    mean_o = Ks.T @ Kinv @ p['Y']
+    var_o = float(p['s2']) - np.einsum('no,nm,mo->o', Ks, Kinv, Ks) + float(p['noise'])
+    np.testing.assert_allclose(np.asarray(mean), mean_o[:, 0], rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var), var_o, rtol=1e-6, atol=1e-9)
+
+
+def test_calibrate_improves_lml(problem):
+    p = problem
+    gp = p['gp']
+    ls0 = np.full(p['X'].shape[1], 2.0)
+    (ls, s2, noise), lml, iters = gp.calibrate(p['X'], p['Y'], ls0, 1.0, 0.1,
+                                               maxiter=25)
+    lml0 = float(gp.lml(jnp.asarray(ls0), jnp.asarray(1.0), jnp.asarray(0.1),
+                        p['x_dev'], p['y_dev']))
+    assert float(lml) > lml0
+    assert np.isfinite(float(lml))
+    assert float(noise) > 0
