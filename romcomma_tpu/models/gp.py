@@ -93,7 +93,8 @@ def predict_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray,
     A = tri_solve(chol, Ks)                                             # (L,N,o)
     alpha = tri_solve(chol, y.T[..., None])                             # (L,N,1)
     mean = jnp.einsum('lno,lni->ol', A, alpha)
-    var_f = c['variance'][None, :] - jnp.einsum('lno,lno->ol', A, A)
+    # Clamp at zero against f32 cancellation (predictive var is >= 0 exactly).
+    var_f = jnp.maximum(c['variance'][None, :] - jnp.einsum('lno,lno->ol', A, A), 0.0)
     var = var_f + (c['noise'][None, :] if y_instead_of_f else 0.0)
     return mean, var
 
@@ -165,7 +166,7 @@ def predict_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray,
     mean = (A.T @ alpha).reshape(L, o).T                                # (o,L)
     # Diagonal of k(xs,xs): per (l,sample) it is F[l,l].
     knn_diag = jnp.broadcast_to(jnp.diag(c['F'])[:, None], (L, o))
-    var_f = (knn_diag - jnp.sum(A * A, axis=0).reshape(L, o)).T         # (o,L)
+    var_f = jnp.maximum((knn_diag - jnp.sum(A * A, axis=0).reshape(L, o)).T, 0.0)
     var = var_f + (jnp.diag(c['noise_cov'])[None, :] if y_instead_of_f else 0.0)
     return mean, var
 

@@ -479,7 +479,7 @@ class DistributedGP:
         Ks = rbf_gram(x_dev, xs, ls, s2) * real[:, None]           # (Npad, o)
         mean = Ks.T @ alpha                                        # (o, 1)
         A = self._fwd(L, Ks)                                       # (Npad, o)
-        var = s2 - jnp.sum(A * A, axis=0) + noise
+        var = jnp.maximum(s2 - jnp.sum(A * A, axis=0), 0.0) + noise
         return mean[:, 0], var
 
     # -- calibration ---------------------------------------------------------- #
