@@ -106,6 +106,8 @@ class GSA(Model):
         results, extras = marginalize_all(self.gp, tuple(self._m_dataset),
                                           self.is_error_calculated, **self.meta)
         results = self._post_calibrate(extras, results)
+        import jax
+        results = jax.device_get(results)    # ONE host transfer for all keys
         self._compose_and_save(results)
         return self.meta
 

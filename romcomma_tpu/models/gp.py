@@ -82,6 +82,7 @@ def calibrate_variant(raw: VariantParams, mask: VariantParams, x: jnp.ndarray,
     return jax.vmap(one, in_axes=(VariantParams(0, 0, 0), 1))(raw, y)
 
 
+@partial(jax.jit, static_argnames=('y_instead_of_f',))
 def predict_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray,
                     xs: jnp.ndarray, y_instead_of_f: bool = True
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -99,6 +100,7 @@ def predict_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray,
     return mean, var
 
 
+@jax.jit
 def posterior_factors_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray):
     """(K_cho (L,N,N), K_inv_Y (L,1,N)) — the GSA inputs (gpr/models.py:427-444)."""
     c = variant_constrain(raw)
@@ -148,6 +150,7 @@ def calibrate_covariant(raw: CovariantParams, mask: CovariantParams,
     return eff, -res.value, res.iterations
 
 
+@partial(jax.jit, static_argnames=('y_instead_of_f',))
 def predict_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray,
                       xs: jnp.ndarray, y_instead_of_f: bool = True
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -171,6 +174,7 @@ def predict_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray,
     return mean, var
 
 
+@jax.jit
 def posterior_factors_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray):
     """(K_cho (LN,LN), K_inv_Y (L,1,N)) per gpr/models.py:427-444."""
     c = covariant_constrain(raw)

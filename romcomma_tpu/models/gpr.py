@@ -169,7 +169,8 @@ class GPR(Model):
         else:
             mean, var = gp.predict_variant(self._variant_raw(), jnp.asarray(self._X),
                                            jnp.asarray(self._Y), x, y_instead_of_f)
-        return np.atleast_2d(np.asarray(mean)), np.atleast_2d(np.sqrt(np.asarray(var)))
+        mean, var = jax.device_get((mean, var))     # one batched host transfer
+        return np.atleast_2d(mean), np.atleast_2d(np.sqrt(var))
 
     @property
     def posterior_factors(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -300,7 +301,7 @@ class MOGP(GPR):
                                   noise_covariance=likelihood_options['covariance'])
             raw_opt, lml, iters = gp.calibrate_covariant(self._covariant_raw(), mask, x, y,
                                                          maxiter=maxiter, gtol=gtol)
-            c = jax.tree_util.tree_map(np.asarray, covariant_constrain(raw_opt))
+            c, lml, iters = jax.device_get((covariant_constrain(raw_opt), lml, iters))
             self._likelihood.data.replace(variance=c['noise_cov'],
                                           log_marginal=np.atleast_2d(float(lml)))
             self._kernel.data.replace(variance=c['F'], lengthscales=c['lengthscales'])
@@ -311,7 +312,7 @@ class MOGP(GPR):
                                 noise=likelihood_options['variance'])
             raw_opt, lml, iters = gp.calibrate_variant(self._variant_raw(), mask, x, y,
                                                        maxiter=maxiter, gtol=gtol)
-            c = jax.tree_util.tree_map(np.asarray, variant_constrain(raw_opt))
+            c, lml, iters = jax.device_get((variant_constrain(raw_opt), lml, iters))
             self._likelihood.data.replace(variance=c['noise'][None, :],
                                           log_marginal=np.asarray(lml)[None, :])
             self._kernel.data.replace(variance=c['variance'][None, :],
