@@ -98,3 +98,24 @@ class Gaussian:
 def sym_check(tensor: jnp.ndarray, transposition: Sequence[int]) -> jnp.ndarray:
     """Symmetry residual — debug reduction (reference gsa/base.py:129-130)."""
     return jnp.sum((tensor - jnp.transpose(tensor, transposition)) ** 2)
+
+
+def mean(tensor: jnp.ndarray) -> jnp.ndarray:
+    """Mean — debug reduction (reference gsa/base.py:133-135)."""
+    n = tensor.size
+    return jnp.sum(tensor) / n
+
+
+def sos(tensor: jnp.ndarray) -> jnp.ndarray:
+    """Sum of squares — debug reduction (reference gsa/base.py:138-140)."""
+    return jnp.sum(tensor * tensor)
+
+
+def ms(tensor: jnp.ndarray) -> jnp.ndarray:
+    """Mean square — debug reduction (reference gsa/base.py:143-145)."""
+    return sos(tensor) / tensor.size
+
+
+def rms(tensor: jnp.ndarray) -> jnp.ndarray:
+    """Root mean square — debug reduction (reference gsa/base.py:148-150)."""
+    return jnp.sqrt(ms(tensor))

@@ -97,3 +97,35 @@ def test_lbfgs_converges_on_rosenbrock():
     assert float(res.value) < 1e-10
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.params['x']), np.ones(4), atol=1e-4)
+
+
+def test_gsa_debug_reductions():
+    import jax.numpy as jnp
+    from romcomma_tpu.gsa import base as gsa_base
+    t = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])
+    assert float(gsa_base.mean(t)) == 2.5
+    assert float(gsa_base.sos(t)) == 30.0
+    assert float(gsa_base.ms(t)) == 7.5
+    import numpy as np
+    np.testing.assert_allclose(float(gsa_base.rms(t)), 7.5 ** 0.5)
+    assert float(gsa_base.sym_check(t, (1, 0))) == 2.0
+
+
+def test_kernel_type_from_parameters():
+    from romcomma_tpu.models.kernels import Kernel, RBF
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as d:
+        k = RBF(pathlib.Path(d) / 'k')
+        assert Kernel.TypeFromParameters(k.data) is RBF
+
+
+def test_mean_functions():
+    import jax.numpy as jnp
+    import numpy as np
+    from romcomma_tpu.models import means
+    x = jnp.ones((5, 3))
+    assert means.Zero(2)(x).shape == (5, 2)
+    c = means.Constant([1.0, -2.0])
+    y = jnp.zeros((5, 2))
+    np.testing.assert_allclose(means.apply(c, x, y), -c(x))
+    np.testing.assert_allclose(means.unapply(c, x, y), c(x))
