@@ -61,6 +61,12 @@ def Environment(name: str = '', device: str = '', profile_dir: Optional[str] = N
                 pass  # backends already initialized; keep current platform
         backend = jax.default_backend()
         print(f' using JAX({backend}, x64={jax.config.jax_enable_x64})...', flush=True)
+        if backend == 'tpu' and jax.config.jax_enable_x64:
+            print(' WARNING: float64 on TPU is emulated, slow to compile, and '
+                  'has been observed to crash the XLA TPU compiler on the '
+                  'L-BFGS training program. Set ROMCOMMA_X64=0 (before import) '
+                  'for the supported f32 TPU fast path; keep x64 for CPU '
+                  'verification runs.', flush=True)
         if profile_dir:
             with jax.profiler.trace(profile_dir):
                 yield
