@@ -89,6 +89,40 @@ def bench_scale(N: int = 8192, M: int = 30, L: int = 1, maxiter: int = 50) -> di
             's_per_lbfgs_iter': round(steady / max(iters, 1), 4)}
 
 
+def bench_scale_gsa(N: int = 8192, M: int = 30) -> dict:
+    """Closed Sobol' (first-order, all M inputs) from a GP posterior at scale
+    — exercises the n-chunked V contraction (O(N^2) pairs, memory-bounded)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from romcomma_tpu.models import gp
+    from romcomma_tpu.models.params import variant_init, variant_constrain
+    from romcomma_tpu.gsa.calibrators import ClosedSobol
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, M)))
+    y = jnp.asarray(np.sin(np.asarray(x[:, :1])) + 0.1 * rng.standard_normal((N, 1)))
+    raw = variant_init(np.ones(1), np.full((1, M), 2.0), np.full(1, 0.05))
+
+    def run():
+        K_cho, K_inv_Y = gp.posterior_factors_variant(raw, x, y)
+        c = variant_constrain(raw)
+        cal = ClosedSobol.from_arrays(F=c['variance'][None, :], K_cho=K_cho,
+                                      K_inv_Y=K_inv_Y, Lambda=c['lengthscales'],
+                                      X=x, is_F_diagonal=True, L=1, M=M, N=N)
+        S = [np.asarray(cal.marginalize((m, m + 1))['S'])[0, 0] for m in range(M)]
+        return S
+
+    t0 = time.time()
+    S = run()
+    first = time.time() - t0
+    t0 = time.time()
+    S = run()
+    steady = time.time() - t0
+    return {'N': N, 'M': M, 'first_s': round(first, 2),
+            'steady_s': round(steady, 2), 'S0': round(float(S[0]), 4)}
+
+
 def main():
     import numpy as np
     import random
@@ -97,6 +131,8 @@ def main():
     cold, steady = bench_installation_test()
     scale = bench_scale()
     print(f'scale bench: {scale}', file=sys.stderr, flush=True)
+    gsa_scale = bench_scale_gsa()
+    print(f'scale GSA bench: {gsa_scale}', file=sys.stderr, flush=True)
     print(json.dumps({'metric': 'installation_test steady-state wall-clock',
                       'value': round(steady, 2), 'unit': 's',
                       'vs_baseline': round(BASELINE_SECONDS / steady, 3)}),

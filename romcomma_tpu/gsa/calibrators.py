@@ -112,7 +112,13 @@ class ClosedSobol(Calibrator):
 
     def _V(self, G: jnp.ndarray, Phi: jnp.ndarray) -> jnp.ndarray:
         """Conditional variance (L,L) for the current marginalization slice
-        (reference calibrators.py:60-80)."""
+        (reference calibrators.py:60-80). When the O(L^4 N^2) H tensor would
+        exceed the memory budget, the jJn axis is processed in chunks under a
+        lax.scan (same math, bounded memory) — the blocking strategy
+        SURVEY.md §7 hard-part 4 calls for."""
+        n_chunk = self._auto_n_chunk()
+        if n_chunk is not None:
+            return self._V_chunked(G, Phi, n_chunk)
         Gamma = 1 - Phi
         Psi = (jnp.expand_dims(jnp.expand_dims(Gamma, axis=2), axis=2)
                + Gamma[None, None, ...])
@@ -124,6 +130,56 @@ class ClosedSobol(Calibrator):
                      ordinate=G[..., None, None, None, :], is_variance_diagonal=True, LBunch=2)
         H = H / PhiGauss.expand_dims([-1, -2, -3])
         return jnp.einsum('lLN, lLNjJn, jJn -> lj', self.g0KY, H.pdf, self.g0KY)
+
+    #: elements of the H tensor above which _V switches to chunked evaluation
+    #: (2^28 f32 elements = 1 GiB).
+    V_MEMORY_BUDGET: int = 2 ** 28
+
+    def _auto_n_chunk(self) -> 'int | None':
+        """Chunk size for the jJn axis, or None to evaluate in one piece.
+        Settable explicitly via meta['n_chunk']; 0 forces unchunked."""
+        explicit = self.meta.get('n_chunk', None)
+        if explicit is not None:
+            return int(explicit) if explicit else None
+        lb = self.g0KY.shape[0] * self.g0KY.shape[1]        # l*L bunch size
+        h_elements = (lb * self.N) ** 2
+        if h_elements <= self.V_MEMORY_BUDGET:
+            return None
+        return max(128, self.V_MEMORY_BUDGET // (lb * lb * self.N))
+
+    def _V_chunked(self, G: jnp.ndarray, Phi: jnp.ndarray, chunk: int) -> jnp.ndarray:
+        """Identical math to _V, scanning the jJn axis in chunks of ``chunk``
+        so peak memory is O(L^4 N chunk) instead of O(L^4 N^2)."""
+        import jax
+        from jax import lax
+        l, L, N, Mslice = G.shape
+        Gamma = 1 - Phi
+        Psi = (jnp.expand_dims(jnp.expand_dims(Gamma, axis=2), axis=2)
+               + Gamma[None, None, ...])
+        Psi = Psi - jnp.einsum('lLM, jJM -> lLjJM', Gamma, Gamma)
+        PsiPhi = jnp.einsum('lLjJM, lLM -> lLjJM', Psi, Phi)
+        PhiGauss = Gaussian(mean=G, variance=Phi, is_variance_diagonal=True, LBunch=2)
+        nc = -(-N // chunk)
+        Npad = nc * chunk
+        Gp = jnp.pad(G, ((0, 0), (0, 0), (0, Npad - N), (0, 0)))
+        gp = jnp.pad(self.g0KY, ((0, 0), (0, 0), (0, Npad - N)))   # zero pad: no contribution
+        G_ch = jnp.moveaxis(Gp.reshape(l, L, nc, chunk, Mslice), 2, 0)   # (nc,l,L,c,M)
+        g_ch = jnp.moveaxis(gp.reshape(l, L, nc, chunk), 2, 0)           # (nc,l,L,c)
+        ordinate = G[..., None, None, None, :]
+        phi_div = PhiGauss.expand_dims([-1, -2, -3])
+
+        def body(acc, xs):
+            G_c, g_c = xs
+            PhiG = jnp.expand_dims(jnp.einsum('lLM, jJcM -> lLjJcM', Phi, G_c), axis=2)
+            H = Gaussian(mean=PhiG, variance=PsiPhi, ordinate=ordinate,
+                         is_variance_diagonal=True, LBunch=2)
+            H = H / phi_div
+            acc = acc + jnp.einsum('lLN, lLNjJc, jJc -> lj', self.g0KY, H.pdf, g_c)
+            return acc, None
+
+        V0 = jnp.zeros((l, l), dtype=G.dtype)
+        V, _ = lax.scan(body, V0, (G_ch, g_ch))
+        return V
 
     def _calibrate(self):
         """Pre-compute everything independent of the marginalization slice

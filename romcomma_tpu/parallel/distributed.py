@@ -482,6 +482,36 @@ class DistributedGP:
         var = jnp.maximum(s2 - jnp.sum(A * A, axis=0), 0.0) + noise
         return mean[:, 0], var
 
+    def sobol_indices(self, ls, s2, noise, x_dev, y_dev, X: np.ndarray,
+                      kind: str = 'first_order', n_chunk: int | None = None):
+        """Closed-form Sobol' indices of the trained distributed GP.
+
+        The plain (no-error) ClosedSobol needs only K^{-1}y from the posterior
+        (the Cholesky factor itself is used only by the error path), so the
+        distributed solves feed the standard calibrator directly; the O(N^2)
+        V-contraction runs n-chunked (gsa.calibrators._V_chunked). Returns a
+        dict {m: S_m} plus {'total_variance_index': S} for the slice family of
+        ``kind`` in ('first_order'|'closed'|'total').
+        """
+        from romcomma_tpu.gsa.calibrators import ClosedSobol
+        alpha_stored, _ = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
+        alpha = from_stored(self.plan, np.asarray(alpha_stored))       # (N,1)
+        N, M = self.plan.N, X.shape[1]
+        meta = {} if n_chunk is None else {'n_chunk': n_chunk}
+        cal = ClosedSobol.from_arrays(
+            F=jnp.asarray([[1.0]]) * s2, K_cho=jnp.zeros((1, 1, 1), alpha.dtype),
+            K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N)),
+            Lambda=jnp.asarray(ls)[None, :], X=jnp.asarray(np.asarray(X)),
+            is_F_diagonal=True, L=1, M=M, N=N, **meta)
+        slices = {'first_order': [(m, m + 1) for m in range(M)],
+                  'closed': [(0, m + 1) for m in range(M)],
+                  'total': [(m + 1, M) for m in range(M)]}[kind]
+        out = {m: np.asarray(cal.marginalize(s)['S'])[0, 0]
+               for m, s in enumerate(slices)}
+        if kind == 'total':
+            out = {m: float(np.asarray(cal.S)[0, 0] - v) for m, v in out.items()}
+        return out
+
     # -- calibration ---------------------------------------------------------- #
 
     def calibrate(self, X: np.ndarray, Y: np.ndarray, ls0, s2_0, noise0,

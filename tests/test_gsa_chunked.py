@@ -1,0 +1,106 @@
+"""Chunked _V (memory-bounded GSA) vs the one-shot contraction, and the
+scale composition: DistributedGP posterior -> closed Sobol indices."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from romcomma_tpu.models import gp
+from romcomma_tpu.models.params import variant_init, variant_constrain
+from romcomma_tpu.gsa.calibrators import ClosedSobol
+
+
+def _calibrator(n_chunk=None, N=90, M=4, L=2, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(N, M))
+    y = np.stack([np.sin(x[:, 0]) + x[:, 1], x[:, 2] ** 2], axis=-1)[:, :L]
+    y = y + 0.05 * rng.standard_normal((N, L))
+    raw = variant_init(np.full(L, 1.0), np.full((L, M), 1.2), np.full(L, 0.05))
+    K_cho, K_inv_Y = gp.posterior_factors_variant(raw, jnp.asarray(x), jnp.asarray(y))
+    c = variant_constrain(raw)
+    meta = {} if n_chunk is None else {'n_chunk': n_chunk}
+    return ClosedSobol.from_arrays(
+        F=c['variance'][None, :], K_cho=K_cho, K_inv_Y=K_inv_Y,
+        Lambda=c['lengthscales'], X=jnp.asarray(x),
+        is_F_diagonal=True, L=L, M=M, N=N, **meta)
+
+
+def test_chunked_V_matches_full():
+    full = _calibrator(n_chunk=0)
+    for chunk in (16, 32, 90, 128):     # incl. no-pad and bigger-than-N
+        chunked = _calibrator(n_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(chunked.S), np.asarray(full.S),
+                                   rtol=1e-10, atol=1e-12)
+        got = chunked.marginalize((0, 2))['S']
+        want = full.marginalize((0, 2))['S']
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_auto_chunk_threshold():
+    cal = _calibrator(n_chunk=0)
+    assert cal._auto_n_chunk() is None          # explicit 0 disables
+    cal.meta = {}
+    assert cal._auto_n_chunk() is None          # small problem: unchunked
+    cal.meta = {'n_chunk': 64}
+    assert cal._auto_n_chunk() == 64
+
+
+def test_distributed_posterior_feeds_sobol():
+    """Sobol' indices computed from the DistributedGP's K^-1 y match the
+    single-device calibrator — the N-at-scale GSA composition."""
+    import jax
+    from romcomma_tpu.parallel import distributed as dist
+
+    rng = np.random.default_rng(3)
+    N, M, L = 140, 3, 1
+    x = rng.normal(size=(N, M))
+    y = np.sin(x[:, :1]) + 0.05 * rng.standard_normal((N, 1))
+    ls = jnp.asarray([1.0, 1.3, 0.8])
+    s2, noise = jnp.asarray(1.5), jnp.asarray(0.05)
+
+    dgp = dist.DistributedGP(N, dist.make_n_mesh(), block=16)
+    x_dev, y_dev = dgp.stage(x, y)
+    alpha_stored, _ = dgp.posterior_alpha(ls, s2, noise, x_dev, y_dev)
+    alpha = dist.from_stored(dgp.plan, np.asarray(alpha_stored))     # (N,1)
+
+    cal_dist = ClosedSobol.from_arrays(
+        F=jnp.asarray([[float(s2)]]), K_cho=jnp.zeros((L, 1, 1)),
+        K_inv_Y=jnp.asarray(alpha.T[None, :, :].reshape(L, 1, N)),
+        Lambda=ls[None, :], X=jnp.asarray(x), is_F_diagonal=True, L=L, M=M, N=N)
+
+    raw = variant_init(np.asarray([float(s2)]), np.asarray(ls)[None, :],
+                       np.asarray([float(noise)]))
+    K_cho, K_inv_Y = gp.posterior_factors_variant(raw, jnp.asarray(x), jnp.asarray(y))
+    cal_ref = ClosedSobol.from_arrays(
+        F=jnp.asarray([[float(s2)]]), K_cho=K_cho, K_inv_Y=K_inv_Y,
+        Lambda=ls[None, :], X=jnp.asarray(x), is_F_diagonal=True, L=L, M=M, N=N)
+
+    np.testing.assert_allclose(np.asarray(cal_dist.S), np.asarray(cal_ref.S),
+                               rtol=1e-8)
+    got = cal_dist.marginalize((0, 1))['S']
+    want = cal_ref.marginalize((0, 1))['S']
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-8)
+
+
+def test_distributed_sobol_indices_method():
+    import jax.numpy as jnp
+    from romcomma_tpu.parallel import distributed as dist
+    rng = np.random.default_rng(5)
+    N, M = 100, 3
+    x = rng.normal(size=(N, M))
+    y = np.sin(x[:, :1]) + 0.05 * rng.standard_normal((N, 1))
+    dgp = dist.DistributedGP(N, dist.make_n_mesh(), block=16)
+    x_dev, y_dev = dgp.stage(x, y)
+    ls = jnp.asarray([1.0, 1.0, 1.0])
+    out = dgp.sobol_indices(ls, jnp.asarray(1.0), jnp.asarray(0.05),
+                            x_dev, y_dev, x, kind='first_order')
+    assert set(out) == {0, 1, 2}
+    # x0 drives the function: its first-order index dominates
+    assert out[0] > out[1] and out[0] > out[2]
+    tot = dgp.sobol_indices(ls, jnp.asarray(1.0), jnp.asarray(0.05),
+                            x_dev, y_dev, x, kind='total')
+    # TOTAL is group-cumulative in the reference's slice convention
+    # (gsa/models.py:77-90): the total index of {0..m} is non-decreasing in m.
+    assert tot[0] <= tot[1] + 1e-9 <= tot[2] + 2e-9
+    assert tot[0] > 0.9        # x0 drives the function
