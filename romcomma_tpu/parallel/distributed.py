@@ -51,9 +51,20 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:
-    from jax import shard_map as _shard_map          # jax >= 0.6 style
+    from jax import shard_map as _shard_map_raw      # jax >= 0.6 style
 except ImportError:                                   # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_raw
+
+
+def _shard_map(*args, **kwargs):
+    """shard_map with varying-manual-axes checking off: the Pallas gram tile
+    kernel runs inside these shard_maps and pallas_call cannot declare its
+    output vma; correctness of the collectives is covered by the
+    single-device oracle tests instead."""
+    try:
+        return _shard_map_raw(*args, check_vma=False, **kwargs)
+    except TypeError:                                  # older jax: no kwarg
+        return _shard_map_raw(*args, **kwargs)
 
 
 def _i32(*vals):
