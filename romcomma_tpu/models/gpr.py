@@ -129,6 +129,7 @@ class GPR(Model):
     def broadcast_parameters(self, is_covariant: bool, is_isotropic: bool) -> 'GPR':
         """Grow parameters to the requested covariance/anisotropy
         (reference gpr/models.py:274-288)."""
+        self._posterior_cache = None
         target_shape = (self._L, self._L) if is_covariant else (1, self._L)
         self._likelihood.data.variance.broadcast_value(target_shape=target_shape, is_diagonal=True)
         self._kernel.broadcast_parameters(variance_shape=target_shape,
@@ -174,12 +175,18 @@ class GPR(Model):
 
     @property
     def posterior_factors(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """One Cholesky: (K_cho, K_inv_Y) together."""
-        if self.is_covariant:
-            return gp.posterior_factors_covariant(self._covariant_raw(),
-                                                  jnp.asarray(self._X), jnp.asarray(self._Y))
-        return gp.posterior_factors_variant(self._variant_raw(),
-                                            jnp.asarray(self._X), jnp.asarray(self._Y))
+        """One Cholesky: (K_cho, K_inv_Y) together. Cached per instance —
+        run.gsa asks once per GSA kind (reference recomputes each time,
+        calibrators.py:126-127); the cache is invalidated whenever the
+        parameters change (calibrate / broadcast)."""
+        if getattr(self, '_posterior_cache', None) is None:
+            if self.is_covariant:
+                self._posterior_cache = gp.posterior_factors_covariant(
+                    self._covariant_raw(), jnp.asarray(self._X), jnp.asarray(self._Y))
+            else:
+                self._posterior_cache = gp.posterior_factors_variant(
+                    self._variant_raw(), jnp.asarray(self._X), jnp.asarray(self._Y))
+        return self._posterior_cache
 
     @property
     def K_cho(self) -> jnp.ndarray:
@@ -284,6 +291,7 @@ class MOGP(GPR):
     def calibrate(self, method: str = 'L-BFGS-B', **kwargs) -> Dict[str, Any]:
         """Maximize the LML on-device; write optimized parameters back to the
         kernel/likelihood CSV frames (reference gpr/models.py:345-373)."""
+        self._posterior_cache = None
         meta = self.read_meta() if self._meta_json.exists() else dict(self.META)
         kernel_options = self._kernel.calibrate(**(meta.pop('kernel', {}) | kwargs.pop('kernel', {})))
         likelihood_options = self._likelihood.calibrate(**(meta.pop('likelihood', {}) | kwargs.pop('likelihood', {})))
