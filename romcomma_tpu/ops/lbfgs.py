@@ -84,3 +84,53 @@ def minimize(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
     final = jax.lax.while_loop(cond, body, carry0)
     return MinimizeResult(final.params, final.value, final.grad_norm,
                           final.it, final.done)
+
+
+def minimize_host(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
+                  ftol: float = SCIPY_FTOL, memory_size: int = 30,
+                  callback: Callable | None = None) -> MinimizeResult:
+    """Host-paced variant of :func:`minimize`: the same optax L-BFGS with zoom
+    linesearch and stopping rules, but each iteration is its own jitted
+    dispatch driven from Python.
+
+    Use for very large problems: the fused whole-descent program keeps one
+    device execution alive for minutes (tunnelled runtimes kill it) and its
+    compile grows with the problem; the per-step program stays small and each
+    dispatch is bounded by one iteration. ``callback(it, value, gnorm)`` gives
+    progress observability the fused loop cannot.
+    """
+    opt = optax.lbfgs(memory_size=memory_size)
+    value_and_grad = optax.value_and_grad_from_state(fun)
+
+    @jax.jit
+    def step(params, state):
+        value, grad = value_and_grad(params, state=state)
+        updates, state = opt.update(grad, state, params, value=value,
+                                    grad=grad, value_fn=fun)
+        new_params = optax.apply_updates(params, updates)
+        new_value = optax.tree.get(state, 'value')
+        gnorm = _tree_inf_norm(optax.tree.get(state, 'grad'))
+        return new_params, state, value, new_value, gnorm
+
+    state = opt.init(params)
+    import numpy as np
+    value = gnorm = np.inf
+    it = 0
+    converged = False
+    for it in range(1, maxiter + 1):
+        new_params, state, value, new_value, gnorm = step(params, state)
+        value, new_value, gnorm = jax.device_get((value, new_value, gnorm))
+        if not np.isfinite(new_value):        # linesearch failure: keep params
+            converged = True
+            new_value = value
+            break
+        params = new_params
+        rel_decrease = (value - new_value) / max(abs(value), abs(new_value), 1.0)
+        value = new_value
+        if callback is not None:
+            callback(it, float(value), float(gnorm))
+        if gnorm <= gtol or rel_decrease <= ftol:
+            converged = True
+            break
+    return MinimizeResult(params, jnp.asarray(value), jnp.asarray(gnorm),
+                          jnp.asarray(it), jnp.asarray(converged))

@@ -526,9 +526,12 @@ class DistributedGP:
     # -- calibration ---------------------------------------------------------- #
 
     def calibrate(self, X: np.ndarray, Y: np.ndarray, ls0, s2_0, noise0,
-                  maxiter: int = 5000, gtol: float = 1e-16):
-        """On-device L-BFGS maximization of the distributed LML. Returns
-        (ls, s2, noise), final LML, iterations."""
+                  maxiter: int = 5000, gtol: float = 1e-16,
+                  callback=None):
+        """L-BFGS maximization of the distributed LML, host-paced: each
+        iteration is one bounded device dispatch (a fused whole-descent
+        program at N>=20k exceeds tunnelled-runtime execution limits and
+        compiles slowly). Returns (ls, s2, noise), final LML, iterations."""
         from romcomma_tpu.ops import lbfgs
         from romcomma_tpu.ops.transforms import positive, positive_inverse
         from romcomma_tpu.models.params import NOISE_LOWER_BOUND
@@ -545,7 +548,8 @@ class DistributedGP:
             return -self._lml(positive(rls, 0.0), positive(rs2, 0.0),
                               positive(rnoise, NOISE_LOWER_BOUND), x_dev, y_dev)
 
-        res = lbfgs.minimize(objective, raw0, maxiter=maxiter, gtol=gtol)
+        res = lbfgs.minimize_host(objective, raw0, maxiter=maxiter, gtol=gtol,
+                                  callback=callback)
         rls, rs2, rnoise = res.params
         return ((positive(rls, 0.0), positive(rs2, 0.0),
                  positive(rnoise, NOISE_LOWER_BOUND)),
