@@ -318,9 +318,17 @@ class MOGP(GPR):
             mask = variant_mask(kernel_variance=kernel_options['variance'],
                                 lengthscales=kernel_options['lengthscales']['variant'],
                                 noise=likelihood_options['variance'])
-            raw_opt, lml, iters = gp.calibrate_variant(self._variant_raw(), mask, x, y,
-                                                       maxiter=maxiter, gtol=gtol)
-            c, lml, iters = jax.device_get((variant_constrain(raw_opt), lml, iters))
+            all_trainable = all(float(v) == 1.0 for v in mask)
+            if self._N >= int(meta.get('large_n_threshold', self.LARGE_N_THRESHOLD)) and all_trainable:
+                # The fused whole-descent program exceeds compiler/runtime
+                # limits at large N; route through the blocked distributed
+                # engine with host-paced L-BFGS (docs/scaling.md).
+                c, lml, iters = self._calibrate_variant_large(
+                    maxiter, gtol, block=int(meta.get('distributed_block', 256)))
+            else:
+                raw_opt, lml, iters = gp.calibrate_variant(self._variant_raw(), mask, x, y,
+                                                           maxiter=maxiter, gtol=gtol)
+                c, lml, iters = jax.device_get((variant_constrain(raw_opt), lml, iters))
             self._likelihood.data.replace(variance=c['noise'][None, :],
                                           log_marginal=np.asarray(lml)[None, :])
             self._kernel.data.replace(variance=c['variance'][None, :],
@@ -330,6 +338,35 @@ class MOGP(GPR):
         meta.update({'result': result, 'kernel': kernel_options, 'likelihood': likelihood_options})
         self.write_meta(meta)
         return meta
+
+    #: N at/above which variant calibration switches to the blocked
+    #: distributed engine (1-device mesh when unsharded). Overridable per
+    #: model via meta['large_n_threshold'].
+    LARGE_N_THRESHOLD: int = 10000
+
+    def _calibrate_variant_large(self, maxiter: int, gtol: float, block: int = 256):
+        """Per-output calibration through parallel.distributed.DistributedGP
+        (same constrained transforms and stopping rules; host-paced steps)."""
+        from romcomma_tpu.parallel import distributed as dist
+        dgp = dist.DistributedGP(self._N, dist.make_n_mesh(), block=block)
+        variance = np.asarray(self._kernel.data.variance.np[0], dtype=FLOAT())
+        lengthscales = np.broadcast_to(
+            np.asarray(self._kernel.data.lengthscales.np, dtype=FLOAT()),
+            (self._L, self._M))
+        noise = np.asarray(self._likelihood.data.variance.np[0], dtype=FLOAT())
+        out_ls, out_s2, out_noise, out_lml, out_iters = [], [], [], [], []
+        for l in range(self._L):
+            (ls_l, s2_l, nz_l), lml_l, iters_l = dgp.calibrate(
+                self._X, self._Y[:, l:l + 1], lengthscales[l], variance[l],
+                noise[l], maxiter=maxiter, gtol=gtol)
+            out_ls.append(np.asarray(ls_l))
+            out_s2.append(float(s2_l))
+            out_noise.append(float(nz_l))
+            out_lml.append(float(lml_l))
+            out_iters.append(int(iters_l))
+        c = {'variance': np.asarray(out_s2), 'lengthscales': np.stack(out_ls),
+             'noise': np.asarray(out_noise)}
+        return c, np.asarray(out_lml), out_iters
 
     def predict_gradient(self, x: np.ndarray, y_instead_of_f: bool = True
                          ) -> Tuple[np.ndarray, np.ndarray]:

@@ -98,3 +98,27 @@ def test_covariant_roundtrip(tmp_root):
     assert np.all(sd > 0)
     resid = gp2.check_K_inv_Y(gp2.X[:8])
     assert np.all(resid < 1e-6)
+
+
+def test_large_n_route_matches_fused(tmp_path):
+    """Variant calibration routed through the distributed engine (threshold
+    forced low) converges to the same hyperparameters as the fused path."""
+    import numpy as np
+    from romcomma_tpu import user
+    from romcomma_tpu.models.gpr import MOGP
+    from romcomma_tpu.data.storage import Fold
+
+    noise = user.sample.GaussianNoise.Variance(1, 0.1, False, True)
+    repo = user.sample.Function(tmp_path, user.sample.DOE.latin_hypercube,
+                                user.functions.ISHIGAMI.subVector('i1', ['standard']),
+                                64, 3, noise, None, True).repo.into_K_folds(-1)
+    fold = Fold(repo, 0)
+    gp_fused = MOGP('fused', fold, is_read=False, is_covariant=False, is_isotropic=False)
+    gp_fused.calibrate(maxiter=60)
+    gp_large = MOGP('large', fold, is_read=False, is_covariant=False, is_isotropic=False)
+    gp_large.calibrate(maxiter=60, large_n_threshold=1, distributed_block=8)
+    lml_fused = float(gp_fused.likelihood.data.log_marginal.np[0, 0])
+    lml_large = float(gp_large.likelihood.data.log_marginal.np[0, 0])
+    assert abs(lml_fused - lml_large) < max(0.02 * abs(lml_fused), 0.5)
+    np.testing.assert_allclose(gp_large.kernel.data.lengthscales.np,
+                               gp_fused.kernel.data.lengthscales.np, rtol=0.3, atol=0.3)
