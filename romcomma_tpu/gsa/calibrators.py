@@ -199,9 +199,27 @@ class ClosedSobol(Calibrator):
         self.V |= {2: jnp.einsum('l, i -> li', V, V)}
         self.S = self.V[0] / self.V[2]
 
+    #: padding value for masked dims in width-padded slices: contributes
+    #: exponent 0 and cho_diag ratio sqrt(2g-g^2)->1 with g=1-PAD_PHI.
+    PAD_PHI: float = 1e-20
+
+    def _padded_slice(self, m: Tuple[int, int]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Slice [m0:m1] of (G, Phi), zero/PAD_PHI-padded back to width M so
+        every slice of every kind shares ONE compiled shape (the closed/total
+        kinds otherwise compile M distinct widths — minutes of XLA time at
+        large N). Padded dims are exactly neutral in the Gaussian-ratio
+        algebra: G=0 gives zero exponent, Phi=PAD_PHI gives a unit
+        determinant-ratio factor."""
+        width = m[1] - m[0]
+        pad = self.M - width
+        G = jnp.pad(self.G[..., m[0]:m[1]], ((0, 0), (0, 0), (0, 0), (0, pad)))
+        Phi = jnp.pad(self.Phi[..., m[0]:m[1]], ((0, 0), (0, 0), (0, pad)),
+                      constant_values=self.PAD_PHI)
+        return G, Phi
+
     def marginalize(self, m: Tuple[int, int]) -> Dict[str, jnp.ndarray]:
         """Sobol' V and S of the slice [m[0]:m[1]] (calibrators.py:49-58)."""
-        G, Phi = self.G[..., m[0]:m[1]], self.Phi[..., m[0]:m[1]]
+        G, Phi = self._padded_slice(m)
         result = {'V': self._V(G, Phi)}
         result['S'] = result['V'] / self.V[2]
         return result

@@ -440,22 +440,30 @@ class DistributedGP:
 
         row_shard = _row_sharding(mesh)
 
+        # Identity-column chunk width for building K^{-1}: wider chunks mean
+        # fewer sequential block-substitution sweeps (each sweep is NB steps),
+        # at the cost of one replicated (Npad, cols) buffer.
+        kinv_cols = min(Npad, max(B, 2048))
+        n_kinv_chunks = -(-Npad // kinv_cols)
+
         @functools.partial(jax.jit, out_shardings=row_shard)
         def kinv_all(L):
-            """K^{-1} built B identity columns at a time; accumulated into a
-            row-sharded (Npad, Npad) slab so no device ever holds more than
-            its slab plus one replicated (Npad, B) chunk."""
+            """K^{-1} built ``kinv_cols`` identity columns at a time;
+            accumulated into a row-sharded (Npad, Npad) slab so no device
+            holds more than its slab plus one replicated chunk. The final
+            chunk overlaps backwards rather than shrinking (identical values
+            are simply rewritten) to keep one compiled shape."""
             def body(t, Kinv):
-                col0 = t * B
+                col0 = jnp.minimum(t * kinv_cols, Npad - kinv_cols).astype(jnp.int32)
                 cols = (jnp.arange(Npad, dtype=jnp.int32)[:, None]
-                        == col0 + jnp.arange(B, dtype=jnp.int32)[None, :]
+                        == col0 + jnp.arange(kinv_cols, dtype=jnp.int32)[None, :]
                         ).astype(L.dtype)
-                chunk = bwd(L, fwd(L, cols))              # (Npad, B) replicated
+                chunk = bwd(L, fwd(L, cols))         # (Npad, kinv_cols) replicated
                 return lax.dynamic_update_slice(Kinv, chunk, _i32(0, col0))
 
             Kinv0 = lax.with_sharding_constraint(
                 jnp.zeros((Npad, Npad), dtype=L.dtype), row_shard)
-            return lax.fori_loop(0, NB, body, Kinv0)
+            return lax.fori_loop(0, n_kinv_chunks, body, Kinv0)
 
         def lml_bwd(res, gbar):
             ls, s2, noise, x, K, L, alpha = res
