@@ -87,6 +87,14 @@ def gpr(name: str, repo: Repository, is_read: Optional[bool], is_covariant: Opti
     return [full_name]
 
 
+def rom(name: str, repo: Repository, m: int = 1, **kwargs) -> List[Dict[str, Any]]:
+    """Undertake ROM (iterative input-basis rotation) across the Folds of a
+    Repository. Thin orchestration wrapper over rom.rom.run_rom — the
+    reference has no working equivalent (its ROM is dormant, rom/old.py)."""
+    from romcomma_tpu.rom.rom import run_rom
+    return run_rom(name, repo, m=m, **kwargs)
+
+
 def gsa(name: str, repo: Repository, is_covariant: Optional[bool], is_isotropic: Optional[bool],
         kinds: 'GSA.Kind | Sequence[GSA.Kind]' = None, m: int = -1,
         ignore_exceptions: bool = False, is_error_calculated: bool = False, **kwargs) -> List[Path]:
