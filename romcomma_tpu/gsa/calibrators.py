@@ -137,15 +137,21 @@ class ClosedSobol(Calibrator):
 
     def _auto_n_chunk(self) -> 'int | None':
         """Chunk size for the jJn axis, or None to evaluate in one piece.
-        Settable explicitly via meta['n_chunk']; 0 forces unchunked."""
+        Settable explicitly via meta['n_chunk']; 0 forces unchunked.
+
+        The budget must count the trailing M axis: evaluated eagerly, the
+        Gaussian exponent materializes an O(L^4 N^2 M) difference tensor
+        before its M-reduction (inside the chunked lax.scan the whole chain
+        compiles as one program and XLA fuses that axis away, but the
+        unchunked path runs op-by-op)."""
         explicit = self.meta.get('n_chunk', None)
         if explicit is not None:
             return int(explicit) if explicit else None
         lb = self.g0KY.shape[0] * self.g0KY.shape[1]        # l*L bunch size
-        h_elements = (lb * self.N) ** 2
+        h_elements = (lb * self.N) ** 2 * (self.M + 1)
         if h_elements <= self.V_MEMORY_BUDGET:
             return None
-        return max(128, self.V_MEMORY_BUDGET // (lb * lb * self.N))
+        return max(128, self.V_MEMORY_BUDGET // (lb * lb * self.N * (self.M + 1)))
 
     def _V_chunked(self, G: jnp.ndarray, Phi: jnp.ndarray, chunk: int) -> jnp.ndarray:
         """Identical math to _V, scanning the jJn axis in chunks of ``chunk``
