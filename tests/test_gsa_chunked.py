@@ -104,3 +104,31 @@ def test_distributed_sobol_indices_method():
     # (gsa/models.py:77-90): the total index of {0..m} is non-decreasing in m.
     assert tot[0] <= tot[1] + 1e-9 <= tot[2] + 2e-9
     assert tot[0] > 0.9        # x0 drives the function
+
+
+def test_first_order_indices_permute_with_inputs():
+    """Permuting input columns (and the matching lengthscales) permutes the
+    per-input first-order indices — a structural invariant of the math."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    N, M, L = 80, 4, 1
+    x = rng.normal(size=(N, M))
+    y = (np.sin(x[:, :1]) + 0.3 * x[:, 1:2] ** 2 + 0.05 * rng.normal(size=(N, 1)))
+    ls = np.array([0.7, 1.1, 1.6, 2.2])
+    perm = [2, 0, 3, 1]
+
+    def first_order(xp, lsp):
+        raw = variant_init(np.ones(L), lsp[None, :], np.full(L, 0.05))
+        K_cho, K_inv_Y = gp.posterior_factors_variant(raw, jnp.asarray(xp),
+                                                      jnp.asarray(y))
+        c = variant_constrain(raw)
+        cal = ClosedSobol.from_arrays(F=c['variance'][None, :], K_cho=K_cho,
+                                      K_inv_Y=K_inv_Y, Lambda=c['lengthscales'],
+                                      X=jnp.asarray(xp), is_F_diagonal=True,
+                                      L=L, M=M, N=N)
+        return np.array([float(np.asarray(cal.marginalize((m, m + 1))['S'])[0, 0])
+                         for m in range(M)])
+
+    base = first_order(x, ls)
+    permuted = first_order(x[:, perm], ls[perm])
+    np.testing.assert_allclose(permuted, base[perm], rtol=1e-8, atol=1e-10)
