@@ -103,3 +103,35 @@ def test_single_m_gsa(trained_repo):
     meta = Sobol(gp, GSA.Kind.CLOSED, m=1, is_error_calculated=False).calibrate()
     S = pd.read_csv(fold.folder / 'gpr.v.a' / 'gsa' / 'closed.1' / 'S.csv')
     assert list(S.columns[2:]) == ['1', '3']  # m column then M column
+
+
+def test_covariant_gsa_close_to_variant(trained_repo):
+    """ClosedSobol with a full (L,L) signal covariance (is_F_diagonal=False):
+    runs end-to-end, and since the trained covariant GP starts from the
+    variant solution, its closed indices stay in [0..1]-ish and finite
+    (reference parity: the error path refuses non-diagonal F; the plain path
+    supports it, calibrators.py:94-98)."""
+    repo = trained_repo
+    run.gpr('gpr', repo, is_read=None, is_covariant=True, is_isotropic=False,
+            ignore_exceptions=False, maxiter=40)
+    run.gsa('gpr', repo, is_covariant=True, is_isotropic=False,
+            is_error_calculated=False, ignore_exceptions=False)
+    df = pd.read_csv(repo.fold_folder(0) / 'gpr.c.a' / 'gsa' / 'closed' / 'S.csv')
+    S = df.iloc[:, 2:].to_numpy(dtype=float)
+    assert np.all(np.isfinite(S))
+    # diagonal (per-output) closed indices end at 1 by construction
+    d = df[df['l.0'] == df['l.1']]
+    np.testing.assert_allclose(d.iloc[:, -1].to_numpy(dtype=float), 1.0, atol=1e-4)
+
+
+def test_covariant_gsa_error_path_refuses_nondiagonal(trained_repo):
+    """Reference parity: ClosedSobolWithError raises for non-diagonal F
+    (calibrators.py:380-381). Note the default covariant META leaves kernel
+    covariance untrained, so F is *inferred* diagonal (calibrators.py:129-132)
+    and no error fires — exactly like the reference; forcing is_F_diagonal
+    False must raise."""
+    repo = trained_repo
+    with pytest.raises(NotImplementedError):
+        run.gsa('gpr', repo, is_covariant=True, is_isotropic=False,
+                is_error_calculated=True, ignore_exceptions=False,
+                is_F_diagonal=False)
