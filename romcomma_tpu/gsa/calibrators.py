@@ -464,15 +464,30 @@ _MARGINALIZE_ALL_CACHE: Dict[Any, Any] = {}
 def marginalize_all(gp: GPR, slices: Tuple[Tuple[int, int], ...],
                     is_error_calculated: bool, **meta):
     """Run a whole GSA kind — calibrator construction plus every m-slice
-    marginalization — as ONE jitted XLA computation.
-
-    The reference drives each slice through a Python/TF loop of eager ops
-    (gsa/models.py:124-134); on TPU that is hundreds of small dispatches.
-    Here the full einsum chain for all slices fuses into a single program,
-    compiled once per (kind, shape) signature.
+    marginalization — as ONE jitted XLA computation. See
+    :func:`marginalize_all_kinds`, of which this is the single-kind case.
 
     Returns (results, extras): results[key] has the slice axis last;
     extras = {'V0','S'[,'T']} — the quantities _post_calibrate needs.
+    """
+    by_kind, extras = marginalize_all_kinds(gp, {'_only': tuple(slices)},
+                                            is_error_calculated, **meta)
+    return by_kind['_only'], extras
+
+
+def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int], ...]]',
+                          is_error_calculated: bool, **meta):
+    """Run EVERY requested GSA kind — one calibrator precompute plus all
+    m-slice marginalizations of all kinds — as ONE jitted XLA computation.
+
+    The reference drives each slice through a Python/TF loop of eager ops
+    (gsa/models.py:124-134) and rebuilds the calibrator per kind; on TPU that
+    is hundreds of small dispatches and three redundant posterior setups.
+    Here the calibrator precompute is shared and the full einsum chain for
+    all kinds fuses into a single program, compiled once per shape signature
+    (slices are width-padded, so all kinds share inner shapes).
+
+    Returns ({kind: results}, extras).
     """
     cls = ClosedSobolWithError if is_error_calculated else ClosedSobol
     meta = {k: v for k, v in meta.items() if k not in ('folder', 'm', 'M')}
@@ -482,8 +497,9 @@ def marginalize_all(gp: GPR, slices: Tuple[Tuple[int, int], ...],
         is_F_diagonal = not gp_options.pop('kernel', {}).pop('covariance', False)
     arrays = ClosedSobol.gather_arrays(gp)
     shapes = tuple((k, v.shape, str(v.dtype)) for k, v in sorted(arrays.items()))
-    key = (cls.__name__, tuple(slices), bool(is_F_diagonal), gp.L, gp.M, gp.N,
-           tuple(sorted(meta.items())), shapes)
+    kind_slices = {k: tuple(v) for k, v in kind_slices.items()}
+    key = (cls.__name__, tuple(sorted(kind_slices.items())), bool(is_F_diagonal),
+           gp.L, gp.M, gp.N, tuple(sorted(meta.items())), shapes)
 
     if key not in _MARGINALIZE_ALL_CACHE:
         import jax
@@ -492,12 +508,15 @@ def marginalize_all(gp: GPR, slices: Tuple[Tuple[int, int], ...],
             cal = cls.from_arrays(F, K_cho, K_inv_Y, Lambda, X,
                                   is_F_diagonal=is_F_diagonal,
                                   L=gp.L, M=gp.M, N=gp.N, **meta)
-            outs = [cal.marginalize(s) for s in slices]
-            results = {k: jnp.stack([o[k] for o in outs], axis=-1) for k in outs[0]}
+            by_kind = {}
+            for kind, slices in kind_slices.items():
+                outs = [cal.marginalize(s) for s in slices]
+                by_kind[kind] = {k: jnp.stack([o[k] for o in outs], axis=-1)
+                                 for k in outs[0]}
             extras = {'V0': cal.V[0], 'S': cal.S}
             if is_error_calculated and not cal.meta['is_T_partial']:
                 extras['T'] = cal.T
-            return results, extras
+            return by_kind, extras
 
         _MARGINALIZE_ALL_CACHE[key] = jax.jit(_run)
     return _MARGINALIZE_ALL_CACHE[key](**arrays)

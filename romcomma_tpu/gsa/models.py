@@ -98,13 +98,20 @@ class GSA(Model):
                                   index=GSA._index(shape))
                 df.to_csv(self._folder / f'{key}.csv', float_format='%.6f')
 
-    def calibrate(self, method: str = None, **kwargs) -> Dict[str, Any]:
+    def calibrate(self, method: str = None, precomputed=None, **kwargs) -> Dict[str, Any]:
         """Marginalize every m-slice, concat along a new last axis,
         post-process, save (reference gsa/models.py:117-137). The whole kind
-        runs as one jitted XLA computation (calibrators.marginalize_all)."""
-        from romcomma_tpu.gsa.calibrators import marginalize_all
-        results, extras = marginalize_all(self.gp, tuple(self._m_dataset),
-                                          self.is_error_calculated, **self.meta)
+        runs as one jitted XLA computation (calibrators.marginalize_all);
+        ``precomputed=(results, extras)`` skips it — run.gsa batches all
+        kinds through calibrators.marginalize_all_kinds and feeds each Sobol
+        its share."""
+        if precomputed is None:
+            from romcomma_tpu.gsa.calibrators import marginalize_all
+            results, extras = marginalize_all(self.gp, tuple(self._m_dataset),
+                                              self.is_error_calculated, **self.meta)
+        else:
+            results, extras = precomputed
+            results = dict(results)
         results = self._post_calibrate(extras, results)
         import jax
         results = jax.device_get(results)    # ONE host transfer for all keys

@@ -63,7 +63,10 @@ class Collect:
     def from_folds(self, dst: Repository, is_existing_deleted=False, **kwargs: Any) -> 'Collect':
         if isinstance(dst, Fold):
             raise NotADirectoryError('dst is a Fold, which cannot contain other Folds.')
-        folds = tuple(Fold(dst, k) for k in dst.folds)
+        # meta.json is all that's needed (k, N): skip the data/test/
+        # normalization CSV reads a full Fold construction would pay.
+        folds = tuple(Fold(dst, k, init_mode=Repository.InitMode.READ_META_ONLY)
+                      for k in dst.folds)
         for sub_folder, extra_columns in self.folders.items():
             folders = {fold.folder / sub_folder: {'fold': fold.meta['k'], 'N': fold.N} | extra_columns
                        for fold in folds}

@@ -129,10 +129,18 @@ def gsa(name: str, repo: Repository, is_covariant: Optional[bool], is_isotropic:
     with contexts.Timer(f'fold.{repo.meta["k"]} {full_name} GSA'):
         names = []
         try:
+            from romcomma_tpu.gsa.calibrators import marginalize_all_kinds
             gp = MOGP(full_name, repo, is_read=True, is_covariant=is_covariant,
                       is_isotropic=is_isotropic)
-            for kind in kinds:
-                folder = Sobol(gp, kind, m, is_error_calculated, **kwargs).calibrate().get('folder')
+            sobols = [Sobol(gp, kind, m, is_error_calculated, **kwargs) for kind in kinds]
+            # One jitted computation covers every kind (shared calibrator
+            # precompute); each Sobol then post-processes and saves its share.
+            kind_slices = {s.kind.name: tuple(s._m_dataset) for s in sobols}
+            by_kind, extras = marginalize_all_kinds(gp, kind_slices,
+                                                    is_error_calculated,
+                                                    **sobols[0].meta)
+            for s in sobols:
+                folder = s.calibrate(precomputed=(by_kind[s.kind.name], extras)).get('folder')
                 names += [Path(folder).relative_to(repo.folder)]
         except BaseException as exception:
             if not ignore_exceptions:
