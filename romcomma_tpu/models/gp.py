@@ -57,10 +57,8 @@ def lml_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarr
     return jax.vmap(lml_single, in_axes=(VariantParams(0, 0, 0), None, 1))(raw, x, y)
 
 
-@partial(jax.jit, static_argnames=('maxiter',))
-def calibrate_variant(raw: VariantParams, mask: VariantParams, x: jnp.ndarray,
-                      y: jnp.ndarray, maxiter: int = 5000, gtol: float = 1e-16,
-                      ftol: float = lbfgs.SCIPY_FTOL):
+def _calibrate_variant_core(raw: VariantParams, mask: VariantParams, x: jnp.ndarray,
+                            y: jnp.ndarray, maxiter: int, gtol: float, ftol: float):
     """L independent on-device L-BFGS maximizations of the per-output LML.
 
     mask leaves are 0/1 floats switching trainability per the reference META
@@ -82,6 +80,29 @@ def calibrate_variant(raw: VariantParams, mask: VariantParams, x: jnp.ndarray,
     return jax.vmap(one, in_axes=(VariantParams(0, 0, 0), 1))(raw, y)
 
 
+@partial(jax.jit, static_argnames=('maxiter',))
+def calibrate_variant(raw: VariantParams, mask: VariantParams, x: jnp.ndarray,
+                      y: jnp.ndarray, maxiter: int = 5000, gtol: float = 1e-16,
+                      ftol: float = lbfgs.SCIPY_FTOL):
+    """One fold's variant calibration (see _calibrate_variant_core)."""
+    return _calibrate_variant_core(raw, mask, x, y, maxiter, gtol, ftol)
+
+
+@partial(jax.jit, static_argnames=('maxiter',))
+def calibrate_variant_folds(raws: VariantParams, mask: VariantParams,
+                            xs: jnp.ndarray, ys: jnp.ndarray,
+                            maxiter: int = 5000, gtol: float = 1e-16,
+                            ftol: float = lbfgs.SCIPY_FTOL):
+    """K same-shape folds calibrated as ONE batched computation — the latent
+    fold axis the reference loops in Python (user/run.py:60-61; SURVEY §2.4
+    'embarrassing parallelism, unexploited'). raw leaves are stacked on a
+    leading fold axis; xs (K,N,M); ys (K,N,L). Returns per-fold stacked
+    (raw_opt, lml (K,L), iters (K,L))."""
+    return jax.vmap(
+        lambda r, x, y: _calibrate_variant_core(r, mask, x, y, maxiter, gtol, ftol),
+        in_axes=(VariantParams(0, 0, 0), 0, 0))(raws, xs, ys)
+
+
 @partial(jax.jit, static_argnames=('y_instead_of_f',))
 def predict_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray,
                     xs: jnp.ndarray, y_instead_of_f: bool = True
@@ -95,6 +116,24 @@ def predict_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray,
     alpha = tri_solve(chol, y.T[..., None])                             # (L,N,1)
     mean = jnp.einsum('lno,lni->ol', A, alpha)
     # Clamp at zero against f32 cancellation (predictive var is >= 0 exactly).
+    var_f = jnp.maximum(c['variance'][None, :] - jnp.einsum('lno,lno->ol', A, A), 0.0)
+    var = var_f + (c['noise'][None, :] if y_instead_of_f else 0.0)
+    return mean, var
+
+
+@partial(jax.jit, static_argnames=('y_instead_of_f',))
+def predict_variant_from_factors(raw: VariantParams, K_cho: jnp.ndarray,
+                                 K_inv_Y: jnp.ndarray, x: jnp.ndarray,
+                                 xs: jnp.ndarray, y_instead_of_f: bool = True
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Posterior mean/variance at xs reusing a cached factorization — the
+    chunk kernel behind GPR.predict: only O(N o) work per call, so large test
+    sets stream through in bounded memory instead of one O(N^2 + N o)
+    program."""
+    c = variant_constrain(raw)
+    Ks = rbf_gram_variant(x, xs, c['lengthscales'], c['variance'])      # (L,N,o)
+    mean = jnp.einsum('lno,lin->ol', Ks, K_inv_Y)
+    A = tri_solve(K_cho, Ks)                                            # (L,N,o)
     var_f = jnp.maximum(c['variance'][None, :] - jnp.einsum('lno,lno->ol', A, A), 0.0)
     var = var_f + (c['noise'][None, :] if y_instead_of_f else 0.0)
     return mean, var

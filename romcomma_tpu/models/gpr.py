@@ -161,16 +161,36 @@ class GPR(Model):
     def calibrate(self, **kwargs) -> Dict[str, Any]:
         raise NotImplementedError
 
+    #: test points per predict chunk: bounds the O(N o) chunk program so huge
+    #: test sets (e.g. the improper fold at N=o=20k) stream in fixed memory.
+    PREDICT_CHUNK: int = 4096
+
     def predict(self, x: np.ndarray, y_instead_of_f: bool = True) -> Tuple[np.ndarray, np.ndarray]:
-        """Posterior (mean (o,L), std (o,L)) at x (reference gpr/models.py:375-384)."""
+        """Posterior (mean (o,L), std (o,L)) at x (reference gpr/models.py:375-384).
+        Variant models reuse the cached posterior factorization and stream
+        test points in chunks; covariant models use the direct (LN,LN) path."""
         x = jnp.asarray(np.asarray(x, dtype=FLOAT()))
         if self.is_covariant:
             mean, var = gp.predict_covariant(self._covariant_raw(), jnp.asarray(self._X),
                                              jnp.asarray(self._Y), x, y_instead_of_f)
+            mean, var = jax.device_get((mean, var))
         else:
-            mean, var = gp.predict_variant(self._variant_raw(), jnp.asarray(self._X),
-                                           jnp.asarray(self._Y), x, y_instead_of_f)
-        mean, var = jax.device_get((mean, var))     # one batched host transfer
+            K_cho, K_inv_Y = self.posterior_factors
+            raw = self._variant_raw()
+            X = jnp.asarray(self._X)
+            o = x.shape[0]
+            chunk = self.PREDICT_CHUNK
+            outs = []
+            for start in range(0, o, chunk):
+                xs = x[start:start + chunk]
+                if xs.shape[0] < chunk and o > chunk:   # keep one compiled shape
+                    pad = chunk - xs.shape[0]
+                    xs = jnp.pad(xs, ((0, pad), (0, 0)))
+                outs.append(gp.predict_variant_from_factors(
+                    raw, K_cho, K_inv_Y, X, xs, y_instead_of_f))
+            mean, var = jax.device_get((jnp.concatenate([m for m, _ in outs]),
+                                        jnp.concatenate([v for _, v in outs])))
+            mean, var = mean[:o], var[:o]
         return np.atleast_2d(mean), np.atleast_2d(np.sqrt(var))
 
     @property
@@ -288,15 +308,35 @@ class MOGP(GPR):
 
     META: Dict[str, Any] = {'maxiter': 5000, 'gtol': 1e-16}
 
-    def calibrate(self, method: str = 'L-BFGS-B', **kwargs) -> Dict[str, Any]:
-        """Maximize the LML on-device; write optimized parameters back to the
-        kernel/likelihood CSV frames (reference gpr/models.py:345-373)."""
-        self._posterior_cache = None
+    def _calibration_options(self, **kwargs):
+        """Resolve META -> meta.json -> kwargs (reference gpr/models.py:354-357)."""
         meta = self.read_meta() if self._meta_json.exists() else dict(self.META)
         kernel_options = self._kernel.calibrate(**(meta.pop('kernel', {}) | kwargs.pop('kernel', {})))
         likelihood_options = self._likelihood.calibrate(**(meta.pop('likelihood', {}) | kwargs.pop('likelihood', {})))
         meta.update(kwargs)
         meta.pop('result', None)
+        return meta, kernel_options, likelihood_options
+
+    def _finish_variant_calibration(self, c, lml, iters, meta, kernel_options,
+                                    likelihood_options) -> Dict[str, Any]:
+        """Write optimized variant parameters back to the CSV frames + meta."""
+        self._posterior_cache = None
+        self._likelihood.data.replace(variance=c['noise'][None, :],
+                                      log_marginal=np.asarray(lml)[None, :])
+        self._kernel.data.replace(variance=c['variance'][None, :],
+                                  lengthscales=c['lengthscales'])
+        result = (f'Converged in {np.asarray(iters).tolist()} L-BFGS iterations, '
+                  f'lml={np.asarray(lml).tolist()}')
+        meta.update({'result': result, 'kernel': kernel_options,
+                     'likelihood': likelihood_options})
+        self.write_meta(meta)
+        return meta
+
+    def calibrate(self, method: str = 'L-BFGS-B', **kwargs) -> Dict[str, Any]:
+        """Maximize the LML on-device; write optimized parameters back to the
+        kernel/likelihood CSV frames (reference gpr/models.py:345-373)."""
+        self._posterior_cache = None
+        meta, kernel_options, likelihood_options = self._calibration_options(**kwargs)
         maxiter = int(meta.get('maxiter', 5000))
         gtol = float(meta.get('gtol', 1e-16))
         x = jnp.asarray(self._X)
@@ -329,12 +369,8 @@ class MOGP(GPR):
                 raw_opt, lml, iters = gp.calibrate_variant(self._variant_raw(), mask, x, y,
                                                            maxiter=maxiter, gtol=gtol)
                 c, lml, iters = jax.device_get((variant_constrain(raw_opt), lml, iters))
-            self._likelihood.data.replace(variance=c['noise'][None, :],
-                                          log_marginal=np.asarray(lml)[None, :])
-            self._kernel.data.replace(variance=c['variance'][None, :],
-                                      lengthscales=c['lengthscales'])
-            result = (f'Converged in {np.asarray(iters).tolist()} L-BFGS iterations, '
-                      f'lml={np.asarray(lml).tolist()}')
+            return self._finish_variant_calibration(c, lml, iters, meta,
+                                                    kernel_options, likelihood_options)
         meta.update({'result': result, 'kernel': kernel_options, 'likelihood': likelihood_options})
         self.write_meta(meta)
         return meta
