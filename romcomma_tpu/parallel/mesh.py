@@ -70,6 +70,36 @@ def training_step_sharded(mesh: Mesh):
     return jax.jit(step, in_shardings=(p_shard, x_shard, y_shard))
 
 
+def make_fold_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """A 1-D ('k',) mesh for fold-parallel execution — the data-parallel
+    analog of this framework (SURVEY §2.4: per-fold embarrassing parallelism,
+    unexploited by the reference's Python loop, user/run.py:60-61)."""
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=('k',))
+
+
+def calibrate_folds_sharded(mesh: Mesh, maxiter: int = 5000):
+    """Jitted fold-sharded variant calibration over a ('k',) mesh: K folds'
+    independent L-BFGS descents run concurrently, one (or more) folds per
+    device, zero collectives (embarrassingly parallel by construction).
+
+    Returns fn(raws, mask, xs (K,N,M), ys (K,N,L)) -> (raw_opt, lml (K,L),
+    iters (K,L)) with everything sharded over the fold axis.
+    """
+    from romcomma_tpu.models import gp
+    from jax.sharding import NamedSharding
+
+    fold = NamedSharding(mesh, P('k'))
+    p_shard = VariantParams(raw_variance=fold, raw_lengthscales=fold, raw_noise=fold)
+    rep = NamedSharding(mesh, P())
+    m_shard = VariantParams(rep, rep, rep)
+
+    def run(raws, mask, xs, ys):
+        return gp.calibrate_variant_folds(raws, mask, xs, ys, maxiter=maxiter)
+
+    return jax.jit(run, in_shardings=(p_shard, m_shard, fold, fold))
+
+
 def shard_data(mesh: Mesh, raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray):
     """Place (params, x, y) onto the mesh with the variant shardings."""
     p_shard, x_shard, y_shard = variant_shardings(mesh)
