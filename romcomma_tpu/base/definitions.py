@@ -19,17 +19,20 @@ from __future__ import annotations
 
 import os
 
-# Enable x64 before jax initializes its backends. Users can opt out by
-# setting ROMCOMMA_X64=0 in the environment *before* import.
-if os.environ.get('ROMCOMMA_X64', '1') != '0':
-    os.environ.setdefault('JAX_ENABLE_X64', 'True')
+# x64 capability is ALWAYS enabled (before jax initializes its backends):
+# even the f32 fast path needs real float64 for the posterior factorization
+# (an f32 Cholesky breaks down outright once cond(K) ~ N s2/noise exceeds
+# 1/eps_f32 ~ 1e7 — reached near N~1e4 with converged noise). ROMCOMMA_X64
+# only selects the *default* compute dtype: 1 (default) -> float64
+# everywhere (verification mode); 0 -> float32 storage/training with f64
+# reserved for the factorizations that need it.
+os.environ.setdefault('JAX_ENABLE_X64', 'True')
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-if os.environ.get('ROMCOMMA_X64', '1') != '0':
-    jax.config.update('jax_enable_x64', True)
+jax.config.update('jax_enable_x64', True)
 
 # Persistent compilation cache: first-compile costs (20-40s per program on a
 # tunneled TPU) amortize across processes/rounds.
@@ -54,14 +57,18 @@ LIKELIHOOD_VARIANCE_FLOOR = 1.0001e-6
 KERNEL_VARIANCE_FLOOR = 1.0005e-6
 
 
+_F32_MODE = os.environ.get('ROMCOMMA_X64', '1') == '0'
+
+
 def FLOAT() -> np.dtype:
-    """The default float dtype: float64 when x64 is enabled, else float32."""
-    return np.dtype(np.float64) if jax.config.jax_enable_x64 else np.dtype(np.float32)
+    """The default float dtype: float64 (verification) unless ROMCOMMA_X64=0
+    selected the f32 fast path."""
+    return np.dtype(np.float32) if _F32_MODE else np.dtype(np.float64)
 
 
 def INT() -> np.dtype:
     """The default int dtype."""
-    return np.dtype(np.int64) if jax.config.jax_enable_x64 else np.dtype(np.int32)
+    return np.dtype(np.int32) if _F32_MODE else np.dtype(np.int64)
 
 
 def compute_dtype() -> jnp.dtype:

@@ -63,14 +63,18 @@ class ClosedSobol(Calibrator):
     @staticmethod
     def gather_arrays(gp: GPR) -> Dict[str, jnp.ndarray]:
         """Host-side gathering of the traced inputs — everything device-side
-        downstream is pure jnp and therefore jittable."""
+        downstream is pure jnp and therefore jittable.
+
+        Everything is float64: the Gaussian-ratio contractions cancel N^2
+        large alternating terms, so GSA runs at full precision regardless of
+        the training dtype (its O(N^2) cost is minor next to training)."""
         K_cho, K_inv_Y = gp.posterior_factors
-        return {'F': jnp.asarray(np.asarray(gp.kernel.data.variance.np, dtype=FLOAT())),
-                'K_cho': K_cho,
-                'K_inv_Y': K_inv_Y,
+        return {'F': jnp.asarray(np.asarray(gp.kernel.data.variance.np, dtype=np.float64)),
+                'K_cho': jnp.asarray(K_cho, jnp.float64),
+                'K_inv_Y': jnp.asarray(K_inv_Y, jnp.float64),
                 'Lambda': jnp.asarray(np.asarray(gp.kernel.data.lengthscales.np,
-                                                 dtype=FLOAT())),
-                'X': jnp.asarray(np.asarray(gp.X, dtype=FLOAT()))}
+                                                 dtype=np.float64)),
+                'X': jnp.asarray(np.asarray(gp.X, dtype=np.float64))}
 
     @classmethod
     def from_arrays(cls, F, K_cho, K_inv_Y, Lambda, X, *, is_F_diagonal: bool,

@@ -139,13 +139,24 @@ def predict_variant_from_factors(raw: VariantParams, K_cho: jnp.ndarray,
     return mean, var
 
 
+def _tree64(tree):
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64), tree)
+
+
 @jax.jit
 def posterior_factors_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray):
-    """(K_cho (L,N,N), K_inv_Y (L,1,N)) — the GSA inputs (gpr/models.py:427-444)."""
-    c = variant_constrain(raw)
-    K = rbf_gram_variant(x, x, c['lengthscales'], c['variance'])
-    chol = cholesky(K + c['noise'][:, None, None] * jnp.eye(x.shape[0], dtype=x.dtype))
-    k_inv_y = cho_solve(chol, y.T[..., None])                           # (L,N,1)
+    """(K_cho (L,N,N), K_inv_Y (L,1,N)) — the GSA inputs (gpr/models.py:427-444).
+
+    ALWAYS computed and returned in float64: an f32 Cholesky breaks down
+    once cond(K) ~ N s2 / noise crosses 1/eps_f32 (measured: garbage Sobol'
+    indices at N=12k), the GSA contractions downstream cancel catastrophically
+    unless their inputs carry f64 precision, and this one-off O(N^3) is cheap
+    next to the training loop even under TPU f64 emulation."""
+    c = variant_constrain(_tree64(raw))
+    x64, y64 = jnp.asarray(x, jnp.float64), jnp.asarray(y, jnp.float64)
+    K = rbf_gram_variant(x64, x64, c['lengthscales'], c['variance'])
+    chol = cholesky(K + c['noise'][:, None, None] * jnp.eye(x.shape[0], dtype=K.dtype))
+    k_inv_y = cho_solve(chol, y64.T[..., None])                         # (L,N,1)
     return chol, jnp.swapaxes(k_inv_y, -1, -2)                          # (L,1,N)
 
 
@@ -215,10 +226,12 @@ def predict_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray,
 
 @jax.jit
 def posterior_factors_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray):
-    """(K_cho (LN,LN), K_inv_Y (L,1,N)) per gpr/models.py:427-444."""
-    c = covariant_constrain(raw)
+    """(K_cho (LN,LN), K_inv_Y (L,1,N)) per gpr/models.py:427-444.
+    Factorized in float64 like the variant path."""
+    c = covariant_constrain(_tree64(raw))
     L = c['lengthscales'].shape[0]
     N = x.shape[0]
-    chol = cholesky(_covariant_noisy_K(c, x))
-    k_inv_y = cho_solve(chol, y.T.reshape(-1, 1))
+    x64, y64 = jnp.asarray(x, jnp.float64), jnp.asarray(y, jnp.float64)
+    chol = cholesky(_covariant_noisy_K(c, x64))
+    k_inv_y = cho_solve(chol, y64.T.reshape(-1, 1))
     return chol, k_inv_y.reshape(L, N)[:, None, :]
