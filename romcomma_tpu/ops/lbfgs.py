@@ -40,9 +40,24 @@ def _tree_inf_norm(tree) -> jnp.ndarray:
     return jnp.max(jnp.stack([jnp.max(jnp.abs(leaf)) for leaf in leaves]))
 
 
+
+
+def _pin_dtypes(fun: Callable, params):
+    """Wrap fun so it always sees the initial params' dtypes: optax's zoom
+    linesearch evaluates fun at params + (f64 stepsize) * direction under
+    x64, silently promoting the whole objective to f64."""
+    dtypes = jax.tree_util.tree_map(lambda a: jnp.asarray(a).dtype, params)
+
+    def pinned(p):
+        return fun(jax.tree_util.tree_map(lambda a, d: a.astype(d), p, dtypes))
+
+    return pinned
+
+
 def minimize(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
              ftol: float = SCIPY_FTOL, memory_size: int = 30) -> MinimizeResult:
     """Minimize ``fun(params)`` over a pytree. Fully jittable."""
+    fun = _pin_dtypes(fun, params)
     opt = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(fun)
 
@@ -68,6 +83,9 @@ def minimize(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
         updates, state = opt.update(grad, c.state, c.params, value=value,
                                     grad=grad, value_fn=fun)
         new_params = optax.apply_updates(c.params, updates)
+        # optax's zoom-linesearch state is f64 under x64; pin param dtypes.
+        new_params = jax.tree_util.tree_map(
+            lambda n, o: n.astype(o.dtype), new_params, c.params)
         new_value = optax.tree.get(state, 'value')
         gnorm = _tree_inf_norm(optax.tree.get(state, 'grad'))
         rel_decrease = (value - new_value) / jnp.maximum(
@@ -99,6 +117,7 @@ def minimize_host(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-1
     dispatch is bounded by one iteration. ``callback(it, value, gnorm)`` gives
     progress observability the fused loop cannot.
     """
+    fun = _pin_dtypes(fun, params)
     opt = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(fun)
 
@@ -108,6 +127,9 @@ def minimize_host(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-1
         updates, state = opt.update(grad, state, params, value=value,
                                     grad=grad, value_fn=fun)
         new_params = optax.apply_updates(params, updates)
+        # optax's zoom-linesearch state is f64 under x64; pin param dtypes.
+        new_params = jax.tree_util.tree_map(
+            lambda n, o: n.astype(o.dtype), new_params, params)
         new_value = optax.tree.get(state, 'value')
         gnorm = _tree_inf_norm(optax.tree.get(state, 'grad'))
         return new_params, state, value, new_value, gnorm

@@ -27,8 +27,9 @@ def tri_solve(chol: jnp.ndarray, b: jnp.ndarray, lower: bool = True,
     Batch dimensions broadcast against each other (TF-style), which
     lax.linalg.triangular_solve does not do natively."""
     batch = jnp.broadcast_shapes(chol.shape[:-2], b.shape[:-2])
-    chol = jnp.broadcast_to(chol, batch + chol.shape[-2:])
-    b = jnp.broadcast_to(b, batch + b.shape[-2:])
+    dt = jnp.promote_types(chol.dtype, b.dtype)   # lax requires exact match
+    chol = jnp.broadcast_to(chol.astype(dt), batch + chol.shape[-2:])
+    b = jnp.broadcast_to(b.astype(dt), batch + b.shape[-2:])
     return lax.linalg.triangular_solve(chol, b, left_side=True, lower=lower,
                                        transpose_a=trans)
 

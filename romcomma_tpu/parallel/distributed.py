@@ -481,12 +481,60 @@ class DistributedGP:
 
     # -- posterior ----------------------------------------------------------- #
 
-    def posterior_alpha(self, ls, s2, noise, x_dev, y_dev):
-        """alpha = K⁻¹ y (stored order, replicated) and L (row-sharded)."""
+    def _residual_f64(self):
+        """Jitted distributed residual r = y - K alpha with the gram row-slab
+        recomputed in float64 on the fly — the refinement direction for
+        mixed-precision posterior solves (never materializes a full f64 K)."""
+        if getattr(self, '_residual_cached', None) is not None:
+            return self._residual_cached
+        from romcomma_tpu.ops.gram import rbf_gram
+        pl_, mesh = self.plan, self.mesh
+        cB = pl_.c * pl_.B
+        Npad = pl_.Npad
+        real = jnp.asarray(pl_.dtype_rows_mask)
+
+        def local(x_full, y, alpha, ls, s2, noise):
+            me = lax.axis_index('n')
+            rows0 = me * cB
+            x_local = lax.dynamic_slice(x_full, _i32(rows0, 0), (cB, x_full.shape[1]))
+            Krow = rbf_gram(x_local, x_full, ls, s2)           # f64 (cB, Npad)
+            row_real = lax.dynamic_slice(real, _i32(rows0), (cB,))
+            Krow = (Krow * row_real[:, None] * real[None, :]
+                    + (jnp.arange(Npad)[None, :] == (rows0 + jnp.arange(cB))[:, None])
+                    * jnp.where(row_real, noise, 1.0)[:, None])
+            y_local = lax.dynamic_slice(y, _i32(rows0, 0), (cB, y.shape[1]))
+            return y_local - Krow @ alpha                      # rows sharded
+
+        fn = _shard_map(local, mesh=mesh,
+                        in_specs=(P(), P(), P(), P(), P(), P()),
+                        out_specs=P('n'))
+        self._residual_cached = jax.jit(fn)
+        return self._residual_cached
+
+    def posterior_alpha(self, ls, s2, noise, x_dev, y_dev, refine: int = 2):
+        """alpha = K⁻¹ y (stored order, replicated, float64) and L (row-
+        sharded). When the working dtype is f32, ``refine`` rounds of
+        mixed-precision iterative refinement (f32 factor, f64 residuals
+        against an on-the-fly f64 gram) recover f64-grade accuracy — an f32
+        solve alone breaks down once cond(K) ~ N s2/noise nears 1/eps_f32."""
         K = self._gram(x_dev, ls, s2, noise)
         L = self._chol(K)
         z = self._fwd(L, y_dev)
-        return self._bwd(L, z), L
+        alpha = self._bwd(L, z)
+        if x_dev.dtype == jnp.float64 or refine <= 0:
+            return alpha, L
+        residual = self._residual_f64()
+        f64 = jnp.float64
+        x64 = jnp.asarray(x_dev, f64)
+        y64 = jnp.asarray(y_dev, f64)
+        ls64, s264, n64 = (jnp.asarray(ls, f64), jnp.asarray(s2, f64),
+                           jnp.asarray(noise, f64))
+        alpha = jnp.asarray(alpha, f64)
+        for _ in range(refine):
+            r = residual(x64, y64, alpha, ls64, s264, n64)
+            d = self._bwd(L, self._fwd(L, jnp.asarray(r, x_dev.dtype)))
+            alpha = alpha + jnp.asarray(d, f64)
+        return alpha, L
 
     def predict(self, ls, s2, noise, x_dev, y_dev, Xs: np.ndarray):
         """Posterior mean/variance at host test points Xs (o, M)."""
