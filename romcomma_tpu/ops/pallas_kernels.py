@@ -80,8 +80,11 @@ def _unit_gram_impl(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         _gram_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_A, Mp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, Mp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            # zeros derived from the (i32) program ids: a literal 0 becomes
+            # i64 under jax_enable_x64 and Mosaic cannot legalize mixed
+            # (i32, i64) index-map returns.
+            pl.BlockSpec((TILE_A, Mp), lambda i, j: (i, j * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, Mp), lambda i, j: (j, i * 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_A, TILE_B), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
