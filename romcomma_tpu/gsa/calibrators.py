@@ -135,9 +135,8 @@ class ClosedSobol(Calibrator):
         H = H / PhiGauss.expand_dims([-1, -2, -3])
         return jnp.einsum('lLN, lLNjJn, jJn -> lj', self.g0KY, H.pdf, self.g0KY)
 
-    #: elements of the H tensor above which _V switches to chunked evaluation
-    #: (2^28 f32 elements = 1 GiB).
-    V_MEMORY_BUDGET: int = 2 ** 28
+    #: bytes of H-tensor buffer above which _V switches to chunked evaluation.
+    V_MEMORY_BUDGET_BYTES: int = 2 ** 30
 
     def _auto_n_chunk(self) -> 'int | None':
         """Chunk size for the jJn axis, or None to evaluate in one piece.
@@ -152,10 +151,11 @@ class ClosedSobol(Calibrator):
         if explicit is not None:
             return int(explicit) if explicit else None
         lb = self.g0KY.shape[0] * self.g0KY.shape[1]        # l*L bunch size
+        budget = self.V_MEMORY_BUDGET_BYTES // jnp.dtype(self.X.dtype).itemsize
         h_elements = (lb * self.N) ** 2 * (self.M + 1)
-        if h_elements <= self.V_MEMORY_BUDGET:
+        if h_elements <= budget:
             return None
-        return max(128, self.V_MEMORY_BUDGET // (lb * lb * self.N * (self.M + 1)))
+        return max(128, int(budget) // (lb * lb * self.N * (self.M + 1)))
 
     def _V_chunked(self, G: jnp.ndarray, Phi: jnp.ndarray, chunk: int) -> jnp.ndarray:
         """Identical math to _V, scanning the jJn axis in chunks of ``chunk``

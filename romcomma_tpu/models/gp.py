@@ -143,6 +143,37 @@ def _tree64(tree):
     return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64), tree)
 
 
+# Staged f64 posterior pipeline for large N: one jitted program holding the
+# whole gram->cholesky->solve chain keeps ~15+ N^2 f64 buffers alive at once
+# (measured OOM at N=12k on a 16 GB chip); three stages with donated inputs
+# bound the peak at ~4 buffers.
+
+@jax.jit
+def _gram64_noisy_variant(raw: VariantParams, x: jnp.ndarray) -> jnp.ndarray:
+    c = variant_constrain(_tree64(raw))
+    x64 = jnp.asarray(x, jnp.float64)
+    K = rbf_gram_variant(x64, x64, c['lengthscales'], c['variance'])
+    return K + c['noise'][:, None, None] * jnp.eye(x.shape[0], dtype=K.dtype)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _chol64(Kn: jnp.ndarray) -> jnp.ndarray:
+    return cholesky(Kn)
+
+
+@jax.jit
+def _kiy64(chol: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    k_inv_y = cho_solve(chol, jnp.asarray(y, jnp.float64).T[..., None])
+    return jnp.swapaxes(k_inv_y, -1, -2)
+
+
+def posterior_factors_variant_staged(raw: VariantParams, x: jnp.ndarray,
+                                     y: jnp.ndarray):
+    """Same result as posterior_factors_variant, bounded peak memory."""
+    chol = _chol64(_gram64_noisy_variant(raw, x))
+    return chol, _kiy64(chol, y)
+
+
 @jax.jit
 def posterior_factors_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray):
     """(K_cho (L,N,N), K_inv_Y (L,1,N)) — the GSA inputs (gpr/models.py:427-444).

@@ -203,6 +203,10 @@ class GPR(Model):
             if self.is_covariant:
                 self._posterior_cache = gp.posterior_factors_covariant(
                     self._covariant_raw(), jnp.asarray(self._X), jnp.asarray(self._Y))
+            elif self._N >= 4096:
+                # staged pipeline bounds peak f64 memory at large N
+                self._posterior_cache = gp.posterior_factors_variant_staged(
+                    self._variant_raw(), jnp.asarray(self._X), jnp.asarray(self._Y))
             else:
                 self._posterior_cache = gp.posterior_factors_variant(
                     self._variant_raw(), jnp.asarray(self._X), jnp.asarray(self._Y))
