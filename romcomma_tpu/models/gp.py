@@ -133,9 +133,15 @@ def predict_variant_from_factors(raw: VariantParams, K_cho: jnp.ndarray,
     c = variant_constrain(raw)
     Ks = rbf_gram_variant(x, xs, c['lengthscales'], c['variance'])      # (L,N,o)
     mean = jnp.einsum('lno,lin->ol', Ks, K_inv_Y)
-    A = tri_solve(K_cho, Ks)                                            # (L,N,o)
+    # The variance solve runs in the WORKING dtype: the posterior mean (via
+    # the f64 K_inv_Y) is the accuracy-critical output; XLA's f64 TRSM
+    # expander needs ~19 GB at N=12k and f64 emulation costs minutes there.
+    # In the f32 fast path the predictive SD is therefore approximate at
+    # high condition numbers (clamped at the noise floor below).
+    A = tri_solve(K_cho.astype(Ks.dtype), Ks)                           # (L,N,o)
     var_f = jnp.maximum(c['variance'][None, :] - jnp.einsum('lno,lno->ol', A, A), 0.0)
     var = var_f + (c['noise'][None, :] if y_instead_of_f else 0.0)
+    var = var.astype(mean.dtype)
     return mean, var
 
 
