@@ -426,8 +426,11 @@ class DistributedGP:
             L = chol(K)
             z = fwd(L, y)
             quad = jnp.sum(z * z)
-            return (-0.5 * quad - logdiag(L)
-                    - 0.5 * N * jnp.log(2.0 * jnp.asarray(jnp.pi, y.dtype)))
+            value = (-0.5 * quad - logdiag(L)
+                     - 0.5 * N * jnp.log(2.0 * jnp.asarray(jnp.pi, y.dtype)))
+            # An f32 factorization of a near-singular K yields NaN; report
+            # -inf instead so the linesearch backs off rather than aborting.
+            return jnp.where(jnp.isfinite(value), value, -jnp.inf)
 
         def lml_fwd(ls, s2, noise, x, y):
             K = gram(x, ls, s2, noise)
