@@ -394,28 +394,29 @@ class MOGP(GPR):
             np.asarray(self._kernel.data.lengthscales.np, dtype=FLOAT()),
             (self._L, self._M))
         noise = np.asarray(self._likelihood.data.variance.np[0], dtype=FLOAT())
+        dgp64 = None
         out_ls, out_s2, out_noise, out_lml, out_iters = [], [], [], [], []
         for l in range(self._L):
             ls0, s20, nz0 = lengthscales[l], variance[l], noise[l]
-            x_dev, y_dev = dgp.stage(self._X, self._Y[:, l:l + 1])
-            lml0 = float(dgp.lml(jnp.asarray(ls0, x_dev.dtype),
-                                 jnp.asarray(s20, x_dev.dtype),
-                                 jnp.asarray(nz0, x_dev.dtype), x_dev, y_dev))
-            if not np.isfinite(lml0):
-                # CSV/default init (e.g. lengthscale 5.0 over N(0,1) inputs)
-                # makes K numerically singular in f32 at this N. Fall back to
-                # the median-distance heuristic so the descent can start.
-                ls0 = np.full(self._M, float(np.sqrt(self._M)))
-                s20 = float(np.var(self._Y[:, l]))
-                nz0 = max(float(noise[l]), 0.05 * s20)
             (ls_l, s2_l, nz_l), lml_l, iters_l = dgp.calibrate(
                 self._X, self._Y[:, l:l + 1], ls0, s20, nz0,
                 maxiter=maxiter, gtol=gtol)
             if not np.isfinite(float(lml_l)):
+                # f32 breakdown: smooth RBF grams have exponentially decaying
+                # spectra, and at this N the f32 trailing-update rounding can
+                # swamp the small pivots regardless of the starting point.
+                # Escalate the whole descent to float64 (slower, exact).
+                if dgp64 is None:
+                    from romcomma_tpu.parallel import distributed as dist
+                    dgp64 = dist.DistributedGP(self._N, dist.make_n_mesh(),
+                                               block=block)
+                (ls_l, s2_l, nz_l), lml_l, iters_l = dgp64.calibrate(
+                    self._X.astype(np.float64), self._Y[:, l:l + 1].astype(np.float64),
+                    ls0, s20, nz0, maxiter=maxiter, gtol=gtol)
+            if not np.isfinite(float(lml_l)):
                 raise FloatingPointError(
                     f'Large-N calibration of output {l} produced a non-finite '
-                    f'LML (N={self._N}): the likelihood evaluation is '
-                    f'numerically unstable at these hyperparameters/precision.')
+                    f'LML (N={self._N}) even at float64.')
             out_ls.append(np.asarray(ls_l))
             out_s2.append(float(s2_l))
             out_noise.append(float(nz_l))
