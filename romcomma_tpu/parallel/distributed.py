@@ -439,7 +439,11 @@ class DistributedGP:
             alpha = bwd(L, z)
             value = (-0.5 * jnp.sum(z * z) - logdiag(L)
                      - 0.5 * N * jnp.log(2.0 * jnp.asarray(jnp.pi, y.dtype)))
-            return value, (ls, s2, noise, x, K, L, alpha)
+            value = jnp.where(jnp.isfinite(value), value, -jnp.inf)
+            # K is NOT saved as a residual: the gram is cheap to rebuild and
+            # holding a second (Npad,Npad) slab through the whole linesearch
+            # breaches HBM at large-N f64.
+            return value, (ls, s2, noise, x, L, alpha)
 
         row_shard = _row_sharding(mesh)
 
@@ -469,7 +473,8 @@ class DistributedGP:
             return lax.fori_loop(0, n_kinv_chunks, body, Kinv0)
 
         def lml_bwd(res, gbar):
-            ls, s2, noise, x, K, L, alpha = res
+            ls, s2, noise, x, L, alpha = res
+            K = gram(x, ls, s2, noise)            # recomputed, not stored
             Kinv = kinv_all(L)
             dls, ds2, dnoise = grads(K, Kinv, alpha, x, ls, s2, noise)
             return (gbar * dls, gbar * ds2, gbar * dnoise,
