@@ -70,7 +70,10 @@ def _calibrate_variant_core(raw: VariantParams, mask: VariantParams, x: jnp.ndar
         def objective(p: VariantParams) -> jnp.ndarray:
             eff = jax.tree_util.tree_map(
                 lambda pv, fv, m: fv + m * (pv - fv), p, frozen, mask)
-            return -lml_single(eff, x, y_l)
+            value = -lml_single(eff, x, y_l)
+            # +inf (not NaN) on factorization breakdown so the linesearch
+            # backs off instead of poisoning the whole descent.
+            return jnp.where(jnp.isfinite(value), value, jnp.inf)
 
         res = lbfgs.minimize(objective, raw_l, maxiter=maxiter, gtol=gtol, ftol=ftol)
         eff = jax.tree_util.tree_map(
