@@ -118,7 +118,15 @@ def minimize_host(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-1
     progress observability the fused loop cannot.
     """
     fun = _pin_dtypes(fun, params)
-    opt = optax.lbfgs(memory_size=memory_size)
+    # Cap the in-dispatch zoom linesearch: each host-paced step is ONE device
+    # dispatch, and tunnelled runtimes kill executions beyond ~1-2 minutes —
+    # at large-N f64 each extra linesearch evaluation costs tens of seconds.
+    try:
+        opt = optax.lbfgs(memory_size=memory_size,
+                          linesearch=optax.scale_by_zoom_linesearch(
+                              max_linesearch_steps=8))
+    except TypeError:                                   # older optax signature
+        opt = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(fun)
 
     @jax.jit
