@@ -412,7 +412,8 @@ class MOGP(GPR):
                                                block=block)
                 (ls_l, s2_l, nz_l), lml_l, iters_l = dgp64.calibrate(
                     self._X.astype(np.float64), self._Y[:, l:l + 1].astype(np.float64),
-                    ls0, s20, nz0, maxiter=maxiter, gtol=gtol)
+                    ls0, s20, nz0, maxiter=maxiter, gtol=gtol,
+                    max_linesearch_steps=4)   # bound f64 dispatch duration
             if not np.isfinite(float(lml_l)):
                 raise FloatingPointError(
                     f'Large-N calibration of output {l} produced a non-finite '

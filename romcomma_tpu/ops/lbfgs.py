@@ -106,7 +106,8 @@ def minimize(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
 
 def minimize_host(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
                   ftol: float = SCIPY_FTOL, memory_size: int = 30,
-                  callback: Callable | None = None) -> MinimizeResult:
+                  callback: Callable | None = None,
+                  max_linesearch_steps: int | None = None) -> MinimizeResult:
     """Host-paced variant of :func:`minimize`: the same optax L-BFGS with zoom
     linesearch and stopping rules, but each iteration is its own jitted
     dispatch driven from Python.
@@ -118,14 +119,16 @@ def minimize_host(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-1
     progress observability the fused loop cannot.
     """
     fun = _pin_dtypes(fun, params)
-    # Cap the in-dispatch zoom linesearch: each host-paced step is ONE device
-    # dispatch, and tunnelled runtimes kill executions beyond ~1-2 minutes —
-    # at large-N f64 each extra linesearch evaluation costs tens of seconds.
-    try:
+    # max_linesearch_steps caps the in-dispatch zoom linesearch: each
+    # host-paced step is ONE device dispatch, and tunnelled runtimes kill
+    # executions beyond ~1-2 minutes — at large-N f64 each extra linesearch
+    # evaluation costs tens of seconds. Capping trades convergence quality
+    # for bounded dispatches, so it is opt-in.
+    if max_linesearch_steps:
         opt = optax.lbfgs(memory_size=memory_size,
                           linesearch=optax.scale_by_zoom_linesearch(
-                              max_linesearch_steps=8))
-    except TypeError:                                   # older optax signature
+                              max_linesearch_steps=int(max_linesearch_steps)))
+    else:
         opt = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(fun)
 

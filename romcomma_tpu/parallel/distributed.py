@@ -591,7 +591,7 @@ class DistributedGP:
 
     def calibrate(self, X: np.ndarray, Y: np.ndarray, ls0, s2_0, noise0,
                   maxiter: int = 5000, gtol: float = 1e-16,
-                  callback=None):
+                  callback=None, max_linesearch_steps: int | None = None):
         """L-BFGS maximization of the distributed LML, host-paced: each
         iteration is one bounded device dispatch (a fused whole-descent
         program at N>=20k exceeds tunnelled-runtime execution limits and
@@ -613,7 +613,8 @@ class DistributedGP:
                               positive(rnoise, NOISE_LOWER_BOUND), x_dev, y_dev)
 
         res = lbfgs.minimize_host(objective, raw0, maxiter=maxiter, gtol=gtol,
-                                  callback=callback)
+                                  callback=callback,
+                                  max_linesearch_steps=max_linesearch_steps)
         rls, rs2, rnoise = res.params
         return ((positive(rls, 0.0), positive(rs2, 0.0),
                  positive(rnoise, NOISE_LOWER_BOUND)),
