@@ -501,17 +501,28 @@ class DistributedGP:
         Npad = pl_.Npad
         real = jnp.asarray(pl_.dtype_rows_mask)
 
+        B = pl_.B
+        c = pl_.c
+
         def local(x_full, y, alpha, ls, s2, noise):
             me = lax.axis_index('n')
             rows0 = me * cB
-            x_local = lax.dynamic_slice(x_full, _i32(rows0, 0), (cB, x_full.shape[1]))
-            Krow = rbf_gram(x_local, x_full, ls, s2)           # f64 (cB, Npad)
-            row_real = lax.dynamic_slice(real, _i32(rows0), (cB,))
-            Krow = (Krow * row_real[:, None] * real[None, :]
-                    + (jnp.arange(Npad)[None, :] == (rows0 + jnp.arange(cB))[:, None])
-                    * jnp.where(row_real, noise, 1.0)[:, None])
             y_local = lax.dynamic_slice(y, _i32(rows0, 0), (cB, y.shape[1]))
-            return y_local - Krow @ alpha                      # rows sharded
+
+            def body(ci, r):
+                # One B-row strip of the f64 gram at a time: a full (cB,Npad)
+                # f64 slab (plus sqdist temporaries) breaches HBM at N=20k.
+                b0 = rows0 + ci * B
+                x_rows = lax.dynamic_slice(x_full, _i32(b0, 0), (B, x_full.shape[1]))
+                Krow = rbf_gram(x_rows, x_full, ls, s2)        # f64 (B, Npad)
+                row_real = lax.dynamic_slice(real, _i32(b0), (B,))
+                Krow = (Krow * row_real[:, None] * real[None, :]
+                        + (jnp.arange(Npad)[None, :] == (b0 + jnp.arange(B))[:, None])
+                        * jnp.where(row_real, noise, 1.0)[:, None])
+                return lax.dynamic_update_slice(r, Krow @ alpha, _i32(ci * B, 0))
+
+            Ka = lax.fori_loop(0, c, body, jnp.zeros_like(y_local))
+            return y_local - Ka                                # rows sharded
 
         fn = _shard_map(local, mesh=mesh,
                         in_specs=(P(), P(), P(), P(), P(), P()),
