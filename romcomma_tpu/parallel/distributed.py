@@ -584,10 +584,13 @@ class DistributedGP:
         alpha = from_stored(self.plan, np.asarray(alpha_stored))       # (N,1)
         N, M = self.plan.N, X.shape[1]
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
+        f64 = jnp.float64   # GSA always runs f64 (see gsa.calibrators)
         cal = ClosedSobol.from_arrays(
-            F=jnp.asarray([[1.0]]) * s2, K_cho=jnp.zeros((1, 1, 1), alpha.dtype),
-            K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N)),
-            Lambda=jnp.asarray(ls)[None, :], X=jnp.asarray(np.asarray(X)),
+            F=jnp.asarray([[1.0]], f64) * jnp.asarray(s2, f64),
+            K_cho=jnp.zeros((1, 1, 1), f64),
+            K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N), f64),
+            Lambda=jnp.asarray(ls, f64)[None, :],
+            X=jnp.asarray(np.asarray(X), f64),
             is_F_diagonal=True, L=1, M=M, N=N, **meta)
         slices = {'first_order': [(m, m + 1) for m in range(M)],
                   'closed': [(0, m + 1) for m in range(M)],
