@@ -549,11 +549,20 @@ class DistributedGP:
         ls64, s264, n64 = (jnp.asarray(ls, f64), jnp.asarray(s2, f64),
                            jnp.asarray(noise, f64))
         alpha = jnp.asarray(alpha, f64)
+        # Safeguarded refinement: iterative refinement diverges once
+        # eps_f32 * cond(K) exceeds ~1, so keep the iterate with the smallest
+        # true (f64) residual instead of trusting a fixed iteration count.
+        r = residual(x64, y64, alpha, ls64, s264, n64)
+        best_alpha, best_norm = alpha, float(jnp.linalg.norm(r))
         for _ in range(refine):
-            r = residual(x64, y64, alpha, ls64, s264, n64)
             d = self._bwd(L, self._fwd(L, jnp.asarray(r, x_dev.dtype)))
             alpha = alpha + jnp.asarray(d, f64)
-        return alpha, L
+            r = residual(x64, y64, alpha, ls64, s264, n64)
+            norm = float(jnp.linalg.norm(r))
+            if not np.isfinite(norm) or norm >= best_norm:
+                break
+            best_alpha, best_norm = alpha, norm
+        return best_alpha, L
 
     def predict(self, ls, s2, noise, x_dev, y_dev, Xs: np.ndarray):
         """Posterior mean/variance at host test points Xs (o, M)."""
