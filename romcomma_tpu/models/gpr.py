@@ -128,7 +128,16 @@ class GPR(Model):
 
     def broadcast_parameters(self, is_covariant: bool, is_isotropic: bool) -> 'GPR':
         """Grow parameters to the requested covariance/anisotropy
-        (reference gpr/models.py:274-288)."""
+        (reference gpr/models.py:274-288).
+
+        Reference-parity quirk: the constructor calls this unconditionally
+        (reference gpr/models.py:321), and ``broadcast_value(is_diagonal=
+        True)`` zeroes the off-diagonals of square targets (base/classes.py:
+        72-89) — so RELOADING a covariant model diagonalizes a trained
+        non-diagonal noise covariance, exactly as the reference does. The
+        persisted log_marginal of a covariant model therefore reflects the
+        full noise covariance at calibration time, not the diagonalized
+        reload (pinned by tests/test_gpr_model.py)."""
         self._posterior_cache = None
         target_shape = (self._L, self._L) if is_covariant else (1, self._L)
         self._likelihood.data.variance.broadcast_value(target_shape=target_shape, is_diagonal=True)
@@ -322,13 +331,27 @@ class MOGP(GPR):
         return meta, kernel_options, likelihood_options
 
     def _finish_variant_calibration(self, c, lml, iters, meta, kernel_options,
-                                    likelihood_options) -> Dict[str, Any]:
-        """Write optimized variant parameters back to the CSV frames + meta."""
+                                    likelihood_options,
+                                    recompute_lml: bool = False) -> Dict[str, Any]:
+        """Write optimized variant parameters back to the CSV frames + meta.
+
+        With ``recompute_lml`` the persisted log-marginal is re-evaluated by
+        the standalone jitted ``gp.lml_variant`` from the *written* CSV
+        parameters, so disk state is exactly self-consistent: reloading the
+        model and recomputing its LML reproduces ``log_marginal.csv``
+        bit-for-bit (the value the fused optimizer program reports can differ
+        by compile-fusion roundoff). Skipped on the large-N path where one
+        fused LML program exceeds compile limits."""
         self._posterior_cache = None
         self._likelihood.data.replace(variance=c['noise'][None, :],
                                       log_marginal=np.asarray(lml)[None, :])
         self._kernel.data.replace(variance=c['variance'][None, :],
                                   lengthscales=c['lengthscales'])
+        if recompute_lml:
+            lml = jax.device_get(gp.lml_variant(self._variant_raw(),
+                                                jnp.asarray(self._X),
+                                                jnp.asarray(self._Y)))
+            self._likelihood.data.replace(log_marginal=np.asarray(lml)[None, :])
         result = (f'Converged in {np.asarray(iters).tolist()} L-BFGS iterations, '
                   f'lml={np.asarray(lml).tolist()}')
         meta.update({'result': result, 'kernel': kernel_options,
@@ -357,6 +380,9 @@ class MOGP(GPR):
             self._likelihood.data.replace(variance=c['noise_cov'],
                                           log_marginal=np.atleast_2d(float(lml)))
             self._kernel.data.replace(variance=c['F'], lengthscales=c['lengthscales'])
+            # Persist a disk-self-consistent LML (see _finish_variant_calibration).
+            lml = float(jax.device_get(gp.lml_covariant(self._covariant_raw(), x, y)))
+            self._likelihood.data.replace(log_marginal=np.atleast_2d(lml))
             result = f'Converged in {int(iters)} L-BFGS iterations, lml={float(lml)}'
         else:
             mask = variant_mask(kernel_variance=kernel_options['variance'],
@@ -373,8 +399,11 @@ class MOGP(GPR):
                 raw_opt, lml, iters = gp.calibrate_variant(self._variant_raw(), mask, x, y,
                                                            maxiter=maxiter, gtol=gtol)
                 c, lml, iters = jax.device_get((variant_constrain(raw_opt), lml, iters))
+            recompute = self._N < int(meta.get('large_n_threshold',
+                                               self.LARGE_N_THRESHOLD))
             return self._finish_variant_calibration(c, lml, iters, meta,
-                                                    kernel_options, likelihood_options)
+                                                    kernel_options, likelihood_options,
+                                                    recompute_lml=recompute)
         meta.update({'result': result, 'kernel': kernel_options, 'likelihood': likelihood_options})
         self.write_meta(meta)
         return meta

@@ -100,6 +100,25 @@ def test_covariant_roundtrip(tmp_root):
     assert np.all(resid < 1e-6)
 
 
+def test_covariant_reload_diagonalizes_noise(tmp_root):
+    """Reference-parity quirk: the ctor always broadcasts with
+    is_diagonal=True (reference gpr/models.py:321, base/classes.py:87-88),
+    so reloading a covariant model zeroes trained noise off-diagonals —
+    calibrate writes the full matrix, reload diagonalizes it."""
+    repo = _repo(tmp_root, N=40)
+    fold = Fold(repo, 0)
+    gp = MOGP('gpr.c.a', fold, is_read=False, is_covariant=True, is_isotropic=False)
+    gp.calibrate(maxiter=60)
+    written = np.asarray(gp.likelihood.data.variance.np)   # full (L,L), as calibrated
+    assert written.shape == (3, 3)
+    off = written[~np.eye(3, dtype=bool)]
+    assert np.any(off != 0.0), 'noise covariance off-diagonals should train'
+    gp2 = MOGP('gpr.c.a', fold, is_read=True, is_covariant=True, is_isotropic=False)
+    reloaded = np.asarray(gp2.likelihood.data.variance.np)
+    np.testing.assert_allclose(np.diag(reloaded), np.diag(written), rtol=1e-12)
+    assert np.all(reloaded[~np.eye(3, dtype=bool)] == 0.0)
+
+
 def test_large_n_route_matches_fused(tmp_path):
     """Variant calibration routed through the distributed engine (threshold
     forced low) converges to the same hyperparameters as the fused path."""
