@@ -234,6 +234,145 @@ class ClosedSobol(Calibrator):
         result['S'] = result['V'] / self.V[2]
         return result
 
+    # -- factorized all-interval evaluation ----------------------------------- #
+    #
+    # The Gaussian-ratio pdf of an interval slice has DIAGONAL variance over
+    # input dims, so it factorizes exactly per dim m:
+    #   pdf_[a:b)(p,q) = prod_{m in [a,b)} exp(e_m(p,q)) / d_m
+    #   e_m(p,q) = -(G_pm - Phi_m G_qm)^2/(2 PsiPhi_m) + G_pm^2/(2 Phi_m)
+    #   d_m      = sqrt(PsiPhi_m / Phi_m)
+    # Exponents are additive over m, so ONE prefix/suffix pass over dims
+    # yields every canonical slice family at once: FIRST_ORDER needs e_m,
+    # CLOSED needs E_{<=m} (prefix), TOTAL needs E_{>=m} (suffix). The padded
+    # per-slice path (marginalize) pays O(N^2 M) PER SLICE; this pays
+    # O(N^2 M) for ALL slices of ALL kinds — the M-fold flop reduction that
+    # makes the N=20k GSA tractable.
+
+    @staticmethod
+    def _classify_interval(m: Tuple[int, int], M: int) -> Tuple[str, int]:
+        a, b = int(m[0]), int(m[1])
+        if a == b:
+            return ('empty', 0)
+        if b == a + 1:
+            return ('single', a)
+        if a == 0:
+            return ('prefix', b)
+        if b == M:
+            return ('suffix', a)
+        return ('general', 0)
+
+    def _intervals_chunk(self) -> int:
+        """Column-chunk size for the factorized pass: ~5 live
+        (l,L,N,j,J,chunk) planes inside the scan."""
+        explicit = self.meta.get('n_chunk', None)
+        if explicit:
+            return int(explicit)
+        lb = self.g0KY.shape[0] * self.g0KY.shape[1]
+        budget = self.V_MEMORY_BUDGET_BYTES // jnp.dtype(self.X.dtype).itemsize
+        return int(min(self.N, max(128, budget // (lb * lb * self.N * 5))))
+
+    def marginalize_intervals(self, slices: 'Tuple[Tuple[int, int], ...]'
+                              ) -> Dict[str, jnp.ndarray]:
+        """V and S for MANY interval slices in one O(N^2 M) factorized pass.
+
+        Every slice any GSA kind produces (gsa/models.py:77-90) is a single
+        dim, a prefix, a suffix, or empty; exotic intervals fall back to
+        :meth:`marginalize`. Returns {'V','S'} with the slice axis LAST,
+        ordered as ``slices``.
+        """
+        from jax import lax
+        specs = [self._classify_interval(m, self.M) for m in slices]
+        need = {k: any(s[0] == k for s in specs)
+                for k in ('single', 'prefix', 'suffix')}
+        l, L, N, M = self.G.shape
+        g = self.g0KY                                             # (l,L,N)
+
+        Gamma = 1 - self.Phi
+        Psi = (Gamma[:, :, None, None, :] + Gamma[None, None, :, :, :]
+               - jnp.einsum('lLM, jJM -> lLjJM', Gamma, Gamma))
+        PsiPhi = jnp.einsum('lLjJM, lLM -> lLjJM', Psi, self.Phi)  # (l,L,j,J,M)
+        d = jnp.sqrt(PsiPhi / self.Phi[:, :, None, None, :])       # per-dim det
+        inv_single = 1.0 / d
+        inv_prefix = 1.0 / jnp.cumprod(d, axis=-1)                 # 1/D_{<=m+1}
+        inv_suffix = 1.0 / jnp.cumprod(d[..., ::-1], axis=-1)[..., ::-1]
+
+        chunk = self._intervals_chunk()
+        nc = -(-N // chunk)
+        Npad = nc * chunk
+        # q side: zero-padded (g_q = 0 kills padding contributions exactly)
+        Gq = jnp.pad(self.G, ((0, 0), (0, 0), (0, Npad - N), (0, 0)))
+        Gq = jnp.moveaxis(Gq.reshape(l, L, nc, chunk, M), 2, 0)    # (nc,j,J,c,M)
+        gq = jnp.moveaxis(jnp.pad(g, ((0, 0), (0, 0), (0, Npad - N))
+                                  ).reshape(l, L, nc, chunk), 2, 0)  # (nc,j,J,c)
+        Gp_m = jnp.moveaxis(self.G, -1, 0)                         # (M,l,L,N)
+        Phi_m = jnp.moveaxis(self.Phi, -1, 0)                      # (M,l,L)
+        PsiPhi_m = jnp.moveaxis(PsiPhi, -1, 0)                     # (M,l,L,j,J)
+        zero_qf = jnp.zeros((M, l, L, l, L), dtype=self.G.dtype)
+
+        def e_step(Gp1, Phi1, PsiPhi1, Gq1):
+            """Per-dim exponent plane (l,L,N,j,J,c)."""
+            diff = (Gp1[:, :, :, None, None, None]
+                    - Phi1[:, :, None, None, None, None] * Gq1[None, None, None, ...])
+            e = -0.5 * diff * diff / PsiPhi1[:, :, None, :, :, None]
+            return e + 0.5 * (Gp1 * Gp1 / Phi1[..., None])[:, :, :, None, None, None]
+
+        def chunk_body(acc, xs):
+            Gq_c, gq_c = xs                                        # (j,J,c,M), (j,J,c)
+            acc_s, acc_p, acc_f = acc
+            Gq_cm = jnp.moveaxis(Gq_c, -1, 0)                      # (M,j,J,c)
+
+            def qf(plane):
+                return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ', g, plane, gq_c)
+
+            if need['single'] or need['prefix']:
+                zero = jnp.zeros((l, L, l, L), dtype=self.G.dtype)
+
+                def fwd(E, xs_m):
+                    e = e_step(*xs_m)
+                    E = E + e
+                    ys = (qf(jnp.exp(e)) if need['single'] else zero,
+                          qf(jnp.exp(E)) if need['prefix'] else zero)
+                    return E, ys
+                E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=self.G.dtype)
+                _, (ys_s, ys_p) = lax.scan(fwd, E0, (Gp_m, Phi_m, PsiPhi_m, Gq_cm))
+                if need['single']:
+                    acc_s = acc_s + ys_s
+                if need['prefix']:
+                    acc_p = acc_p + ys_p
+            if need['suffix']:
+                def bwd(E, xs_m):
+                    E = E + e_step(*xs_m)
+                    return E, qf(jnp.exp(E))
+                E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=self.G.dtype)
+                _, ys_f = lax.scan(bwd, E0, (Gp_m, Phi_m, PsiPhi_m, Gq_cm),
+                                   reverse=True)
+                acc_f = acc_f + ys_f
+            return (acc_s, acc_p, acc_f), None
+
+        (qf_s, qf_p, qf_f), _ = lax.scan(chunk_body, (zero_qf, zero_qf, zero_qf),
+                                         (Gq, gq))
+        V_single = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_s, inv_single)
+        V_prefix = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_p, inv_prefix)
+        V_suffix = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_f, inv_suffix)
+        s_sum = jnp.einsum('lLN -> l', g)
+        V_empty = jnp.einsum('l, j -> lj', s_sum, s_sum)
+
+        columns = []
+        for spec, m in zip(specs, slices):
+            kindname, idx = spec
+            if kindname == 'single':
+                columns.append(V_single[idx])
+            elif kindname == 'prefix':
+                columns.append(V_prefix[idx - 1])
+            elif kindname == 'suffix':
+                columns.append(V_suffix[idx])
+            elif kindname == 'empty':
+                columns.append(V_empty)
+            else:                                   # exotic: per-slice fallback
+                columns.append(self.marginalize(m)['V'])
+        V = jnp.stack(columns, axis=-1)
+        return {'V': V, 'S': V / self.V[2][..., None]}
+
 
 class ClosedSobolWithError(ClosedSobol):
     """Closed Sobol' indices with standard errors
@@ -513,10 +652,20 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
                                   is_F_diagonal=is_F_diagonal,
                                   L=gp.L, M=gp.M, N=gp.N, **meta)
             by_kind = {}
-            for kind, slices in kind_slices.items():
-                outs = [cal.marginalize(s) for s in slices]
-                by_kind[kind] = {k: jnp.stack([o[k] for o in outs], axis=-1)
-                                 for k in outs[0]}
+            if not is_error_calculated:
+                # ONE factorized O(N^2 M) pass over all slices of ALL kinds
+                flat = [s for slices in kind_slices.values() for s in slices]
+                out = cal.marginalize_intervals(tuple(flat))
+                start = 0
+                for kind, slices in kind_slices.items():
+                    stop = start + len(slices)
+                    by_kind[kind] = {k: v[..., start:stop] for k, v in out.items()}
+                    start = stop
+            else:
+                for kind, slices in kind_slices.items():
+                    outs = [cal.marginalize(s) for s in slices]
+                    by_kind[kind] = {k: jnp.stack([o[k] for o in outs], axis=-1)
+                                     for k in outs[0]}
             extras = {'V0': cal.V[0], 'S': cal.S}
             if is_error_calculated and not cal.meta['is_T_partial']:
                 extras['T'] = cal.T

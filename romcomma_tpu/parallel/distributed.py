@@ -578,17 +578,21 @@ class DistributedGP:
         return mean[:, 0], var
 
     def sobol_indices(self, ls, s2, noise, x_dev, y_dev, X: np.ndarray,
-                      kind: str = 'first_order', n_chunk: int | None = None):
+                      kind='first_order', n_chunk: int | None = None):
         """Closed-form Sobol' indices of the trained distributed GP.
 
         The plain (no-error) ClosedSobol needs only K^{-1}y from the posterior
         (the Cholesky factor itself is used only by the error path), so the
-        distributed solves feed the standard calibrator directly; the O(N^2)
-        V-contraction runs n-chunked (gsa.calibrators._V_chunked). Returns a
-        dict {m: S_m} plus {'total_variance_index': S} for the slice family of
-        ``kind`` in ('first_order'|'closed'|'total').
+        distributed solves feed the standard calibrator directly. ALL slices
+        of all requested kinds evaluate in one factorized O(N^2 M) pass
+        (gsa.calibrators.ClosedSobol.marginalize_intervals) — the posterior
+        solve and the per-dim exponent work are shared across kinds.
+
+        ``kind``: one of ('first_order'|'closed'|'total') -> {m: S_m}; or a
+        tuple of kinds -> {kind: {m: S_m}} computed in the same pass.
         """
         from romcomma_tpu.gsa.calibrators import ClosedSobol
+        kinds = (kind,) if isinstance(kind, str) else tuple(kind)
         alpha_stored, _ = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
         alpha = from_stored(self.plan, np.asarray(alpha_stored))       # (N,1)
         N, M = self.plan.N, X.shape[1]
@@ -601,14 +605,18 @@ class DistributedGP:
             Lambda=jnp.asarray(ls, f64)[None, :],
             X=jnp.asarray(np.asarray(X), f64),
             is_F_diagonal=True, L=1, M=M, N=N, **meta)
-        slices = {'first_order': [(m, m + 1) for m in range(M)],
+        family = {'first_order': [(m, m + 1) for m in range(M)],
                   'closed': [(0, m + 1) for m in range(M)],
-                  'total': [(m + 1, M) for m in range(M)]}[kind]
-        out = {m: np.asarray(cal.marginalize(s)['S'])[0, 0]
-               for m, s in enumerate(slices)}
-        if kind == 'total':
-            out = {m: float(np.asarray(cal.S)[0, 0] - v) for m, v in out.items()}
-        return out
+                  'total': [(m + 1, M) for m in range(M)]}
+        flat = [s for k in kinds for s in family[k]]
+        S_all = np.asarray(cal.marginalize_intervals(tuple(flat))['S'])[0, 0]
+        S_M = float(np.asarray(cal.S)[0, 0])
+        by_kind = {}
+        for i, k in enumerate(kinds):
+            S_k = S_all[i * M:(i + 1) * M]
+            by_kind[k] = {m: (S_M - float(v) if k == 'total' else float(v))
+                          for m, v in enumerate(S_k)}
+        return by_kind[kind] if isinstance(kind, str) else by_kind
 
     # -- calibration ---------------------------------------------------------- #
 

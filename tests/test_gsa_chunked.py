@@ -132,3 +132,52 @@ def test_first_order_indices_permute_with_inputs():
     base = first_order(x, ls)
     permuted = first_order(x[:, perm], ls[perm])
     np.testing.assert_allclose(permuted, base[perm], rtol=1e-8, atol=1e-10)
+
+
+def test_marginalize_intervals_matches_per_slice():
+    """The factorized O(N^2 M) all-interval pass reproduces the padded
+    per-slice path for every canonical kind (incl. the empty TOTAL slice and
+    the full interval), chunked and unchunked."""
+    M = 4
+    slices = ([(m, m + 1) for m in range(M)]          # first_order
+              + [(0, m + 1) for m in range(M)]        # closed
+              + [(m + 1, M) for m in range(M)])       # total (last is empty)
+    for chunk in (None, 16):
+        cal = _calibrator(n_chunk=chunk)
+        got = cal.marginalize_intervals(tuple(slices))
+        for i, s in enumerate(slices):
+            want = cal.marginalize(s)
+            np.testing.assert_allclose(np.asarray(got['V'][..., i]),
+                                       np.asarray(want['V']),
+                                       rtol=1e-9, atol=1e-11, err_msg=str(s))
+            np.testing.assert_allclose(np.asarray(got['S'][..., i]),
+                                       np.asarray(want['S']),
+                                       rtol=1e-9, atol=1e-11, err_msg=str(s))
+
+
+def test_marginalize_intervals_full_F():
+    """Factorized pass with a NON-diagonal signal covariance F (covariant
+    path, L>1 bunch axes exercised)."""
+    rng = np.random.default_rng(3)
+    N, M, L = 40, 3, 2
+    x = rng.normal(size=(N, M))
+    y = np.stack([np.sin(x[:, 0]) + x[:, 1], x[:, 2] ** 2], axis=-1)
+    from romcomma_tpu.models.params import covariant_init
+    from romcomma_tpu.models import gp as gpcore
+    raw = covariant_init(np.array([[1.0, 0.3], [0.3, 0.8]]),
+                         np.full((L, M), 1.2),
+                         np.diag([0.05, 0.04]))
+    K_cho, K_inv_Y = gpcore.posterior_factors_covariant(
+        raw, jnp.asarray(x), jnp.asarray(y))
+    from romcomma_tpu.models.params import covariant_constrain
+    c = covariant_constrain(raw)
+    cal = ClosedSobol.from_arrays(F=c['F'], K_cho=K_cho, K_inv_Y=K_inv_Y,
+                                  Lambda=c['lengthscales'], X=jnp.asarray(x),
+                                  is_F_diagonal=False, L=L, M=M, N=N)
+    slices = tuple([(m, m + 1) for m in range(M)] + [(0, 2), (1, M)])
+    got = cal.marginalize_intervals(slices)
+    for i, s in enumerate(slices):
+        want = cal.marginalize(s)
+        np.testing.assert_allclose(np.asarray(got['V'][..., i]),
+                                   np.asarray(want['V']),
+                                   rtol=1e-9, atol=1e-11, err_msg=str(s))
