@@ -110,7 +110,9 @@ def bench_scale_gsa(N: int = 8192, M: int = 30) -> dict:
         cal = ClosedSobol.from_arrays(F=c['variance'][None, :], K_cho=K_cho,
                                       K_inv_Y=K_inv_Y, Lambda=c['lengthscales'],
                                       X=x, is_F_diagonal=True, L=1, M=M, N=N)
-        S = [np.asarray(cal.marginalize((m, m + 1))['S'])[0, 0] for m in range(M)]
+        slices = tuple([(m, m + 1) for m in range(M)]     # first_order
+                       + [(m + 1, M) for m in range(M)])  # total (shared pass)
+        S = np.asarray(cal.marginalize_intervals(slices)['S'])[0, 0]
         return S
 
     t0 = time.time()

@@ -1,0 +1,66 @@
+"""North-star benchmark: N=20000, M=30 ARD-RBF GP trained + first-order AND
+total Sobol' indices, end-to-end on the available TPU (BASELINE.md targets;
+the reference tops out near N=9840 on one device, benchmark_script.py:36-38).
+
+Runs the large-N production path: DistributedGP host-paced L-BFGS training
+(bounded device dispatches for tunnelled runtimes) and the factorized
+O(N^2 M) all-kind Sobol' pass sharing one posterior solve.
+
+Usage:  python benchmarks/north_star.py [N] [M] [maxiter]
+Prints one JSON line with phase timings and the leading indices.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault('ROMCOMMA_X64', '0')      # f32 TPU fast path
+
+import numpy as np
+
+
+def main(N: int = 20000, M: int = 30, maxiter: int = 10) -> dict:
+    import jax
+    from romcomma_tpu.parallel import distributed as dist
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((N, M))
+    # sin(x0) + x1^2/2: analytic first-order indices concentrate on dims 0,1
+    # (S1 ~ [0.48, 0.43, 0...]), everything else is noise-floor — a structural
+    # oracle for the computed indices.
+    Y = (np.sin(X[:, :1]) + 0.5 * X[:, 1:2] ** 2
+         + 0.1 * rng.standard_normal((N, 1)))
+
+    t0 = time.time()
+    dgp = dist.DistributedGP(N, dist.make_n_mesh())
+    x_dev, y_dev = dgp.stage(X, Y)
+    jax.block_until_ready((x_dev, y_dev))
+    t_stage = time.time() - t0
+
+    t0 = time.time()
+    (ls, s2, noise), lml, iters = dgp.calibrate(
+        X, Y, ls0=np.full(M, 2.0), s2_0=1.0, noise0=0.05, maxiter=maxiter)
+    t_train = time.time() - t0
+
+    t0 = time.time()
+    S = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X,
+                          kind=('first_order', 'total'))
+    t_gsa = time.time() - t0
+
+    out = {'N': N, 'M': M, 'iters': int(np.asarray(iters)),
+           'lml': float(np.asarray(lml)),
+           'stage_s': round(t_stage, 1), 'train_s': round(t_train, 1),
+           'gsa_both_kinds_s': round(t_gsa, 1),
+           'end_to_end_s': round(t_stage + t_train + t_gsa, 1),
+           'S1_first3': [round(S['first_order'][m], 4) for m in range(3)],
+           'ST_first3': [round(S['total'][m], 4) for m in range(3)]}
+    print(json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == '__main__':
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

@@ -271,14 +271,19 @@ class ClosedSobol(Calibrator):
         budget = self.V_MEMORY_BUDGET_BYTES // jnp.dtype(self.X.dtype).itemsize
         return int(min(self.N, max(128, budget // (lb * lb * self.N * 5))))
 
-    def marginalize_intervals(self, slices: 'Tuple[Tuple[int, int], ...]'
-                              ) -> Dict[str, jnp.ndarray]:
+    def marginalize_intervals(self, slices: 'Tuple[Tuple[int, int], ...]',
+                              host_paced: bool = False) -> Dict[str, jnp.ndarray]:
         """V and S for MANY interval slices in one O(N^2 M) factorized pass.
 
         Every slice any GSA kind produces (gsa/models.py:77-90) is a single
         dim, a prefix, a suffix, or empty; exotic intervals fall back to
         :meth:`marginalize`. Returns {'V','S'} with the slice axis LAST,
         ordered as ``slices``.
+
+        ``host_paced`` drives the column-chunk loop from Python (one bounded
+        device dispatch per chunk) instead of a fused lax.scan — required on
+        tunnelled TPU runtimes that kill long single executions; only valid
+        outside jit.
         """
         from jax import lax
         specs = [self._classify_interval(m, self.M) for m in slices]
@@ -349,8 +354,16 @@ class ClosedSobol(Calibrator):
                 acc_f = acc_f + ys_f
             return (acc_s, acc_p, acc_f), None
 
-        (qf_s, qf_p, qf_f), _ = lax.scan(chunk_body, (zero_qf, zero_qf, zero_qf),
-                                         (Gq, gq))
+        if host_paced:
+            import jax
+            step = jax.jit(lambda acc, xs: chunk_body(acc, xs)[0])
+            acc = (zero_qf, zero_qf, zero_qf)
+            for i in range(int(nc)):
+                acc = step(acc, (Gq[i], gq[i]))
+            qf_s, qf_p, qf_f = acc
+        else:
+            (qf_s, qf_p, qf_f), _ = lax.scan(chunk_body,
+                                             (zero_qf, zero_qf, zero_qf), (Gq, gq))
         V_single = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_s, inv_single)
         V_prefix = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_p, inv_prefix)
         V_suffix = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_f, inv_suffix)

@@ -360,9 +360,14 @@ class DistributedGP:
     # -- host-side staging -------------------------------------------------- #
 
     def stage(self, X: np.ndarray, Y: np.ndarray):
-        """Host (N,M) X / (N,1)|(N,) Y -> stored-order padded device arrays."""
-        X = np.asarray(X)
-        Y = np.asarray(Y).reshape(len(X), -1)
+        """Host (N,M) X / (N,1)|(N,) Y -> stored-order padded device arrays,
+        cast to the working dtype (base.definitions.FLOAT()): raw float64
+        numpy inputs must not silently select the f64 (TPU-emulated) path —
+        under ROMCOMMA_X64=0 that compiles a program several times the HBM
+        and an order of magnitude slower."""
+        from romcomma_tpu.base.definitions import FLOAT
+        X = np.asarray(X, dtype=FLOAT())
+        Y = np.asarray(Y, dtype=FLOAT()).reshape(len(X), -1)
         xs = to_stored(self.plan, X)
         ys = to_stored(self.plan, Y)
         x_dev = jax.device_put(jnp.asarray(xs), _row_sharding(self.mesh))
@@ -609,7 +614,9 @@ class DistributedGP:
                   'closed': [(0, m + 1) for m in range(M)],
                   'total': [(m + 1, M) for m in range(M)]}
         flat = [s for k in kinds for s in family[k]]
-        S_all = np.asarray(cal.marginalize_intervals(tuple(flat))['S'])[0, 0]
+        # host-paced chunks: bounded dispatches for tunnelled TPU runtimes
+        S_all = np.asarray(cal.marginalize_intervals(tuple(flat),
+                                                     host_paced=True)['S'])[0, 0]
         S_M = float(np.asarray(cal.S)[0, 0])
         by_kind = {}
         for i, k in enumerate(kinds):

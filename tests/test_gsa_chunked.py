@@ -181,3 +181,14 @@ def test_marginalize_intervals_full_F():
         np.testing.assert_allclose(np.asarray(got['V'][..., i]),
                                    np.asarray(want['V']),
                                    rtol=1e-9, atol=1e-11, err_msg=str(s))
+
+
+def test_marginalize_intervals_host_paced():
+    """Host-paced chunk loop (bounded dispatches for tunnelled runtimes)
+    matches the fused lax.scan path bit-for-bit-ish."""
+    cal = _calibrator(n_chunk=16)
+    slices = tuple([(m, m + 1) for m in range(4)] + [(1, 4), (0, 3)])
+    fused = cal.marginalize_intervals(slices)
+    paced = cal.marginalize_intervals(slices, host_paced=True)
+    np.testing.assert_allclose(np.asarray(paced['V']), np.asarray(fused['V']),
+                               rtol=1e-12)
