@@ -21,6 +21,7 @@ with first-order/closed/total selected by the slice (gsa/models.py:77-90).
 
 from __future__ import annotations
 
+import copy
 from typing import Any, Dict, List, NamedTuple, Tuple
 
 import jax.numpy as jnp
@@ -507,13 +508,22 @@ class ClosedSobolWithError(ClosedSobol):
                                                    self.mu_phi_mu['pre-factor'], result)
         return mu_phi_mu
 
-    def _psi_factor(self, G: jnp.ndarray, Phi: jnp.ndarray, GGaussian: Gaussian) -> jnp.ndarray:
-        """The psi factor of E_m E_mp (mu psi mu) (calibrators.py:290-309)."""
+    def _psi_ratio(self, G: jnp.ndarray, Phi: jnp.ndarray, GGaussian: Gaussian) -> Gaussian:
+        """The psi Gaussian RATIO of a slice — the pdf whose contraction
+        (:meth:`_psi_contract`) yields the psi factor. Split out so the
+        factorized interval pass can accumulate it per input dim."""
         D = Phi[..., None, None, :] - jnp.einsum('lLM, iIM, lLM -> lLiIM', Phi, Phi, Phi)
         mean = jnp.einsum('lLM, iInM -> lLiInM', Phi, G)
         mean = mean[:, :, None, ...] - G[..., None, None, None, :]
         gaussian = Gaussian(mean=mean, variance=D, is_variance_diagonal=True, LBunch=2)
-        gaussian = gaussian / GGaussian.expand_dims([-1, -2, -3])
+        return gaussian / GGaussian.expand_dims([-1, -2, -3])
+
+    def _psi_factor(self, G: jnp.ndarray, Phi: jnp.ndarray, GGaussian: Gaussian) -> jnp.ndarray:
+        """The psi factor of E_m E_mp (mu psi mu) (calibrators.py:290-309)."""
+        return self._psi_contract(self._psi_ratio(G, Phi, GGaussian))
+
+    def _psi_contract(self, gaussian: Gaussian) -> jnp.ndarray:
+        """Contract the psi Gaussian ratio with g0KY/g0 and solve vs K_cho."""
         factor = jnp.einsum('lLN, iIn, lLNiIn -> liIn', self.g0KY, self.g0, gaussian.pdf)
         if self.K_cho.ndim == 2 and factor.shape[-2] == 1:
             inner = jnp.einsum('liIN -> lNi', factor)
@@ -545,36 +555,127 @@ class ClosedSobolWithError(ClosedSobol):
             Q = Wmm - 2 * Vm * WMm / self.V[1] + Vm * Vm * self.Q
         return jnp.sqrt(jnp.abs(Q) / self.V[4])
 
-    def marginalize(self, m: Tuple[int, int]) -> Dict[str, jnp.ndarray]:
-        """(calibrators.py:348-373)"""
-        result = super().marginalize(m)
+    def _families(self, m: Tuple[int, int]):
+        """The error-integral family bundle of slice ``m``: (GGaussian,
+        psi ratio, Upsilon Gaussians per rank family, Omega Gaussians per
+        rank family, rank families). All members are diagonal-variance
+        Gaussians over the slice dims, so bundles of adjacent slices compose
+        by exponent-addition/det-multiplication (:meth:`_bundle_mul`)."""
         G, Phi, Upsilon = tuple(tensor[..., m[0]:m[1]]
                                 for tensor in (self.G, self.Phi, self.Upsilon))
         GGaussian = Gaussian(G, Phi, is_variance_diagonal=True, LBunch=2)
-        psi_factor = self._psi_factor(G, Phi, GGaussian)
+        psi_ratio = self._psi_ratio(G, Phi, GGaussian)
+        families = ((self.RANK_EQUATIONS.DIAGONAL,) if self.meta['is_T_partial']
+                    else tuple(self.RANK_EQUATIONS))
+        ups = tuple(self._UpsilonGaussian(G, Phi, Upsilon, req) for req in families)
+        oms = tuple(self._OmegaGaussian(m, self.G, self.Phi, self.Upsilon, req)
+                    for req in families)
+        return (GGaussian, psi_ratio, ups, oms, families)
+
+    @staticmethod
+    def _g_mul(a: Gaussian, b: Gaussian) -> Gaussian:
+        """Product of two diagonal Gaussian pdfs over disjoint dim sets:
+        exponents add, sqrt-dets multiply (trailing width axes are 1)."""
+        r = copy.copy(a)
+        r.exponent = a.exponent + b.exponent
+        r.cho_diag = a.cho_diag * b.cho_diag
+        return r
+
+    @classmethod
+    def _bundle_mul(cls, a, b):
+        return (cls._g_mul(a[0], b[0]), cls._g_mul(a[1], b[1]),
+                tuple([cls._g_mul(x, y) for x, y in zip(la, lb)]
+                      for la, lb in zip(a[2], b[2])),
+                tuple([cls._g_mul(x, y) for x, y in zip(la, lb)]
+                      for la, lb in zip(a[3], b[3])),
+                a[4])
+
+    @classmethod
+    def _bundle_neutral(cls, a):
+        """The empty-slice bundle (pdf == 1): zero exponents, unit dets."""
+        def g(x: Gaussian) -> Gaussian:
+            r = copy.copy(x)
+            r.exponent = jnp.zeros_like(x.exponent)
+            r.cho_diag = jnp.ones_like(x.cho_diag)
+            return r
+        return (g(a[0]), g(a[1]), tuple([g(x) for x in la] for la in a[2]),
+                tuple([g(x) for x in la] for la in a[3]), a[4])
+
+    def _error_results(self, bundle, Vm) -> Dict[str, jnp.ndarray]:
+        """W and T from a family bundle (the tail of reference
+        calibrators.py:348-373). ``Vm`` is only used when is_T_partial is
+        False (the V-dependent T correction)."""
+        GGaussian, psi_ratio, ups_fams, oms_fams, families = bundle
+        psi_factor = self._psi_contract(psi_ratio)
+        Ws = [self._W(self._mu_phi_mu(GGaussian, list(ups), [copy.copy(o) for o in oms],
+                                      req),
+                      self._mu_psi_mu(psi_factor, req))
+              for ups, oms, req in zip(ups_fams, oms_fams, families)]
         if self.meta['is_T_partial']:
-            UpsilonGaussians = self._UpsilonGaussian(G, Phi, Upsilon, self.RANK_EQUATIONS.DIAGONAL)
-            OmegaGaussians = self._OmegaGaussian(m, self.G, self.Phi, self.Upsilon,
-                                                 self.RANK_EQUATIONS.DIAGONAL)
-            Wmm = self._W(self._mu_phi_mu(GGaussian, UpsilonGaussians, OmegaGaussians,
-                                          self.RANK_EQUATIONS.DIAGONAL),
-                          self._mu_psi_mu(psi_factor, self.RANK_EQUATIONS.DIAGONAL))
-            result |= {'W': Wmm, 'T': self._T(Wmm)}
-        else:
-            UpsilonGaussians = self.RankEquations(
-                *(self._UpsilonGaussian(G, Phi, Upsilon, rank_eqs)
-                  for rank_eqs in self.RANK_EQUATIONS))
-            OmegaGaussians = self.RankEquations(
-                *(self._OmegaGaussian(m, self.G, self.Phi, self.Upsilon, rank_eqs)
-                  for rank_eqs in self.RANK_EQUATIONS))
-            Wmm = self._W(self._mu_phi_mu(GGaussian, UpsilonGaussians.DIAGONAL,
-                                          OmegaGaussians.DIAGONAL, self.RANK_EQUATIONS.DIAGONAL),
-                          self._mu_psi_mu(psi_factor, self.RANK_EQUATIONS.DIAGONAL))
-            WMm = self._W(self._mu_phi_mu(GGaussian, UpsilonGaussians.MIXED,
-                                          OmegaGaussians.MIXED, self.RANK_EQUATIONS.MIXED),
-                          self._mu_psi_mu(psi_factor, self.RANK_EQUATIONS.MIXED))
-            result |= {'W': Wmm, 'T': self._T(Wmm, WMm, result['V'])}
+            return {'W': Ws[0], 'T': self._T(Ws[0])}
+        Wmm, WMm = Ws                              # (DIAGONAL, MIXED) order
+        return {'W': Wmm, 'T': self._T(Wmm, WMm, Vm)}
+
+    def marginalize(self, m: Tuple[int, int]) -> Dict[str, jnp.ndarray]:
+        """(calibrators.py:348-373)"""
+        result = super().marginalize(m)
+        result |= self._error_results(self._families(m), result['V'])
         return result
+
+    def marginalize_intervals(self, slices: 'Tuple[Tuple[int, int], ...]',
+                              host_paced: bool = False) -> Dict[str, jnp.ndarray]:
+        """Factorized all-interval pass INCLUDING standard errors.
+
+        V/S come from the parent's O(N^2 M) scan. The W/T error integrals
+        factorize the same way: every family Gaussian has diagonal variance
+        over the slice dims with slice-independent per-dim parameters, so
+        the bundle of a prefix/suffix slice is the running product of
+        width-1 bundles built by the trusted per-slice constructors. Each
+        requested slice then pays only its own exp+contraction (O(N^2) per
+        slice instead of O(N^2 width)) — and width-1 slices are no longer
+        padded to width M.
+        """
+        specs = [self._classify_interval(m, self.M) for m in slices]
+        if any(k == 'general' for k, _ in specs):
+            outs = [self.marginalize(s) for s in slices]
+            return {k: jnp.stack([o[k] for o in outs], axis=-1) for k in outs[0]}
+        base = super().marginalize_intervals(slices, host_paced)
+        singles = {i for k, i in specs if k == 'single'}
+        prefixes = {i for k, i in specs if k == 'prefix'}
+        suffixes = {i for k, i in specs if k == 'suffix'}
+        has_empty = any(k == 'empty' for k, _ in specs)
+        Vm = {i: base['V'][..., i] for i in range(len(slices))}
+        v_of = {}                       # spec -> V column (for non-partial T)
+        for i, spec in enumerate(specs):
+            v_of.setdefault(spec, Vm[i])
+        by_spec: Dict[Tuple[str, int], Dict[str, jnp.ndarray]] = {}
+        if singles or prefixes:
+            acc = None
+            for m in range(self.M):
+                if not (singles or {b for b in prefixes if b > m}):
+                    break
+                fam = self._families((m, m + 1))
+                if m in singles:
+                    by_spec[('single', m)] = self._error_results(fam, v_of[('single', m)])
+                    singles = singles - {m}
+                if prefixes:
+                    acc = fam if acc is None else self._bundle_mul(acc, fam)
+                    if (m + 1) in prefixes:
+                        by_spec[('prefix', m + 1)] = self._error_results(
+                            acc, v_of[('prefix', m + 1)])
+        if suffixes:
+            acc = None
+            for m in reversed(range(min(suffixes), self.M)):
+                fam = self._families((m, m + 1))
+                acc = fam if acc is None else self._bundle_mul(acc, fam)
+                if m in suffixes:
+                    by_spec[('suffix', m)] = self._error_results(acc, v_of[('suffix', m)])
+        if has_empty:
+            by_spec[('empty', 0)] = self._error_results(
+                self._bundle_neutral(self._families((0, 1))), v_of[('empty', 0)])
+        for key in ('W', 'T'):
+            base[key] = jnp.stack([by_spec[spec][key] for spec in specs], axis=-1)
+        return base
 
     def _calibrate(self):
         """(calibrators.py:375-402)"""
@@ -665,20 +766,15 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
                                   is_F_diagonal=is_F_diagonal,
                                   L=gp.L, M=gp.M, N=gp.N, **meta)
             by_kind = {}
-            if not is_error_calculated:
-                # ONE factorized O(N^2 M) pass over all slices of ALL kinds
-                flat = [s for slices in kind_slices.values() for s in slices]
-                out = cal.marginalize_intervals(tuple(flat))
-                start = 0
-                for kind, slices in kind_slices.items():
-                    stop = start + len(slices)
-                    by_kind[kind] = {k: v[..., start:stop] for k, v in out.items()}
-                    start = stop
-            else:
-                for kind, slices in kind_slices.items():
-                    outs = [cal.marginalize(s) for s in slices]
-                    by_kind[kind] = {k: jnp.stack([o[k] for o in outs], axis=-1)
-                                     for k in outs[0]}
+            # ONE factorized O(N^2 M) pass over all slices of ALL kinds
+            # (ClosedSobolWithError's override adds the W/T error integrals)
+            flat = [s for slices in kind_slices.values() for s in slices]
+            out = cal.marginalize_intervals(tuple(flat))
+            start = 0
+            for kind, slices in kind_slices.items():
+                stop = start + len(slices)
+                by_kind[kind] = {k: v[..., start:stop] for k, v in out.items()}
+                start = stop
             extras = {'V0': cal.V[0], 'S': cal.S}
             if is_error_calculated and not cal.meta['is_T_partial']:
                 extras['T'] = cal.T

@@ -192,3 +192,40 @@ def test_marginalize_intervals_host_paced():
     paced = cal.marginalize_intervals(slices, host_paced=True)
     np.testing.assert_allclose(np.asarray(paced['V']), np.asarray(fused['V']),
                                rtol=1e-12)
+
+
+def _error_calibrator(is_T_partial=True, N=60, M=4, L=2, seed=0):
+    from romcomma_tpu.gsa.calibrators import ClosedSobolWithError
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(N, M))
+    y = np.stack([np.sin(x[:, 0]) + x[:, 1], x[:, 2] ** 2], axis=-1)[:, :L]
+    y = y + 0.05 * rng.standard_normal((N, L))
+    raw = variant_init(np.full(L, 1.0), np.full((L, M), 1.2), np.full(L, 0.05))
+    K_cho, K_inv_Y = gp.posterior_factors_variant(raw, jnp.asarray(x), jnp.asarray(y))
+    c = variant_constrain(raw)
+    return ClosedSobolWithError.from_arrays(
+        F=c['variance'][None, :], K_cho=K_cho, K_inv_Y=K_inv_Y,
+        Lambda=c['lengthscales'], X=jnp.asarray(x),
+        is_F_diagonal=True, L=L, M=M, N=N, is_T_partial=is_T_partial)
+
+
+@pytest.mark.parametrize('is_T_partial', [True, False])
+def test_error_intervals_match_per_slice(is_T_partial):
+    """Factorized W/T interval pass (accumulated width-1 family bundles)
+    reproduces the per-slice error path for every canonical kind."""
+    M = 4
+    cal = _error_calibrator(is_T_partial=is_T_partial, M=M)
+    slices = tuple([(m, m + 1) for m in range(M)]
+                   + [(0, m + 1) for m in range(M)]
+                   + [(m + 1, M) for m in range(M)])   # last is empty
+    got = cal.marginalize_intervals(slices)
+    for i, s in enumerate(slices):
+        want = cal.marginalize(s)
+        for key in ('V', 'S', 'W', 'T'):
+            # T = sqrt(|Q|/V4) where Q cancels to ~0 on exactly-zero entries
+            # (e.g. the full slice, non-partial): its absolute floor is
+            # sqrt(eps * scale), not eps.
+            atol = 1e-7 if key == 'T' else 1e-11
+            np.testing.assert_allclose(
+                np.asarray(got[key][..., i]), np.asarray(want[key]),
+                rtol=1e-9, atol=atol, err_msg=f'{key} {s} partial={is_T_partial}')
