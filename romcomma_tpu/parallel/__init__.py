@@ -1,1 +1,2 @@
 from romcomma_tpu.parallel import mesh
+from romcomma_tpu.parallel import multihost

@@ -60,8 +60,11 @@ def Environment(name: str = '', device: str = '', profile_dir: Optional[str] = N
             except RuntimeError:
                 pass  # backends already initialized; keep current platform
         backend = jax.default_backend()
-        print(f' using JAX({backend}, x64={jax.config.jax_enable_x64})...', flush=True)
-        if backend == 'tpu' and jax.config.jax_enable_x64:
+        from romcomma_tpu.base.definitions import FLOAT
+        print(f' using JAX({backend}, working dtype={FLOAT().name})...', flush=True)
+        # x64 CAPABILITY is always on; the working dtype (FLOAT()) is what
+        # decides whether the training programs compile in f64.
+        if backend == 'tpu' and FLOAT().itemsize == 8:
             print(' WARNING: float64 on TPU is emulated, slow to compile, and '
                   'has been observed to crash the XLA TPU compiler on the '
                   'L-BFGS training program. Set ROMCOMMA_X64=0 (before import) '
