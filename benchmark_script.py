@@ -36,12 +36,25 @@ IS_GSA_ERROR_CALCULATED: bool = True
 
 def run(args: argparse.Namespace, root: str | Path) -> Path:
     root = Path(root)
+    # Sweep-cell distribution across processes (SLURM array / TPU pod):
+    # identity from --process-id/--num-processes, else the multihost env
+    # vars / jax.distributed (parallel/multihost.py). Each process runs its
+    # round-robin share of (noise, M, N, rotation) cells; results persist to
+    # the shared tree and collect as usual.
+    from romcomma_tpu.parallel import multihost
+    pid, nproc = multihost.process_identity()
+    pid = args.process_id if args.process_id is not None else pid
+    nproc = args.num_processes if args.num_processes is not None else nproc
+    cell = -1
     with user.contexts.Environment('Test'):
         KIND_NAMES = [kind.name.lower() for kind in GSA_KINDS]
         gprs, gsas = {}, {}
         for noise_magnitude in NOISE_MAGNITUDES:
             for M in Ms:
                 for N in Ns:
+                    cell += 1
+                    if cell % nproc != pid:
+                        continue
                     noise_variance = user.sample.GaussianNoise.Variance(
                         len(FUNCTION_VECTOR), noise_magnitude, args.is_noise_covariant,
                         IS_NOISE_VARIANCE_DETERMINED)
@@ -119,6 +132,10 @@ if __name__ == '__main__':
     parser.add_argument('-e', '--ext', help='The extension appended to each Store name.', type=str)
     parser.add_argument('-t', '--tar', help='Outputs a .tar.gz file to path.', type=str)
     parser.add_argument('-y', '--copy', help='Copies collected results to path.', type=str)
+    parser.add_argument('--process-id', help='This process\'s index for sweep-cell distribution '
+                        '(defaults to ROMCOMMA_PROCESS_ID / jax.process_index).', type=int, default=None)
+    parser.add_argument('--num-processes', help='Total processes sharing the sweep '
+                        '(defaults to ROMCOMMA_NUM_PROCESSES / jax.process_count).', type=int, default=None)
     parser.add_argument('root', help='The path of the root folder to house all data repositories.', type=str)
     args = parser.parse_args()
     K = args.folds if args.folds else K
