@@ -394,6 +394,11 @@ class ClosedSobolWithError(ClosedSobol):
 
     META: Dict[str, Any] = {'is_T_partial': True}
 
+    #: N at/above which marginalize_intervals factorizes the error integrals
+    #: (below it, the per-slice program compiles faster and runtime is
+    #: dispatch-bound). Overridable via meta['factorize_errors_at_n'].
+    FACTORIZE_ERRORS_AT_N: int = 2048
+
     class RankEquation(NamedTuple):
         l: str
         i: str
@@ -636,7 +641,13 @@ class ClosedSobolWithError(ClosedSobol):
         padded to width M.
         """
         specs = [self._classify_interval(m, self.M) for m in slices]
-        if any(k == 'general' for k, _ in specs):
+        # Below this N the per-slice path wins: its XLA program compiles much
+        # faster on TPU (the accumulation chains compile pathologically in
+        # emulated f64) and runtime is dispatch-bound anyway. The factorized
+        # path's O(N^2 M) vs O(N^2 M^2) advantage matters at scale.
+        threshold = int(self.meta.get('factorize_errors_at_n',
+                                      self.FACTORIZE_ERRORS_AT_N))
+        if any(k == 'general' for k, _ in specs) or self.N < threshold:
             outs = [self.marginalize(s) for s in slices]
             return {k: jnp.stack([o[k] for o in outs], axis=-1) for k in outs[0]}
         base = super().marginalize_intervals(slices, host_paced)
