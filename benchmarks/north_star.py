@@ -51,6 +51,7 @@ def main(N: int = 20000, M: int = 30, maxiter: int = 10) -> dict:
     t_gsa = time.time() - t0
 
     out = {'N': N, 'M': M, 'iters': int(np.asarray(iters)),
+           'gsa_phases': getattr(dgp, 'last_gsa_timings', None),
            'lml': float(np.asarray(lml)),
            'stage_s': round(t_stage, 1), 'train_s': round(t_train, 1),
            'gsa_both_kinds_s': round(t_gsa, 1),

@@ -204,6 +204,13 @@ class ClosedSobol(Calibrator):
                                  / float(np.prod(self.g0KY.shape[1:])))
         self.G = jnp.einsum('lLM, NM -> lLNM', self.Lambda2[-1][1], self.X)
         self.Phi = self.Lambda2[-1][1]
+        if self.meta.get('defer_V', False):
+            # Skip the full-interval O(N^2 M) V pass: the caller will obtain
+            # V0 from marginalize_intervals' (0, M) slice instead (one fused
+            # dispatch saved — and at large N, one tunnel-kill risk less).
+            # Only valid for plain ClosedSobol driven through canonical
+            # intervals; marginalize()/the error path need self.V.
+            return
         self.V = {0: self._V(self.G, self.Phi)}
         self.V |= {1: _diag_part(self.V[0])}
         V = jnp.sqrt(self.V[1])
@@ -385,6 +392,8 @@ class ClosedSobol(Calibrator):
             else:                                   # exotic: per-slice fallback
                 columns.append(self.marginalize(m)['V'])
         V = jnp.stack(columns, axis=-1)
+        if not hasattr(self, 'V'):           # defer_V mode: caller normalizes
+            return {'V': V}
         return {'V': V, 'S': V / self.V[2][..., None]}
 
 

@@ -347,6 +347,11 @@ class DistributedGP:
     with the transforms in romcomma_tpu.models.params for raw-space descent.
     """
 
+    #: bytes allowed for the replicated (Npad, Npad) L^{-1} buffer in the
+    #: single-device K^{-1} build (Linv^T Linv); beyond it (or multi-device)
+    #: the chunked two-sweep build is used.
+    KINV_LINV_BUDGET_BYTES: int = 5 * 2 ** 30
+
     def __init__(self, N: int, mesh: Mesh | None = None, block: int = 256):
         self.mesh = mesh if mesh is not None else make_n_mesh()
         self.plan = plan(N, S=self.mesh.devices.size, B=block)
@@ -460,11 +465,15 @@ class DistributedGP:
 
         @functools.partial(jax.jit, out_shardings=row_shard)
         def kinv_all(L):
-            """K^{-1} built ``kinv_cols`` identity columns at a time;
-            accumulated into a row-sharded (Npad, Npad) slab so no device
-            holds more than its slab plus one replicated chunk. The final
-            chunk overlaps backwards rather than shrinking (identical values
-            are simply rewritten) to keep one compiled shape."""
+            """K^{-1} as Linv^T Linv on a single device (one substitution
+            sweep + one full-rate MXU matmul — half the sequential steps of
+            the two-sweep chunked build), falling back to the chunked
+            two-sweep build when the replicated (Npad, Npad) Linv would not
+            fit (multi-device, or very large Npad)."""
+            if pl_.S == 1 and Npad * Npad * L.dtype.itemsize <= self.KINV_LINV_BUDGET_BYTES:
+                Linv = fwd(L, jnp.eye(Npad, dtype=L.dtype))      # L^{-1}
+                return lax.with_sharding_constraint(Linv.T @ Linv, row_shard)
+
             def body(t, Kinv):
                 col0 = jnp.minimum(t * kinv_cols, Npad - kinv_cols).astype(jnp.int32)
                 cols = (jnp.arange(Npad, dtype=jnp.int32)[:, None]
@@ -596,28 +605,38 @@ class DistributedGP:
         ``kind``: one of ('first_order'|'closed'|'total') -> {m: S_m}; or a
         tuple of kinds -> {kind: {m: S_m}} computed in the same pass.
         """
+        import time
         from romcomma_tpu.gsa.calibrators import ClosedSobol
         kinds = (kind,) if isinstance(kind, str) else tuple(kind)
+        t0 = time.time()
         alpha_stored, _ = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
         alpha = from_stored(self.plan, np.asarray(alpha_stored))       # (N,1)
+        t_posterior = time.time() - t0
         N, M = self.plan.N, X.shape[1]
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
         f64 = jnp.float64   # GSA always runs f64 (see gsa.calibrators)
+        t0 = time.time()
+        # defer_V: V0 comes from the (0, M) interval below — no separate
+        # full-interval V dispatch.
         cal = ClosedSobol.from_arrays(
             F=jnp.asarray([[1.0]], f64) * jnp.asarray(s2, f64),
             K_cho=jnp.zeros((1, 1, 1), f64),
             K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N), f64),
             Lambda=jnp.asarray(ls, f64)[None, :],
             X=jnp.asarray(np.asarray(X), f64),
-            is_F_diagonal=True, L=1, M=M, N=N, **meta)
+            is_F_diagonal=True, L=1, M=M, N=N, defer_V=True, **meta)
         family = {'first_order': [(m, m + 1) for m in range(M)],
                   'closed': [(0, m + 1) for m in range(M)],
                   'total': [(m + 1, M) for m in range(M)]}
-        flat = [s for k in kinds for s in family[k]]
+        flat = [(0, M)] + [s for k in kinds for s in family[k]]
         # host-paced chunks: bounded dispatches for tunnelled TPU runtimes
-        S_all = np.asarray(cal.marginalize_intervals(tuple(flat),
-                                                     host_paced=True)['S'])[0, 0]
-        S_M = float(np.asarray(cal.S)[0, 0])
+        V_all = np.asarray(cal.marginalize_intervals(tuple(flat),
+                                                     host_paced=True)['V'])[0, 0]
+        self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),
+                                 'intervals_s': round(time.time() - t0, 1)}
+        V0 = float(V_all[0])
+        S_all = V_all[1:] / V0
+        S_M = 1.0                      # L=1: S of the full interval is V0/V0
         by_kind = {}
         for i, k in enumerate(kinds):
             S_k = S_all[i * M:(i + 1) * M]

@@ -141,3 +141,33 @@ def test_calibrate_improves_lml(problem):
     assert float(lml) > lml0
     assert np.isfinite(float(lml))
     assert float(noise) > 0
+
+
+def test_lml_grad_single_device_linv_path():
+    """Single-device mesh exercises the Linv^T Linv K^{-1} build (the
+    multi-device tests take the chunked two-sweep path)."""
+    import jax
+    rng = np.random.default_rng(7)
+    n, M = 72, 4
+    X = rng.normal(size=(n, M))
+    Y = np.sin(X[:, :1]) + 0.1 * rng.normal(size=(n, 1))
+    ls = jnp.asarray(rng.uniform(0.8, 2.0, M))
+    s2, noise = jnp.asarray(1.3), jnp.asarray(0.05)
+    mesh = dist.make_n_mesh(1)
+    gp = dist.DistributedGP(n, mesh, block=16)
+    assert gp.plan.S == 1
+    x_dev, y_dev = gp.stage(X, Y)
+
+    def f_dist(ls, s2, noise):
+        return gp.lml(ls, s2, noise, x_dev, y_dev)
+
+    def f_oracle(ls, s2, noise):
+        return _oracle_lml(X, Y, ls, s2, noise)
+
+    np.testing.assert_allclose(float(f_dist(ls, s2, noise)),
+                               float(f_oracle(ls, s2, noise)), rtol=1e-9)
+    g_d = jax.grad(f_dist, argnums=(0, 1, 2))(ls, s2, noise)
+    g_o = jax.grad(f_oracle, argnums=(0, 1, 2))(ls, s2, noise)
+    for gd, go in zip(g_d, g_o):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(go),
+                                   rtol=1e-6, atol=1e-9)
