@@ -592,7 +592,8 @@ class DistributedGP:
         return mean[:, 0], var
 
     def sobol_indices(self, ls, s2, noise, x_dev, y_dev, X: np.ndarray,
-                      kind='first_order', n_chunk: int | None = None):
+                      kind='first_order', n_chunk: int | None = None,
+                      gsa_dtype=None):
         """Closed-form Sobol' indices of the trained distributed GP.
 
         The plain (no-error) ClosedSobol needs only K^{-1}y from the posterior
@@ -604,6 +605,13 @@ class DistributedGP:
 
         ``kind``: one of ('first_order'|'closed'|'total') -> {m: S_m}; or a
         tuple of kinds -> {kind: {m: S_m}} computed in the same pass.
+
+        ``gsa_dtype``: working dtype of the interval pass. Default float64
+        (full safety). jnp.float32 is the measured-safe fast mode for the
+        FACTORIZED pass — the per-slice quadforms sum positive-pdf-weighted
+        terms, so with the f64-refined posterior feeding it, |dS| ~ 1e-6 at
+        N=4096 (tests/test_gsa_chunked.py pins 1e-4) — worth ~6x on TPU
+        where f64 is emulated.
         """
         import time
         from romcomma_tpu.gsa.calibrators import ClosedSobol
@@ -614,7 +622,7 @@ class DistributedGP:
         t_posterior = time.time() - t0
         N, M = self.plan.N, X.shape[1]
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
-        f64 = jnp.float64   # GSA always runs f64 (see gsa.calibrators)
+        f64 = jnp.float64 if gsa_dtype is None else jnp.dtype(gsa_dtype)
         t0 = time.time()
         # defer_V: V0 comes from the (0, M) interval below — no separate
         # full-interval V dispatch.

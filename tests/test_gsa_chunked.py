@@ -230,3 +230,25 @@ def test_error_intervals_match_per_slice(is_T_partial):
             np.testing.assert_allclose(
                 np.asarray(got[key][..., i]), np.asarray(want[key]),
                 rtol=1e-9, atol=atol, err_msg=f'{key} {s} partial={is_T_partial}')
+
+
+def test_distributed_sobol_f32_fast_mode():
+    """The f32 factorized interval pass (fed by the f64-refined posterior)
+    agrees with f64 to 1e-4 — the TPU fast mode for sobol_indices."""
+    import jax.numpy as jnp
+    from romcomma_tpu.parallel import distributed as dist
+    rng = np.random.default_rng(5)
+    N, M = 120, 4
+    x = rng.normal(size=(N, M))
+    y = np.sin(x[:, :1]) + 0.3 * x[:, 1:2] ** 2 + 0.05 * rng.standard_normal((N, 1))
+    dgp = dist.DistributedGP(N, dist.make_n_mesh(), block=16)
+    x_dev, y_dev = dgp.stage(x, y)
+    ls, s2, nz = jnp.ones(M), jnp.asarray(1.0), jnp.asarray(0.05)
+    f64 = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, x,
+                            kind=('first_order', 'total'))
+    f32 = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, x,
+                            kind=('first_order', 'total'), gsa_dtype='float32')
+    for k in f64:
+        a = np.array([f64[k][m] for m in range(M)])
+        b = np.array([f32[k][m] for m in range(M)])
+        np.testing.assert_allclose(b, a, atol=1e-4, rtol=1e-3, err_msg=k)
