@@ -737,6 +737,31 @@ class ClosedSobolWithError(ClosedSobol):
 
 _MARGINALIZE_ALL_CACHE: Dict[Any, Any] = {}
 
+#: N below which the whole GSA computation is routed to the host CPU backend
+#: when the default backend is an accelerator. GSA always runs in float64
+#: (see gather_arrays); on TPU f64 is *emulated* — the fused per-slice error
+#: program takes minutes of XLA compile time there (vs seconds natively on
+#: CPU) and every dispatch pays the tunnel round-trip, while the actual
+#: O(N^2 M L^4) flops at this scale are sub-second on host. At/above this N
+#: the factorized interval pass (FACTORIZE_ERRORS_AT_N has the same value)
+#: makes the TPU program compact enough to compile and the O(N^2) work large
+#: enough that the accelerator wins. Overridable via meta['gsa_on_cpu'].
+GSA_ON_CPU_BELOW_N: int = 2048
+
+
+def _gsa_cpu_device(meta: Dict[str, Any], N: int):
+    """The CPU device to run GSA on, or None to stay on the default backend.
+    Pops meta['gsa_on_cpu'] (True/False override; None = auto by N)."""
+    import jax
+    explicit = meta.pop('gsa_on_cpu', None)
+    on_cpu = (N < GSA_ON_CPU_BELOW_N) if explicit is None else bool(explicit)
+    if not on_cpu or jax.default_backend() == 'cpu':
+        return None
+    try:
+        return jax.devices('cpu')[0]
+    except RuntimeError:
+        return None
+
 
 def marginalize_all(gp: GPR, slices: Tuple[Tuple[int, int], ...],
                     is_error_calculated: bool, **meta):
@@ -773,6 +798,12 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
         gp_options = gp.read_meta() if gp._meta_json.exists() else dict(gp.META)
         is_F_diagonal = not gp_options.pop('kernel', {}).pop('covariance', False)
     arrays = ClosedSobol.gather_arrays(gp)
+    cpu_dev = _gsa_cpu_device(meta, gp.N)
+    if cpu_dev is not None:
+        # Committed CPU inputs steer the jitted computation onto the host
+        # backend (native f64): fast compiles, no accelerator round-trips.
+        import jax
+        arrays = {k: jax.device_put(np.asarray(v), cpu_dev) for k, v in arrays.items()}
     shapes = tuple((k, v.shape, str(v.dtype)) for k, v in sorted(arrays.items()))
     kind_slices = {k: tuple(v) for k, v in kind_slices.items()}
     key = (cls.__name__, tuple(sorted(kind_slices.items())), bool(is_F_diagonal),

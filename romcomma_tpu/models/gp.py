@@ -52,8 +52,11 @@ def lml_single(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarra
     return jnp.sum(mvn_logpdf(y[:, None], jnp.zeros_like(y)[:, None], chol))
 
 
+@jax.jit
 def lml_variant(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Per-output LML vector (L,). raw batched over L; y: (N,L)."""
+    """Per-output LML vector (L,). raw batched over L; y: (N,L). Jitted:
+    called standalone (disk-consistency recompute, reload verification), and
+    eager dispatch pays one host round-trip per op on tunnelled runtimes."""
     return jax.vmap(lml_single, in_axes=(VariantParams(0, 0, 0), None, 1))(raw, x, y)
 
 
@@ -63,7 +66,14 @@ def _calibrate_variant_core(raw: VariantParams, mask: VariantParams, x: jnp.ndar
 
     mask leaves are 0/1 floats switching trainability per the reference META
     system; frozen leaves never move. Returns (raw_opt, lml (L,), iters (L,)).
+
+    x/y are cast to the params' working dtype: the params define the compute
+    precision (f32 fast path vs f64 verification), and mixed dtypes would
+    otherwise promote the objective under x64.
     """
+    wd = jax.tree_util.tree_leaves(raw)[0].dtype
+    x, y = x.astype(wd), y.astype(wd)
+
     def one(raw_l: VariantParams, y_l: jnp.ndarray):
         frozen = raw_l
 
@@ -213,9 +223,11 @@ def _covariant_noisy_K(c: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray
     return (K4 + noise4).reshape(L * N, L * N)
 
 
+@jax.jit
 def lml_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """LML of the covariant MOGP. y: (N,L), internally stacked to (LN,1)
-    output-major exactly like the reference (gpf/models.py:130)."""
+    output-major exactly like the reference (gpf/models.py:130). Jitted —
+    see lml_variant."""
     c = covariant_constrain(raw)
     Kn = _covariant_noisy_K(c, x)
     chol = cholesky(Kn)
@@ -227,6 +239,8 @@ def lml_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray) -> jnp.n
 def calibrate_covariant(raw: CovariantParams, mask: CovariantParams,
                         x: jnp.ndarray, y: jnp.ndarray, maxiter: int = 5000,
                         gtol: float = 1e-16, ftol: float = lbfgs.SCIPY_FTOL):
+    wd = jax.tree_util.tree_leaves(raw)[0].dtype
+    x, y = x.astype(wd), y.astype(wd)
     frozen = raw
 
     def objective(p: CovariantParams) -> jnp.ndarray:

@@ -187,6 +187,15 @@ class GPR(Model):
             K_cho, K_inv_Y = self.posterior_factors
             raw = self._variant_raw()
             X = jnp.asarray(self._X)
+            if getattr(self, '_posterior_on_cpu', False):
+                # Factors were routed to the host CPU backend (small N): run
+                # the prediction there in f64 — Pallas (TPU-only) must not be
+                # traced into a CPU-placed program, and at this scale f64 on
+                # host is both free and more accurate.
+                raw = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(np.asarray(a), jnp.float64), raw)
+                X = jnp.asarray(np.asarray(self._X), jnp.float64)
+                x = jnp.asarray(np.asarray(x), jnp.float64)
             o = x.shape[0]
             chunk = self.PREDICT_CHUNK
             outs = []
@@ -202,6 +211,25 @@ class GPR(Model):
             mean, var = mean[:o], var[:o]
         return np.atleast_2d(mean), np.atleast_2d(np.sqrt(var))
 
+    #: N below which the always-f64 posterior factorization runs on the host
+    #: CPU backend when the default backend is an accelerator: f64 is
+    #: *emulated* on TPU and the O(N^3) at this scale is sub-millisecond on
+    #: host, so routing saves the accelerator round-trips (and on tunnelled
+    #: runtimes, ~60 ms each). Same rationale/threshold as the GSA routing
+    #: (gsa.calibrators.GSA_ON_CPU_BELOW_N).
+    POSTERIOR_ON_CPU_BELOW_N: int = 2048
+
+    def _posterior_device(self):
+        if self._N >= self.POSTERIOR_ON_CPU_BELOW_N:
+            return None
+        import jax as _jax
+        if _jax.default_backend() == 'cpu':
+            return None
+        try:
+            return _jax.devices('cpu')[0]
+        except RuntimeError:
+            return None
+
     @property
     def posterior_factors(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """One Cholesky: (K_cho, K_inv_Y) together. Cached per instance —
@@ -209,16 +237,23 @@ class GPR(Model):
         calibrators.py:126-127); the cache is invalidated whenever the
         parameters change (calibrate / broadcast)."""
         if getattr(self, '_posterior_cache', None) is None:
+            dev = self._posterior_device()
+            self._posterior_on_cpu = dev is not None
+            if dev is None:
+                X, Y = jnp.asarray(self._X), jnp.asarray(self._Y)
+                raw = self._covariant_raw() if self.is_covariant else self._variant_raw()
+            else:
+                X = jax.device_put(self._X, dev)
+                Y = jax.device_put(self._Y, dev)
+                raw = self._covariant_raw() if self.is_covariant else self._variant_raw()
+                raw = jax.tree_util.tree_map(lambda a: jax.device_put(np.asarray(a), dev), raw)
             if self.is_covariant:
-                self._posterior_cache = gp.posterior_factors_covariant(
-                    self._covariant_raw(), jnp.asarray(self._X), jnp.asarray(self._Y))
+                self._posterior_cache = gp.posterior_factors_covariant(raw, X, Y)
             elif self._N >= 4096:
                 # staged pipeline bounds peak f64 memory at large N
-                self._posterior_cache = gp.posterior_factors_variant_staged(
-                    self._variant_raw(), jnp.asarray(self._X), jnp.asarray(self._Y))
+                self._posterior_cache = gp.posterior_factors_variant_staged(raw, X, Y)
             else:
-                self._posterior_cache = gp.posterior_factors_variant(
-                    self._variant_raw(), jnp.asarray(self._X), jnp.asarray(self._Y))
+                self._posterior_cache = gp.posterior_factors_variant(raw, X, Y)
         return self._posterior_cache
 
     @property
@@ -232,12 +267,20 @@ class GPR(Model):
         """(L,1,N) == ChoSolve(K_cho, Y) (reference gpr/models.py:441-444)."""
         return self.posterior_factors[1]
 
+    def _compute_dtype(self):
+        """Dtype for computations contracted against the posterior factors:
+        f64 when the factors were routed to the host CPU backend (small N —
+        keeps TPU-only Pallas kernels out of CPU-placed programs), else the
+        working dtype."""
+        return np.float64 if getattr(self, '_posterior_on_cpu', False) else FLOAT()
+
     def check_K_inv_Y(self, x: np.ndarray) -> np.ndarray:
         """Numerical self-test: predict(x) == k(x,X) K^-1 Y to tolerance
         (reference gpr/models.py:446-463)."""
         predicted = self.predict(x)[0]
         o = predicted.shape[0]
         kiy = self.K_inv_Y
+        FLOAT = self._compute_dtype          # shadows the module FLOAT() here
         if self.is_covariant:
             c = covariant_constrain(self._covariant_raw())
             kern = rbf_gram_covariant(jnp.asarray(np.asarray(x, FLOAT())), jnp.asarray(self._X),
@@ -461,11 +504,12 @@ class MOGP(GPR):
         """Gradient-GP prediction dy/dx: mean (o,L,M) and covariance
         (reference gpr/models.py:386-415), using the analytic RBF derivative
         d k(X,x)/dx = k(X,x) * (X - x)/lam^2 instead of a GradientTape jacobian."""
-        x = jnp.asarray(np.asarray(x, dtype=FLOAT()))
-        X = jnp.asarray(self._X)
-        o = x.shape[0]
         kiy = self.K_inv_Y                      # (L,1,N)
         chol = self.K_cho
+        dt = self._compute_dtype()
+        x = jnp.asarray(np.asarray(x, dtype=dt))
+        X = jnp.asarray(np.asarray(self._X, dtype=dt))
+        o = x.shape[0]
         if self.is_covariant:
             c = covariant_constrain(self._covariant_raw())
             lam = c['lengthscales']             # (L,Mls)

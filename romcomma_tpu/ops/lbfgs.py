@@ -43,13 +43,20 @@ def _tree_inf_norm(tree) -> jnp.ndarray:
 
 
 def _pin_dtypes(fun: Callable, params):
-    """Wrap fun so it always sees the initial params' dtypes: optax's zoom
-    linesearch evaluates fun at params + (f64 stepsize) * direction under
-    x64, silently promoting the whole objective to f64."""
+    """Wrap fun so it always sees the initial params' dtypes AND returns the
+    params' working dtype: optax's zoom linesearch evaluates fun at
+    params + (f64 stepsize) * direction under x64, silently promoting the
+    whole objective to f64 — and an objective that promotes internally (e.g.
+    f64 data with f32 params) would otherwise make the stored-value dtype in
+    the linesearch state disagree with fresh evaluations (lax.cond branches
+    must match inside optax.value_and_grad_from_state)."""
     dtypes = jax.tree_util.tree_map(lambda a: jnp.asarray(a).dtype, params)
+    leaves = jax.tree_util.tree_leaves(dtypes)
+    out_dtype = jnp.result_type(*leaves) if leaves else jnp.float32
 
     def pinned(p):
-        return fun(jax.tree_util.tree_map(lambda a, d: a.astype(d), p, dtypes))
+        value = fun(jax.tree_util.tree_map(lambda a, d: a.astype(d), p, dtypes))
+        return jnp.asarray(value, out_dtype)
 
     return pinned
 

@@ -48,6 +48,21 @@ def test_predict_f32_close_to_f64():
     assert np.all(np.asarray(v32) > 0)
 
 
+def test_calibrate_f32_params_f64_data():
+    """f32 fast-path calibration must accept f64 data under x64 capability:
+    the objective is pinned to the params' working dtype (regression — optax's
+    value_and_grad_from_state lax.cond branches diverged f32/f64 and the
+    whole fused descent failed to trace)."""
+    from romcomma_tpu.models.params import variant_mask
+    x, y, raw = _problem(N=64, L=1)
+    raw32 = _cast(raw, jnp.float32)
+    raw_opt, lml, iters = gp.calibrate_variant(raw32, variant_mask(),
+                                               jnp.asarray(x), jnp.asarray(y),
+                                               maxiter=15)
+    assert np.all(np.isfinite(np.asarray(lml)))
+    assert jax.tree_util.tree_leaves(raw_opt)[0].dtype == jnp.float32
+
+
 def test_closed_sobol_f32_close_to_f64():
     x, y, raw = _problem()
     L, M, N = y.shape[1], x.shape[1], x.shape[0]
