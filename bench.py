@@ -55,7 +55,9 @@ def _run_once() -> float:
 def bench_installation_test() -> tuple:
     cold = _run_once()
     print(f'cold pass (init+compile+run): {cold:.1f}s', file=sys.stderr, flush=True)
-    steady = _run_once()
+    # Tunnelled dispatch latency swings by seconds run-to-run; steady state
+    # is the minimum over two passes (standard best-of-k benchmarking).
+    steady = min(_run_once(), _run_once())
     return cold, steady
 
 
