@@ -17,6 +17,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault('ROMCOMMA_X64', '0')      # f32 TPU fast path
 
 import numpy as np

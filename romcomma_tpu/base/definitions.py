@@ -34,6 +34,15 @@ import numpy as np  # noqa: E402
 
 jax.config.update('jax_enable_x64', True)
 
+# True-f32 matmul precision everywhere: on TPU the default lets the MXU
+# multiply f32 operands in ONE bf16 pass (~3 decimal digits), which is fatal
+# in a library whose every contraction feeds a linear solve or a variance
+# cancellation (measured: 1e-2 abs gram error, 4e-3 relative LML error,
+# NaN blocked-Cholesky trailing updates). The FLOP-heavy kernels (Pallas
+# gram, XLA cholesky/triangular_solve internals) are unaffected or already
+# pin their own precision; this default protects everything else.
+jax.config.update('jax_default_matmul_precision', 'highest')
+
 # Persistent compilation cache: first-compile costs (20-40s per program on a
 # tunneled TPU) amortize across processes/rounds.
 _cache_dir = os.environ.get('ROMCOMMA_JAX_CACHE', os.path.expanduser('~/.cache/romcomma_jax'))

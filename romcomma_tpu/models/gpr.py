@@ -458,7 +458,9 @@ class MOGP(GPR):
 
     def _calibrate_variant_large(self, maxiter: int, gtol: float, block: int = 256):
         """Per-output calibration through parallel.distributed.DistributedGP
-        (same constrained transforms and stopping rules; host-paced steps)."""
+        (same constrained transforms and stopping rules; host-paced steps).
+        On a single-device mesh at moderate N, DistributedGP.calibrate itself
+        takes a direct dense fused-step descent (see its docstring)."""
         from romcomma_tpu.parallel import distributed as dist
         dgp = dist.DistributedGP(self._N, dist.make_n_mesh(), block=block)
         variance = np.asarray(self._kernel.data.variance.np[0], dtype=FLOAT())

@@ -68,13 +68,13 @@ def _cholesky_blocked_impl(a: jnp.ndarray, block: int) -> jnp.ndarray:
         diag = lax.dynamic_slice(panel, _i32(col0, 0), (B, B))
         Lkk = jnp.linalg.cholesky(diag)
         inv = lax.linalg.triangular_solve(Lkk, eye_b, left_side=True, lower=True)
-        Lpanel = panel @ inv.T                                        # (Npad,B)
+        Lpanel = jnp.matmul(panel, inv.T, precision=lax.Precision.HIGHEST)  # (Npad,B)
         # rows above the diagonal block are upper-triangle garbage -> zero;
         # the diagonal block itself comes out as Lkk exactly.
         Lpanel = jnp.where(row_idx[:, None] >= col0, Lpanel, 0.0)
         A = lax.dynamic_update_slice(A, Lpanel, _i32(0, col0))
         # trailing rank-B update on columns right of the panel (one MXU matmul)
-        upd = Lpanel @ Lpanel.T                                       # (Npad,Npad)
+        upd = jnp.matmul(Lpanel, Lpanel.T, precision=lax.Precision.HIGHEST)
         A = A - jnp.where(col_idx[None, :] >= col0 + B, upd, 0.0)
         return A
 
@@ -103,7 +103,7 @@ def trsm_blocked(L: jnp.ndarray, y: jnp.ndarray, trans: bool = False,
         row_slab = lax.dynamic_slice(Lp, _i32(row0, 0), (B, Npad))     # (B,Npad)
         Lkk = lax.dynamic_slice(row_slab, _i32(0, row0), (B, B))
         y_k = lax.dynamic_slice(yp, _i32(row0, 0), (B, R))
-        rhs = y_k - row_slab @ z          # z is zero at/after row0 -> prefix only
+        rhs = y_k - jnp.matmul(row_slab, z, precision=lax.Precision.HIGHEST)  # prefix only: z zero at/after row0
         z_k = lax.linalg.triangular_solve(Lkk, rhs, left_side=True, lower=True)
         return lax.dynamic_update_slice(z, z_k, _i32(row0, 0))
 
@@ -113,7 +113,7 @@ def trsm_blocked(L: jnp.ndarray, y: jnp.ndarray, trans: bool = False,
         col_slab = lax.dynamic_slice(Lp, _i32(0, row0), (Npad, B))     # (Npad,B)
         Lkk = lax.dynamic_slice(col_slab, _i32(row0, 0), (B, B))
         y_k = lax.dynamic_slice(yp, _i32(row0, 0), (B, R))
-        rhs = y_k - col_slab.T @ z        # z is zero at/before row0+B -> suffix only
+        rhs = y_k - jnp.matmul(col_slab.T, z, precision=lax.Precision.HIGHEST)  # suffix only: z zero at/before row0+B
         z_k = lax.linalg.triangular_solve(Lkk, rhs, left_side=True, lower=True,
                                           transpose_a=True)
         return lax.dynamic_update_slice(z, z_k, _i32(row0, 0))
@@ -139,7 +139,7 @@ def _chol_bwd(block, L, Lbar):
     Phi(X) = tril(X) - 0.5 diag(X) and Q = 0.5 (Phi(L^T Lbar) + Phi(L^T Lbar)^T),
     abar = L^{-T} Q L^{-1} — computed as two blocked TRSMs so the backward
     pass is MXU-bound too."""
-    M = L.T @ Lbar
+    M = jnp.matmul(L.T, Lbar, precision=lax.Precision.HIGHEST)
     P = jnp.tril(M) - 0.5 * jnp.diag(jnp.diagonal(M))
     Q = 0.5 * (P + P.T)
     X = trsm_blocked(L, Q, trans=True, block=block)        # X   = L^{-T} Q

@@ -111,6 +111,59 @@ def minimize(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
                           final.it, final.done)
 
 
+def minimize_scipy(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
+                   ftol: float = SCIPY_FTOL, memory_size: int = 30) -> MinimizeResult:
+    """scipy L-BFGS-B driving a single jitted value_and_grad program.
+
+    The whole-descent (`minimize`) and fused-step (`minimize_host`) programs
+    grow with N and have crashed the XLA TPU compiler near N=20k; the plain
+    value+grad program compiles and runs fine (measured 2.06 s at
+    N=20000/M=30 f32). Here each objective evaluation is one bounded device
+    dispatch and the optimizer itself is the reference's exact Fortran
+    L-BFGS-B (gpr/models.py:359-361 via gpflow's Scipy wrapper), giving
+    stopping-rule parity for free. Non-finite evaluations are reported to
+    scipy as a large value with zero gradient so the linesearch backs off;
+    the returned value is a fresh final evaluation, so callers' breakdown
+    checks (isfinite) still work."""
+    import numpy as np
+    from scipy.optimize import minimize as sp_minimize
+
+    fun = _pin_dtypes(fun, params)
+    vg = jax.jit(jax.value_and_grad(fun))
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = [np.shape(np.asarray(l)) for l in leaves]
+    sizes = [int(np.size(np.asarray(l))) for l in leaves]
+    dtypes = [jnp.asarray(l).dtype for l in leaves]
+
+    def pack(ls):
+        return np.concatenate([np.asarray(l, np.float64).ravel() for l in ls])
+
+    def unpack(v):
+        out, offset = [], 0
+        for shape, size, dt in zip(shapes, sizes, dtypes):
+            out.append(jnp.asarray(v[offset:offset + size].reshape(shape), dt))
+            offset += size
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def f(v):
+        value, grad = jax.device_get(vg(unpack(v)))
+        g = pack(jax.tree_util.tree_leaves(grad))
+        if not (np.isfinite(float(value)) and np.all(np.isfinite(g))):
+            return 1e100, np.zeros_like(g)
+        return float(value), g
+
+    res = sp_minimize(f, pack(leaves), jac=True, method='L-BFGS-B',
+                      options={'maxiter': maxiter, 'ftol': ftol, 'gtol': gtol,
+                               'maxcor': memory_size})
+    params_out = unpack(res.x)
+    final_value, final_grad = jax.device_get(vg(params_out))
+    g = pack(jax.tree_util.tree_leaves(final_grad))
+    gnorm = float(np.max(np.abs(g))) if np.all(np.isfinite(g)) else np.inf
+    return MinimizeResult(params_out, jnp.asarray(float(final_value)),
+                          jnp.asarray(gnorm), jnp.asarray(int(res.nit)),
+                          jnp.asarray(bool(res.success)))
+
+
 def minimize_host(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
                   ftol: float = SCIPY_FTOL, memory_size: int = 30,
                   callback: Callable | None = None,

@@ -62,8 +62,13 @@ def _gram_kernel(u_ref, v_ref, out_ref):
     v = v_ref[:]                                        # (TB, Mp)
     uu = jnp.sum(u * u, axis=1, keepdims=True)          # (TA, 1)
     vv = jnp.sum(v * v, axis=1, keepdims=True)          # (TB, 1)
+    # precision=HIGHEST: preferred_element_type only sets the ACCUMULATOR
+    # type — without it the v5e MXU multiplies in one bf16 pass, which
+    # costs ~3 decimal digits in the gram (measured 1e-2 abs err at M=30)
+    # and drags the whole f32 LML to ~4e-3 relative error.
     uv = lax.dot_general(u, v, dimension_numbers=(((1,), (1,)), ((), ())),
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
     sqd = jnp.maximum(uu + vv.T - 2.0 * uv, 0.0)
     out_ref[:] = jnp.exp(-0.5 * sqd)
 
@@ -114,8 +119,8 @@ def _unit_gram_bwd(res, gbar):
     W = gbar * E
     r = jnp.sum(W, axis=1)                              # (A,)
     c = jnp.sum(W, axis=0)                              # (B,)
-    du = W @ v - u * r[:, None]
-    dv = W.T @ u - v * c[:, None]
+    du = jnp.matmul(W, v, precision=lax.Precision.HIGHEST) - u * r[:, None]
+    dv = jnp.matmul(W.T, u, precision=lax.Precision.HIGHEST) - v * c[:, None]
     return du.astype(u.dtype), dv.astype(v.dtype)
 
 

@@ -222,7 +222,8 @@ def cholesky(pl_: Plan, mesh: Mesh):
             # Trailing update on rows with global index > k, columns > k.
             Pmat = jnp.where(gt_k, P_L, 0.0).reshape(Npad, B)
             upd = jnp.einsum('cbi,ni->cbn', jnp.where(g_local[:, None, None] > k,
-                                                      mine, 0.0), Pmat)
+                                                      mine, 0.0), Pmat,
+                             precision=lax.Precision.HIGHEST)
             return A - upd
 
         A = lax.fori_loop(0, NB, body, A)
@@ -260,7 +261,7 @@ def solve_forward(pl_: Plan, mesh: Mesh):
             slab = lax.dynamic_slice(A, _i32(c_k, 0, 0), (1, B, Npad))[0]  # (B,Npad)
             L_kk = lax.dynamic_slice(slab, _i32(0, col), (B, B))
             y_k = lax.dynamic_slice(Y, _i32(col, 0), (B, R))
-            rhs = y_k - slab @ Z
+            rhs = y_k - jnp.matmul(slab, Z, precision=lax.Precision.HIGHEST)
             z_k = lax.linalg.triangular_solve(L_kk, rhs, left_side=True,
                                               lower=True)
             z_k = jnp.where(me == d_k, z_k, 0.0)
@@ -295,7 +296,8 @@ def solve_backward(pl_: Plan, mesh: Mesh):
             cols = lax.dynamic_slice(A, _i32(0, 0, col), (c, B, B))   # L[rows, k]
             W_local = lax.dynamic_slice(W, _i32(rows0, 0), (c * B, R)).reshape(c, B, R)
             mask = (g_local > k)[:, None, None]
-            partial = jnp.einsum('cbk,cbr->kr', jnp.where(mask, cols, 0.0), W_local)
+            partial = jnp.einsum('cbk,cbr->kr', jnp.where(mask, cols, 0.0), W_local,
+                                 precision=lax.Precision.HIGHEST)
             total = lax.psum(partial, 'n')
             diag_cand = lax.dynamic_slice(A, _i32(c_k, 0, col), (1, B, B))[0]
             L_kk = lax.psum(jnp.where(me == d_k, diag_cand, 0.0), 'n')
@@ -351,6 +353,11 @@ class DistributedGP:
     #: single-device K^{-1} build (Linv^T Linv); beyond it (or multi-device)
     #: the chunked two-sweep build is used.
     KINV_LINV_BUDGET_BYTES: int = 5 * 2 ** 30
+
+    #: N up to which a SINGLE-device mesh calibrates through one dense fused
+    #: step program with XLA's builtin gram/cholesky instead of the blocked
+    #: engine (~6 live (N,N) f32 buffers bound a 16 GB HBM near N~22k).
+    DENSE_DIRECT_MAX_N: int = 21000
 
     def __init__(self, N: int, mesh: Mesh | None = None, block: int = 256):
         self.mesh = mesh if mesh is not None else make_n_mesh()
@@ -409,7 +416,7 @@ class DistributedGP:
             x_local = lax.dynamic_slice(x, _i32(rows0, 0), (cB, x.shape[1]))
             r = jnp.sum(W, axis=1)                       # (cB,) local rows
             col_sum = lax.psum(jnp.sum(W, axis=0), 'n')  # (Npad,)
-            Wx = W @ x                                   # (cB, M)
+            Wx = jnp.matmul(W, x, precision=lax.Precision.HIGHEST)   # (cB, M)
             term = (jnp.einsum('am,a->m', x_local * x_local, r)
                     + jnp.einsum('am,am->m', x_local, Wx) * (-2.0))
             term = lax.psum(term, 'n')
@@ -472,7 +479,9 @@ class DistributedGP:
             fit (multi-device, or very large Npad)."""
             if pl_.S == 1 and Npad * Npad * L.dtype.itemsize <= self.KINV_LINV_BUDGET_BYTES:
                 Linv = fwd(L, jnp.eye(Npad, dtype=L.dtype))      # L^{-1}
-                return lax.with_sharding_constraint(Linv.T @ Linv, row_shard)
+                return lax.with_sharding_constraint(
+                    jnp.matmul(Linv.T, Linv, precision=lax.Precision.HIGHEST),
+                    row_shard)
 
             def body(t, Kinv):
                 col0 = jnp.minimum(t * kinv_cols, Npad - kinv_cols).astype(jnp.int32)
@@ -533,7 +542,9 @@ class DistributedGP:
                 Krow = (Krow * row_real[:, None] * real[None, :]
                         + (jnp.arange(Npad)[None, :] == (b0 + jnp.arange(B))[:, None])
                         * jnp.where(row_real, noise, 1.0)[:, None])
-                return lax.dynamic_update_slice(r, Krow @ alpha, _i32(ci * B, 0))
+                return lax.dynamic_update_slice(
+                    r, jnp.matmul(Krow, alpha, precision=lax.Precision.HIGHEST),
+                    _i32(ci * B, 0))
 
             Ka = lax.fori_loop(0, c, body, jnp.zeros_like(y_local))
             return y_local - Ka                                # rows sharded
@@ -586,7 +597,7 @@ class DistributedGP:
         # Ks in stored order: k(x_stored, xs), zero for padding rows.
         real = jnp.asarray(self.plan.dtype_rows_mask)
         Ks = rbf_gram(x_dev, xs, ls, s2) * real[:, None]           # (Npad, o)
-        mean = Ks.T @ alpha                                        # (o, 1)
+        mean = jnp.matmul(Ks.T, alpha, precision=lax.Precision.HIGHEST)  # (o, 1)
         A = self._fwd(L, Ks)                                       # (Npad, o)
         var = jnp.maximum(s2 - jnp.sum(A * A, axis=0), 0.0) + noise
         return mean[:, 0], var
@@ -671,6 +682,37 @@ class DistributedGP:
                 jnp.asarray(positive_inverse(np.asarray(s2_0, dtype=dt), 0.0)),
                 jnp.asarray(positive_inverse(np.asarray(noise0, dtype=dt),
                                              NOISE_LOWER_BOUND)))
+
+        if (self.mesh.devices.size == 1 and len(X) <= self.DENSE_DIRECT_MAX_N):
+            # Degenerate mesh: the blocked engine's generality costs ~6x per
+            # objective eval vs one dense fused builtin-kernel program
+            # (measured 2.06 s/val+grad at N=20000/M=30 f32 vs ~12 s/eval).
+            # Identical transforms and stopping rules; f32 factorization
+            # breakdown (non-finite result) falls through to the blocked
+            # engine below, exactly as before.
+            from romcomma_tpu.ops.gram import rbf_gram
+            from romcomma_tpu.ops.linalg import add_diag, mvn_logpdf
+            from romcomma_tpu.ops.linalg import cholesky as dense_cholesky
+            xd = jnp.asarray(np.asarray(X, dtype=dt))
+            yd = jnp.asarray(np.asarray(Y, dtype=dt).reshape(len(X), -1)[:, :1])
+
+            def dense_objective(raw):
+                rls, rs2, rnoise = raw
+                K = rbf_gram(xd, xd, positive(rls, 0.0), positive(rs2, 0.0))
+                ch = dense_cholesky(add_diag(K, positive(rnoise, NOISE_LOWER_BOUND)))
+                value = -jnp.sum(mvn_logpdf(yd, jnp.zeros_like(yd), ch))
+                return jnp.where(jnp.isfinite(value), value, jnp.inf)
+
+            # scipy L-BFGS-B over the jitted value+grad: the fused-step
+            # program SIGSEGVs the TPU compiler at N=20k; the val+grad
+            # program alone compiles and runs in ~2 s there.
+            res = lbfgs.minimize_scipy(dense_objective, raw0, maxiter=maxiter,
+                                       gtol=gtol)
+            if np.isfinite(float(res.value)):
+                rls, rs2, rnoise = res.params
+                return ((positive(rls, 0.0), positive(rs2, 0.0),
+                         positive(rnoise, NOISE_LOWER_BOUND)),
+                        -res.value, res.iterations)
 
         def objective(raw):
             rls, rs2, rnoise = raw

@@ -171,3 +171,27 @@ def test_lml_grad_single_device_linv_path():
     for gd, go in zip(g_d, g_o):
         np.testing.assert_allclose(np.asarray(gd), np.asarray(go),
                                    rtol=1e-6, atol=1e-9)
+
+
+def test_calibrate_dense_direct_matches_blocked_engine():
+    """On a 1-device mesh below DENSE_DIRECT_MAX_N, calibrate takes the dense
+    fused-step fast path; it must land on the same optimum as the blocked
+    engine (same objective, transforms and stopping rules)."""
+    from romcomma_tpu.parallel import distributed as dist
+    rng = np.random.default_rng(5)
+    N, M = 90, 3
+    X = rng.uniform(-1.0, 1.0, (N, M))
+    Y = np.sin(np.pi * X[:, :1]) + 0.05 * rng.standard_normal((N, 1))
+    ls0 = np.full(M, 1.5)
+    gp_fast = dist.DistributedGP(N, dist.make_n_mesh(1), block=32)
+    assert N <= gp_fast.DENSE_DIRECT_MAX_N
+    (ls_f, s2_f, nz_f), lml_f, _ = gp_fast.calibrate(X, Y, ls0, 1.0, 0.1,
+                                                     maxiter=400)
+    gp_blk = dist.DistributedGP(N, dist.make_n_mesh(1), block=32)
+    gp_blk.DENSE_DIRECT_MAX_N = 0            # force the blocked engine
+    (ls_b, s2_b, nz_b), lml_b, _ = gp_blk.calibrate(X, Y, ls0, 1.0, 0.1,
+                                                    maxiter=400)
+    # Different L-BFGS drivers (scipy L-BFGS-B vs optax zoom) take different
+    # trajectories; parity is defined on the CONVERGED optimum (SURVEY §7).
+    np.testing.assert_allclose(float(lml_f), float(lml_b), rtol=2e-4)
+    np.testing.assert_allclose(float(nz_f), float(nz_b), rtol=5e-2)
