@@ -506,8 +506,17 @@ class DistributedGP:
         lml.defvjp(lml_fwd, lml_bwd)
         return lml
 
+    def _cast_hypers(self, x_dev, ls, s2, noise):
+        """Cast hyperparameters to the staged arrays' working dtype — mixed
+        f64 numpy hyperparameters with f32 staged data otherwise crash the
+        ring-gram dynamic_update_slice (and would silently select the
+        emulated-f64 path on TPU)."""
+        dt = x_dev.dtype
+        return (jnp.asarray(ls, dt), jnp.asarray(s2, dt), jnp.asarray(noise, dt))
+
     def lml(self, ls, s2, noise, x_dev, y_dev):
         """Exact LML (scalar). Differentiable in ls/s2/noise."""
+        ls, s2, noise = self._cast_hypers(x_dev, ls, s2, noise)
         return self._lml(ls, s2, noise, x_dev, y_dev)
 
     # -- posterior ----------------------------------------------------------- #
@@ -561,6 +570,7 @@ class DistributedGP:
         mixed-precision iterative refinement (f32 factor, f64 residuals
         against an on-the-fly f64 gram) recover f64-grade accuracy — an f32
         solve alone breaks down once cond(K) ~ N s2/noise nears 1/eps_f32."""
+        ls, s2, noise = self._cast_hypers(x_dev, ls, s2, noise)
         K = self._gram(x_dev, ls, s2, noise)
         L = self._chol(K)
         z = self._fwd(L, y_dev)
@@ -592,8 +602,9 @@ class DistributedGP:
     def predict(self, ls, s2, noise, x_dev, y_dev, Xs: np.ndarray):
         """Posterior mean/variance at host test points Xs (o, M)."""
         from romcomma_tpu.ops.gram import rbf_gram
+        ls, s2, noise = self._cast_hypers(x_dev, ls, s2, noise)
         alpha, L = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
-        xs = jnp.asarray(np.asarray(Xs))
+        xs = jnp.asarray(np.asarray(Xs), x_dev.dtype)
         # Ks in stored order: k(x_stored, xs), zero for padding rows.
         real = jnp.asarray(self.plan.dtype_rows_mask)
         Ks = rbf_gram(x_dev, xs, ls, s2) * real[:, None]           # (Npad, o)
