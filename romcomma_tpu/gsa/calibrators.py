@@ -749,12 +749,21 @@ _MARGINALIZE_ALL_CACHE: Dict[Any, Any] = {}
 GSA_ON_CPU_BELOW_N: int = 2048
 
 
-def _gsa_cpu_device(meta: Dict[str, Any], N: int):
+def _gsa_cpu_device(meta: Dict[str, Any], N: int, is_error_calculated: bool = False):
     """The CPU device to run GSA on, or None to stay on the default backend.
-    Pops meta['gsa_on_cpu'] (True/False override; None = auto by N)."""
+    Pops meta['gsa_on_cpu'] (True/False override; None = auto).
+
+    Auto policy: below GSA_ON_CPU_BELOW_N always host; the standard-error
+    (W/T) path goes to host at EVERY N — its factorized program hard-fails
+    the XLA TPU compiler at N>=4096 (remote-helper crash, measured), and the
+    per-slice variant costs >10 min of emulated-f64 compile. The no-error
+    factorized pass is the one that runs well on TPU at scale."""
     import jax
     explicit = meta.pop('gsa_on_cpu', None)
-    on_cpu = (N < GSA_ON_CPU_BELOW_N) if explicit is None else bool(explicit)
+    if explicit is None:
+        on_cpu = is_error_calculated or (N < GSA_ON_CPU_BELOW_N)
+    else:
+        on_cpu = bool(explicit)
     if not on_cpu or jax.default_backend() == 'cpu':
         return None
     try:
@@ -798,7 +807,7 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
         gp_options = gp.read_meta() if gp._meta_json.exists() else dict(gp.META)
         is_F_diagonal = not gp_options.pop('kernel', {}).pop('covariance', False)
     arrays = ClosedSobol.gather_arrays(gp)
-    cpu_dev = _gsa_cpu_device(meta, gp.N)
+    cpu_dev = _gsa_cpu_device(meta, gp.N, is_error_calculated)
     if cpu_dev is not None:
         # Committed CPU inputs steer the jitted computation onto the host
         # backend (native f64): fast compiles, no accelerator round-trips.
@@ -832,7 +841,22 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
             return by_kind, extras
 
         _MARGINALIZE_ALL_CACHE[key] = jax.jit(_run)
-    return _MARGINALIZE_ALL_CACHE[key](**arrays)
+    try:
+        return _MARGINALIZE_ALL_CACHE[key](**arrays)
+    except Exception:
+        # Last-resort fallback: an accelerator-side failure (typically the
+        # XLA TPU compiler giving up on a large emulated-f64 program) is
+        # retried on the host CPU backend, where every GSA program is known
+        # to compile. Never fails the user's run on a compiler limitation.
+        import jax
+        if jax.default_backend() == 'cpu':
+            raise
+        try:
+            cpu = jax.devices('cpu')[0]
+        except RuntimeError:
+            raise
+        arrays = {k: jax.device_put(np.asarray(v), cpu) for k, v in arrays.items()}
+        return _MARGINALIZE_ALL_CACHE[key](**arrays)
 
 
 class ClosedSobolWithRotation(ClosedSobol):
