@@ -53,6 +53,27 @@ try:
 except Exception:  # cache is an optimization only — never fail import
     pass
 
+#: N below which always-f64 stages (GSA, posterior factorization) run on the
+#: host CPU backend when the default backend is an accelerator: native f64
+#: beats TPU-emulated f64 on both compile time (seconds vs minutes) and
+#: dispatch latency at small N. The GSA factorization gate
+#: (ClosedSobolWithError.FACTORIZE_ERRORS_AT_N) deliberately equals this.
+HOST_F64_BELOW_N: int = 2048
+
+
+def host_cpu_device(route: bool):
+    """The host CPU device when ``route`` and the default backend is an
+    accelerator; None otherwise (including when no CPU backend exists).
+    The single source of the routing dance used by the GSA and posterior
+    host-routing paths."""
+    if not route or jax.default_backend() == 'cpu':
+        return None
+    try:
+        return jax.devices('cpu')[0]
+    except RuntimeError:
+        return None
+
+
 #: Quantities smaller than this are considered zero (reference: base/definitions.py:36).
 EFFECTIVELY_ZERO = 1.0e-64
 

@@ -406,7 +406,7 @@ class ClosedSobolWithError(ClosedSobol):
     #: N at/above which marginalize_intervals factorizes the error integrals
     #: (below it, the per-slice program compiles faster and runtime is
     #: dispatch-bound). Overridable via meta['factorize_errors_at_n'].
-    FACTORIZE_ERRORS_AT_N: int = 2048
+    from romcomma_tpu.base.definitions import HOST_F64_BELOW_N as FACTORIZE_ERRORS_AT_N
 
     class RankEquation(NamedTuple):
         l: str
@@ -738,15 +738,11 @@ class ClosedSobolWithError(ClosedSobol):
 _MARGINALIZE_ALL_CACHE: Dict[Any, Any] = {}
 
 #: N below which the whole GSA computation is routed to the host CPU backend
-#: when the default backend is an accelerator. GSA always runs in float64
-#: (see gather_arrays); on TPU f64 is *emulated* — the fused per-slice error
-#: program takes minutes of XLA compile time there (vs seconds natively on
-#: CPU) and every dispatch pays the tunnel round-trip, while the actual
-#: O(N^2 M L^4) flops at this scale are sub-second on host. At/above this N
-#: the factorized interval pass (FACTORIZE_ERRORS_AT_N has the same value)
-#: makes the TPU program compact enough to compile and the O(N^2) work large
-#: enough that the accelerator wins. Overridable via meta['gsa_on_cpu'].
-GSA_ON_CPU_BELOW_N: int = 2048
+#: when the default backend is an accelerator (shared constant — GSA always
+#: runs in float64, see gather_arrays; rationale at
+#: base.definitions.HOST_F64_BELOW_N). Overridable via meta['gsa_on_cpu'].
+from romcomma_tpu.base.definitions import HOST_F64_BELOW_N as GSA_ON_CPU_BELOW_N
+from romcomma_tpu.base.definitions import host_cpu_device as _host_cpu_device
 
 
 def _gsa_cpu_device(meta: Dict[str, Any], N: int, is_error_calculated: bool = False):
@@ -758,18 +754,12 @@ def _gsa_cpu_device(meta: Dict[str, Any], N: int, is_error_calculated: bool = Fa
     the XLA TPU compiler at N>=4096 (remote-helper crash, measured), and the
     per-slice variant costs >10 min of emulated-f64 compile. The no-error
     factorized pass is the one that runs well on TPU at scale."""
-    import jax
     explicit = meta.pop('gsa_on_cpu', None)
     if explicit is None:
-        on_cpu = is_error_calculated or (N < GSA_ON_CPU_BELOW_N)
+        route = is_error_calculated or (N < GSA_ON_CPU_BELOW_N)
     else:
-        on_cpu = bool(explicit)
-    if not on_cpu or jax.default_backend() == 'cpu':
-        return None
-    try:
-        return jax.devices('cpu')[0]
-    except RuntimeError:
-        return None
+        route = bool(explicit)
+    return _host_cpu_device(route)
 
 
 def marginalize_all(gp: GPR, slices: Tuple[Tuple[int, int], ...],
@@ -843,18 +833,20 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
         _MARGINALIZE_ALL_CACHE[key] = jax.jit(_run)
     try:
         return _MARGINALIZE_ALL_CACHE[key](**arrays)
-    except Exception:
+    except Exception as original:
         # Last-resort fallback: an accelerator-side failure (typically the
         # XLA TPU compiler giving up on a large emulated-f64 program) is
         # retried on the host CPU backend, where every GSA program is known
         # to compile. Never fails the user's run on a compiler limitation.
+        # Re-raises the ORIGINAL failure when the computation already ran on
+        # host (cpu_dev routing) or no CPU backend exists.
         import jax
-        if jax.default_backend() == 'cpu':
+        if cpu_dev is not None or jax.default_backend() == 'cpu':
             raise
         try:
             cpu = jax.devices('cpu')[0]
         except RuntimeError:
-            raise
+            raise original
         arrays = {k: jax.device_put(np.asarray(v), cpu) for k, v in arrays.items()}
         return _MARGINALIZE_ALL_CACHE[key](**arrays)
 

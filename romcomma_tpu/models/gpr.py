@@ -178,6 +178,7 @@ class GPR(Model):
         """Posterior (mean (o,L), std (o,L)) at x (reference gpr/models.py:375-384).
         Variant models reuse the cached posterior factorization and stream
         test points in chunks; covariant models use the direct (LN,LN) path."""
+        x_orig = np.asarray(x)
         x = jnp.asarray(np.asarray(x, dtype=FLOAT()))
         if self.is_covariant:
             mean, var = gp.predict_covariant(self._covariant_raw(), jnp.asarray(self._X),
@@ -195,7 +196,7 @@ class GPR(Model):
                 raw = jax.tree_util.tree_map(
                     lambda a: jnp.asarray(np.asarray(a), jnp.float64), raw)
                 X = jnp.asarray(np.asarray(self._X), jnp.float64)
-                x = jnp.asarray(np.asarray(x), jnp.float64)
+                x = jnp.asarray(x_orig, jnp.float64)
             o = x.shape[0]
             chunk = self.PREDICT_CHUNK
             outs = []
@@ -212,23 +213,13 @@ class GPR(Model):
         return np.atleast_2d(mean), np.atleast_2d(np.sqrt(var))
 
     #: N below which the always-f64 posterior factorization runs on the host
-    #: CPU backend when the default backend is an accelerator: f64 is
-    #: *emulated* on TPU and the O(N^3) at this scale is sub-millisecond on
-    #: host, so routing saves the accelerator round-trips (and on tunnelled
-    #: runtimes, ~60 ms each). Same rationale/threshold as the GSA routing
-    #: (gsa.calibrators.GSA_ON_CPU_BELOW_N).
-    POSTERIOR_ON_CPU_BELOW_N: int = 2048
+    #: CPU backend when the default backend is an accelerator (shared
+    #: constant; rationale at base.definitions.HOST_F64_BELOW_N).
+    from romcomma_tpu.base.definitions import HOST_F64_BELOW_N as POSTERIOR_ON_CPU_BELOW_N
 
     def _posterior_device(self):
-        if self._N >= self.POSTERIOR_ON_CPU_BELOW_N:
-            return None
-        import jax as _jax
-        if _jax.default_backend() == 'cpu':
-            return None
-        try:
-            return _jax.devices('cpu')[0]
-        except RuntimeError:
-            return None
+        from romcomma_tpu.base.definitions import host_cpu_device
+        return host_cpu_device(self._N < self.POSTERIOR_ON_CPU_BELOW_N)
 
     @property
     def posterior_factors(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -280,15 +271,15 @@ class GPR(Model):
         predicted = self.predict(x)[0]
         o = predicted.shape[0]
         kiy = self.K_inv_Y
-        FLOAT = self._compute_dtype          # shadows the module FLOAT() here
+        dt = self._compute_dtype()
         if self.is_covariant:
             c = covariant_constrain(self._covariant_raw())
-            kern = rbf_gram_covariant(jnp.asarray(np.asarray(x, FLOAT())), jnp.asarray(self._X),
+            kern = rbf_gram_covariant(jnp.asarray(np.asarray(x, dt)), jnp.asarray(self._X),
                                       c['lengthscales'], c['F'])      # (L,o,L,N)
             result = jnp.einsum('loLN, LiN -> ol', kern, kiy)
         else:
             c = variant_constrain(self._variant_raw())
-            kern = rbf_gram_variant(jnp.asarray(np.asarray(x, FLOAT())), jnp.asarray(self._X),
+            kern = rbf_gram_variant(jnp.asarray(np.asarray(x, dt)), jnp.asarray(self._X),
                                     c['lengthscales'], c['variance'])  # (L,o,N)
             result = jnp.einsum('loN, liN -> ol', kern, kiy)
         result = result - predicted
@@ -483,7 +474,7 @@ class MOGP(GPR):
                 if dgp64 is None:
                     from romcomma_tpu.parallel import distributed as dist
                     dgp64 = dist.DistributedGP(self._N, dist.make_n_mesh(),
-                                               block=block)
+                                               block=block, dtype=np.float64)
                 (ls_l, s2_l, nz_l), lml_l, iters_l = dgp64.calibrate(
                     self._X.astype(np.float64), self._Y[:, l:l + 1].astype(np.float64),
                     ls0, s20, nz0, maxiter=maxiter, gtol=gtol,

@@ -112,7 +112,9 @@ def minimize(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
 
 
 def minimize_scipy(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
-                   ftol: float = SCIPY_FTOL, memory_size: int = 30) -> MinimizeResult:
+                   ftol: float = SCIPY_FTOL, memory_size: int = 30,
+                   callback: Callable | None = None,
+                   max_linesearch_steps: int | None = None) -> MinimizeResult:
     """scipy L-BFGS-B driving a single jitted value_and_grad program.
 
     The whole-descent (`minimize`) and fused-step (`minimize_host`) programs
@@ -145,16 +147,29 @@ def minimize_scipy(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-
             offset += size
         return jax.tree_util.tree_unflatten(treedef, out)
 
+    last = {'value': np.inf, 'gnorm': np.inf, 'it': 0}
+
     def f(v):
         value, grad = jax.device_get(vg(unpack(v)))
         g = pack(jax.tree_util.tree_leaves(grad))
         if not (np.isfinite(float(value)) and np.all(np.isfinite(g))):
             return 1e100, np.zeros_like(g)
+        last['value'], last['gnorm'] = float(value), float(np.max(np.abs(g)))
         return float(value), g
 
+    def scipy_callback(_xk):
+        # scipy's callback passes only xk; report the latest evaluation with
+        # the (it, value, gnorm) signature minimize_host's callback uses.
+        last['it'] += 1
+        if callback is not None:
+            callback(last['it'], last['value'], last['gnorm'])
+
+    options = {'maxiter': maxiter, 'ftol': ftol, 'gtol': gtol,
+               'maxcor': memory_size}
+    if max_linesearch_steps:
+        options['maxls'] = int(max_linesearch_steps)
     res = sp_minimize(f, pack(leaves), jac=True, method='L-BFGS-B',
-                      options={'maxiter': maxiter, 'ftol': ftol, 'gtol': gtol,
-                               'maxcor': memory_size})
+                      callback=scipy_callback, options=options)
     params_out = unpack(res.x)
     final_value, final_grad = jax.device_get(vg(params_out))
     g = pack(jax.tree_util.tree_leaves(final_grad))

@@ -359,8 +359,15 @@ class DistributedGP:
     #: engine (~6 live (N,N) f32 buffers bound a 16 GB HBM near N~22k).
     DENSE_DIRECT_MAX_N: int = 21000
 
-    def __init__(self, N: int, mesh: Mesh | None = None, block: int = 256):
+    def __init__(self, N: int, mesh: Mesh | None = None, block: int = 256,
+                 dtype=None):
+        """``dtype``: working dtype of staged arrays and therefore of the
+        whole engine; None uses base.definitions.FLOAT(). Pass np.float64 to
+        force a true-f64 engine (the escalation ladder relies on this — a
+        FLOAT()-pinned stage would silently cast an intended f64 rescue back
+        to f32 under ROMCOMMA_X64=0)."""
         self.mesh = mesh if mesh is not None else make_n_mesh()
+        self.dtype = dtype
         self.plan = plan(N, S=self.mesh.devices.size, B=block)
         self._gram = ring_gram(self.plan, self.mesh)
         self._chol = cholesky(self.plan, self.mesh)
@@ -378,8 +385,9 @@ class DistributedGP:
         under ROMCOMMA_X64=0 that compiles a program several times the HBM
         and an order of magnitude slower."""
         from romcomma_tpu.base.definitions import FLOAT
-        X = np.asarray(X, dtype=FLOAT())
-        Y = np.asarray(Y, dtype=FLOAT()).reshape(len(X), -1)
+        dt = self.dtype if self.dtype is not None else FLOAT()
+        X = np.asarray(X, dtype=dt)
+        Y = np.asarray(Y, dtype=dt).reshape(len(X), -1)
         xs = to_stored(self.plan, X)
         ys = to_stored(self.plan, Y)
         x_dev = jax.device_put(jnp.asarray(xs), _row_sharding(self.mesh))
@@ -718,7 +726,8 @@ class DistributedGP:
             # program SIGSEGVs the TPU compiler at N=20k; the val+grad
             # program alone compiles and runs in ~2 s there.
             res = lbfgs.minimize_scipy(dense_objective, raw0, maxiter=maxiter,
-                                       gtol=gtol)
+                                       gtol=gtol, callback=callback,
+                                       max_linesearch_steps=max_linesearch_steps)
             if np.isfinite(float(res.value)):
                 rls, rs2, rnoise = res.params
                 return ((positive(rls, 0.0), positive(rs2, 0.0),

@@ -195,3 +195,18 @@ def test_calibrate_dense_direct_matches_blocked_engine():
     # trajectories; parity is defined on the CONVERGED optimum (SURVEY §7).
     np.testing.assert_allclose(float(lml_f), float(lml_b), rtol=2e-4)
     np.testing.assert_allclose(float(nz_f), float(nz_b), rtol=5e-2)
+
+
+def test_distributed_gp_dtype_override():
+    """DistributedGP(dtype=np.float64) must stage (and therefore compute) in
+    f64 regardless of the working FLOAT() — the f64 escalation ladder relies
+    on it (a FLOAT()-pinned stage silently re-ran the failing f32 descent)."""
+    from romcomma_tpu.parallel import distributed as dist
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((40, 2)).astype(np.float32)
+    Y = X[:, :1].astype(np.float32)
+    gp64 = dist.DistributedGP(40, dist.make_n_mesh(1), block=8, dtype=np.float64)
+    x_dev, y_dev = gp64.stage(X, Y)
+    assert x_dev.dtype == jnp.float64 and y_dev.dtype == jnp.float64
+    lml = gp64.lml(jnp.ones(2), jnp.asarray(1.0), jnp.asarray(0.1), x_dev, y_dev)
+    assert np.isfinite(float(lml))
