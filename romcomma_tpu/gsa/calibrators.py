@@ -273,8 +273,10 @@ class ClosedSobol(Calibrator):
         """Column-chunk size for the factorized pass: ~5 live
         (l,L,N,j,J,chunk) planes inside the scan."""
         explicit = self.meta.get('n_chunk', None)
-        if explicit:
-            return int(explicit)
+        if explicit is not None:
+            # Same convention as _auto_n_chunk: 0 means unchunked, i.e. the
+            # whole N as one chunk.
+            return int(explicit) if explicit else self.N
         lb = self.g0KY.shape[0] * self.g0KY.shape[1]
         budget = self.V_MEMORY_BUDGET_BYTES // jnp.dtype(self.X.dtype).itemsize
         return int(min(self.N, max(128, budget // (lb * lb * self.N * 5))))
@@ -295,6 +297,12 @@ class ClosedSobol(Calibrator):
         """
         from jax import lax
         specs = [self._classify_interval(m, self.M) for m in slices]
+        if self.meta.get('defer_V', False) and any(k == 'general' for k, _ in specs):
+            # The general-slice fallback goes through marginalize(), whose S
+            # normalization reads self.V[2] — skipped under defer_V.
+            raise ValueError('defer_V mode supports only canonical interval '
+                             'slices (single dim / prefix / suffix / empty); '
+                             f'got a general slice in {tuple(slices)}.')
         need = {k: any(s[0] == k for s in specs)
                 for k in ('single', 'prefix', 'suffix')}
         l, L, N, M = self.G.shape

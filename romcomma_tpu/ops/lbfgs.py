@@ -147,12 +147,19 @@ def minimize_scipy(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-
             offset += size
         return jax.tree_util.tree_unflatten(treedef, out)
 
-    last = {'value': np.inf, 'gnorm': np.inf, 'it': 0}
+    last = {'value': np.inf, 'gnorm': np.inf, 'it': 0, 'evals': 0,
+            'first_nonfinite': False}
 
     def f(v):
         value, grad = jax.device_get(vg(unpack(v)))
         g = pack(jax.tree_util.tree_leaves(grad))
+        last['evals'] += 1
         if not (np.isfinite(float(value)) and np.all(np.isfinite(g))):
+            # A non-finite FIRST evaluation makes L-BFGS-B see a zero
+            # projected gradient and "converge" at x0 — flag it so the
+            # returned success field tells the truth.
+            if last['evals'] == 1:
+                last['first_nonfinite'] = True
             return 1e100, np.zeros_like(g)
         last['value'], last['gnorm'] = float(value), float(np.max(np.abs(g)))
         return float(value), g
@@ -174,9 +181,10 @@ def minimize_scipy(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-
     final_value, final_grad = jax.device_get(vg(params_out))
     g = pack(jax.tree_util.tree_leaves(final_grad))
     gnorm = float(np.max(np.abs(g))) if np.all(np.isfinite(g)) else np.inf
+    success = bool(res.success) and not (last['first_nonfinite'] and res.nit == 0)
     return MinimizeResult(params_out, jnp.asarray(float(final_value)),
                           jnp.asarray(gnorm), jnp.asarray(int(res.nit)),
-                          jnp.asarray(bool(res.success)))
+                          jnp.asarray(success))
 
 
 def minimize_host(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,

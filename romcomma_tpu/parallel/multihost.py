@@ -102,12 +102,32 @@ def gsa(name: str, repo: Repository, is_covariant: Optional[bool],
     return names
 
 
+def missing_shares(names: Sequence[Any], repo: Repository) -> List[Path]:
+    """Per-fold result folders that are NOT yet on disk — the pre-aggregation
+    completeness check for launcher-driven mode, where :func:`barrier` cannot
+    sequence processes (no connectivity)."""
+    return [repo.fold_folder(k) / str(n)
+            for k in repo.folds for n in names
+            if not (repo.fold_folder(k) / str(n)).exists()]
+
+
+def _check_shares(names: Sequence[Any], repo: Repository,
+                  ignore_exceptions: bool) -> None:
+    missing = missing_shares(names, repo)
+    if missing and not ignore_exceptions:
+        raise FileNotFoundError(
+            'collect called before every fold share is on disk: missing '
+            + ', '.join(str(p) for p in missing[:8])
+            + (' ...' if len(missing) > 8 else ''))
+
+
 def collect_gpr(names: Sequence[str], repo: Repository,
                 ignore_exceptions: bool = True) -> None:
     """Aggregate per-fold GPR results across ALL folds (run once, after
     every process's share is on disk) — same Collects as user.run.gpr's
     repository recursion (reference run.py:62-66)."""
     from romcomma_tpu.user import results
+    _check_shares(names, repo, ignore_exceptions)
     results.Collect({'test': {'header': [0, 1]},
                      'test_summary': {'header': [0, 1], 'index_col': 0}},
                     {n: {} for n in names}, ignore_exceptions).from_folds(repo, True)
@@ -125,6 +145,7 @@ def collect_gsa(names: Sequence[Path], repo: Repository,
     """Aggregate per-fold GSA results (reference run.py:134-137)."""
     import shutil
     from romcomma_tpu.user import results
+    _check_shares(names, repo, ignore_exceptions)
     results.Collect({'S': {}, 'V': {}}
                     | ({'T': {}, 'W': {}} if is_error_calculated else {}),
                     {str(n): {} for n in names},
@@ -143,7 +164,5 @@ def barrier() -> None:
     pid, nproc = process_identity()
     if nproc == 1:
         return
-    import jax
-    import jax.numpy as jnp
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices('romcomma_multihost_barrier')
