@@ -158,6 +158,23 @@ class Repository:
     def fold_folder(self, k: int) -> Path:
         return self._folder / f'fold.{k:d}'
 
+    @staticmethod
+    def _fold_labels(N: int, K: int) -> List[int]:
+        """Per-row fold labels for the round-robin K-fold assignment: each
+        consecutive block of K rows carries one shuffled permutation of the
+        fold labels 0..K-1 (the final partial block a shuffled prefix), so
+        every fold's test share is spread evenly along the row order.
+
+        The `random` consumption order is byte-format-critical: it must
+        reproduce the reference's fold assignment exactly
+        (reference storage.py:192-203), so blocks shuffle in row order.
+        """
+        blocks = [list(range(K)) for _ in range(N // K)]
+        blocks.append(list(range(N % K)))
+        for block in blocks:
+            random.shuffle(block)
+        return list(itertools.chain(*blocks))
+
     def into_K_folds(self, K: int, shuffle_before_folding: bool = False,
                      normalization: Optional[Path | str] = None,
                      is_normalization_applicable: bool = True) -> 'Repository':
@@ -169,34 +186,29 @@ class Repository:
             raise IndexError(f'K={K:d} does not lie between 1 and N={N:d} inclusive.')
         for k in range(max(abs(K), self.K) + 1):
             shutil.rmtree(self.fold_folder(k), ignore_errors=True)
-        index = list(range(N))
+        rows = list(range(N))
         if shuffle_before_folding:
-            random.shuffle(index)
+            random.shuffle(rows)
         self._meta.update({'K': abs(K), 'shuffle before folding': shuffle_before_folding,
                            'has_improper_fold': K > 0})
         self.write_meta()
         normalization = (Normalization(self, self._data.df).csv if normalization is None
                          else normalization)
-        if K > 0:
-            Fold.from_dfs(parent=self, k=K, data=data.iloc[index], test_data=data.iloc[index],
-                          normalization=normalization,
+
+        def make_fold(k: int, train_rows: List[int], test_rows: List[int]):
+            Fold.from_dfs(parent=self, k=k, data=data.iloc[train_rows],
+                          test_data=data.iloc[test_rows], normalization=normalization,
                           is_normalization_applicable=is_normalization_applicable)
+
+        if K > 0:      # the improper fold trains AND tests on all data
+            make_fold(K, rows, rows)
         K = abs(K)
-        # Round-robin block assignment: each block of K rows is a shuffled
-        # permutation of fold labels (reference storage.py:192-203).
-        K_blocks = [list(range(K)) for _ in range(int(N / K))]
-        K_blocks.append(list(range(N % K)))
-        for block in K_blocks:
-            random.shuffle(block)
-        indicator = list(itertools.chain(*K_blocks))
+        labels = self._fold_labels(N, K)
         for k in range(K):
-            indicated = tuple(zip(index, indicator))
-            data_index = [i for i, ind in indicated if k != ind]
-            test_index = [i for i, ind in indicated if k == ind]
-            data_index = test_index if data_index == [] else data_index
-            Fold.from_dfs(parent=self, k=k, data=data.iloc[data_index],
-                          test_data=data.iloc[test_index], normalization=normalization,
-                          is_normalization_applicable=is_normalization_applicable)
+            train_rows = [row for row, label in zip(rows, labels) if label != k]
+            test_rows = [row for row, label in zip(rows, labels) if label == k]
+            # K=1 leaves no train rows: that single fold trains on its test set.
+            make_fold(k, train_rows or test_rows, test_rows)
         return self
 
     def rotate_folds(self, rotation: Optional[np.ndarray]) -> 'Repository':

@@ -305,47 +305,40 @@ class GPR(Model):
 
     def test(self) -> Frame:
         """Write test.csv (per-sample Mean/SD/Abs Error/Z Score/Outlier) and
-        test_summary.csv (RMSE/mean-SD/outlier-rate), reference gpr/models.py:235-272."""
+        test_summary.csv (RMSE/mean-SD/outlier-rate), reference gpr/models.py:235-272.
+
+        All statistics are computed once as arrays, then dressed in the test
+        frame's (heading, output) column structure for persistence."""
         result = Frame(self.test_csv, self._fold.test_data.df)
         Y_heading = self._fold.meta['data']['Y_heading']
-        prediction = self.predict(self._fold.test_x.values)
-        predictive_mean = (result.df.loc[:, [Y_heading]].copy()
-                           .rename(columns={Y_heading: 'Mean'}, level=0))
-        predictive_mean.iloc[:] = prediction[0]
-        predictive_std = (result.df.loc[:, [Y_heading]].copy()
-                          .rename(columns={Y_heading: 'SD'}, level=0))
-        predictive_std.iloc[:] = prediction[1]
-        predictive_score = (result.df.loc[:, [Y_heading]].copy()
-                            .rename(columns={Y_heading: 'Z Score'}, level=0))
-        predictive_score.iloc[:] -= predictive_mean.to_numpy(dtype=float, copy=False)
-        abs_err = (result.df.loc[:, [Y_heading]].copy()
-                   .rename(columns={Y_heading: 'Abs Error'}, level=0))
-        abs_err.iloc[:] -= predictive_mean.to_numpy(dtype=float, copy=False)
-        abs_err = abs(abs_err)
-        rmse = abs_err.iloc[:].copy().rename(columns={'Abs Error': 'RMSE'}, level=0)
-        predictive_score.iloc[:] /= predictive_std.to_numpy(dtype=float, copy=False)
-        out_bool = predictive_score.to_numpy(dtype=float, copy=False) ** 2 > 4.0
-        outlier_columns = (result.df.loc[:, [Y_heading]]
-                           .rename(columns={Y_heading: 'Outlier'}, level=0).columns)
-        outliers = pd.DataFrame(out_bool, index=result.df.index, columns=outlier_columns)
+        y_frame = result.df.loc[:, [Y_heading]]
+        y_true = y_frame.to_numpy(dtype=float, copy=False)
+        mean, std = (np.asarray(a, dtype=float) for a in self.predict(self._fold.test_x.values))
+        z_score = (y_true - mean) / std
+        is_outlier = z_score ** 2 > 4.0
+
+        def stat(heading: str, values: np.ndarray) -> pd.DataFrame:
+            frame = y_frame.copy().rename(columns={Y_heading: heading}, level=0)
+            frame.iloc[:] = values
+            return frame
+
+        per_sample = [stat('Mean', mean), stat('SD', std),
+                      stat('Abs Error', np.abs(y_true - mean)), stat('Z Score', z_score)]
+        outliers = pd.DataFrame(
+            is_outlier, index=result.df.index,
+            columns=y_frame.rename(columns={Y_heading: 'Outlier'}, level=0).columns)
         outliers = outliers.join(pd.DataFrame(
-            np.column_stack((np.logical_or.reduce(out_bool, axis=1),
-                             np.logical_and.reduce(out_bool, axis=1))),
+            np.column_stack((is_outlier.any(axis=1), is_outlier.all(axis=1))),
             index=outliers.index,
             columns=pd.MultiIndex.from_tuples([('Outlier', 'Any Output'), ('Outlier', 'All Outputs')])))
-        result.df = result.df.join([predictive_mean, predictive_std, abs_err,
-                                    predictive_score, outliers])
+        result.df = result.df.join(per_sample + [outliers])
         result.write()
-        rmse = rmse ** 2
-        rmse = (rmse.sum(axis=0) / rmse.count(axis=0)) ** 0.5
-        rmse = rmse if isinstance(rmse, pd.DataFrame) else pd.DataFrame(rmse).transpose()
-        predictive_std = predictive_std.sum(axis=0) / predictive_std.count(axis=0)
-        predictive_std = (predictive_std if isinstance(predictive_std, pd.DataFrame)
-                          else pd.DataFrame(predictive_std).transpose())
-        outlier_rate = outliers.sum(axis=0) / outliers.count(axis=0)
-        outlier_rate = (outlier_rate if isinstance(outlier_rate, pd.DataFrame)
-                        else pd.DataFrame(outlier_rate).transpose())
-        summary = rmse.join([predictive_std, outlier_rate])
+
+        def summary_row(frame: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(frame.sum(axis=0) / frame.count(axis=0)).transpose()
+
+        rmse = summary_row(per_sample[2].rename(columns={'Abs Error': 'RMSE'}, level=0) ** 2) ** 0.5
+        summary = rmse.join([summary_row(per_sample[1]), summary_row(outliers)])
         Frame(self.test_summary_csv, summary)
         return result
 

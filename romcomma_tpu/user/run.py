@@ -25,11 +25,53 @@ from romcomma_tpu.gsa.models import GSA, Sobol
 from romcomma_tpu.user import contexts, results
 
 
+def _model_passes(is_covariant: Optional[bool], is_isotropic: Optional[bool]) -> List[tuple]:
+    """Expand the tri-state model-type flags (``None`` = run both settings)
+    into the ordered ``(is_covariant, is_isotropic)`` pass list.
+
+    In a full expansion (both flags ``None``) the variant chain runs
+    isotropic then anisotropic, and the covariant pass runs anisotropic
+    only — it warm-starts from the trained variant anisotropic model
+    (reference run.py:69-78 semantics)."""
+    passes = []
+    for covariant in ([False, True] if is_covariant is None else [is_covariant]):
+        if is_isotropic is not None:
+            isotropies = [is_isotropic]
+        elif covariant and is_covariant is None:
+            isotropies = [False]
+        else:
+            isotropies = [True, False]
+        passes += [(covariant, isotropic) for isotropic in isotropies]
+    return passes
+
+
+def _model_name(name: str, is_covariant: bool, is_isotropic: bool) -> str:
+    return f"{name}.{'c' if is_covariant else 'v'}.{'i' if is_isotropic else 'a'}"
+
+
+def _resolve_warm_start(name: str, fold: Fold, full_name: str, is_covariant: bool) -> bool:
+    """Resolve ``is_read=None`` for one model pass: reuse the trained folder
+    when present, otherwise seed it by copying the nearest trained ancestor in
+    the model hierarchy — a covariant model prefers its variant twin, any
+    anisotropic model falls back to its isotropic sibling (reference
+    run.py:79-88). Returns the concrete ``is_read`` (False = no ancestor
+    found, train from scratch)."""
+    if (fold.folder / full_name).exists():
+        return True
+    ancestors = [name + '.v' + full_name[-2:]] if is_covariant else []
+    ancestors.append(full_name[:-2] + '.i')
+    for ancestor in ancestors:
+        if (fold.folder / ancestor).exists():
+            Data.copy(src_folder=fold.folder / ancestor, dst_folder=fold.folder / full_name)
+            return True
+    return False
+
+
 def gpr(name: str, repo: Repository, is_read: Optional[bool], is_covariant: Optional[bool],
         is_isotropic: Optional[bool], ignore_exceptions: bool = False,
         kernel_parameters: Optional[Dict] = None, likelihood_variance=None,
         is_calibrated: bool = True, is_tested: bool = True, **kwargs) -> List[str]:
-    """Undertake GPR on a Fold, or recursively across the Folds in a Repository.
+    """Undertake GPR on a Fold, or across every Fold in a Repository.
     Returns the list of model names constructed (reference run.py:35-102)."""
     if not isinstance(repo, Fold):
         names: List[str] = []
@@ -45,46 +87,28 @@ def gpr(name: str, repo: Repository, is_read: Optional[bool], is_covariant: Opti
         results.Collect({'variance': {}, 'lengthscales': {}},
                         {f'{n}/kernel': {} for n in names}, ignore_exceptions).from_folds(repo, True)
         return names
-    if is_covariant is None:
-        names = gpr(name, repo, is_read, False, is_isotropic, ignore_exceptions,
-                    kernel_parameters, likelihood_variance, is_calibrated, is_tested, **kwargs)
-        return (names +
-                gpr(name, repo, None, True, False if is_isotropic is None else is_isotropic,
-                    ignore_exceptions, kernel_parameters, likelihood_variance,
-                    is_calibrated, is_tested, **kwargs))
-    full_name = name + ('.c' if is_covariant else '.v')
-    if is_isotropic is None:
-        names = gpr(name, repo, is_read, is_covariant, True, ignore_exceptions,
-                    kernel_parameters, likelihood_variance, is_calibrated, is_tested, **kwargs)
-        return names + gpr(name, repo, None, is_covariant, False, ignore_exceptions,
-                           kernel_parameters, likelihood_variance, is_calibrated, is_tested, **kwargs)
-    full_name = full_name + ('.i' if is_isotropic else '.a')
-    if is_read is None:
-        if not (repo.folder / full_name).exists():
-            nearest_name = name + '.v' + full_name[-2:]
-            if not (is_covariant and (repo.folder / nearest_name).exists()):
-                nearest_name = full_name[:-2] + '.i'
-                if not (repo.folder / nearest_name).exists():
-                    return gpr(name, repo, False, is_covariant, is_isotropic, ignore_exceptions,
-                               kernel_parameters, likelihood_variance, is_calibrated, is_tested, **kwargs)
-            Data.copy(src_folder=repo.folder / nearest_name, dst_folder=repo.folder / full_name)
-        return gpr(name, repo, True, is_covariant, is_isotropic, ignore_exceptions,
-                   kernel_parameters, likelihood_variance, is_calibrated, is_tested, **kwargs)
-    with contexts.Timer(f'fold.{repo.meta["k"]} {full_name} GPR'):
-        try:
-            if is_read:
-                gp = MOGP(full_name, repo, is_read, is_covariant, is_isotropic)
-            else:
-                gp = MOGP(full_name, repo, is_read, is_covariant, is_isotropic,
-                          kernel_parameters, likelihood_variance)
-            if is_calibrated:
-                gp.calibrate(**kwargs)
-            if is_tested:
-                gp.test()
-        except BaseException as exception:
-            if not ignore_exceptions:
-                raise exception
-    return [full_name]
+    names = []
+    for pass_index, (covariant, isotropic) in enumerate(_model_passes(is_covariant, is_isotropic)):
+        full_name = _model_name(name, covariant, isotropic)
+        # Only the first pass honours the caller's is_read; later passes
+        # warm-start from the model trained by an earlier pass.
+        read = is_read if pass_index == 0 else None
+        if read is None:
+            read = _resolve_warm_start(name, repo, full_name, covariant)
+        with contexts.Timer(f'fold.{repo.meta["k"]} {full_name} GPR'):
+            try:
+                gp = (MOGP(full_name, repo, read, covariant, isotropic) if read else
+                      MOGP(full_name, repo, read, covariant, isotropic,
+                           kernel_parameters, likelihood_variance))
+                if is_calibrated:
+                    gp.calibrate(**kwargs)
+                if is_tested:
+                    gp.test()
+            except BaseException:
+                if not ignore_exceptions:
+                    raise
+        names.append(full_name)
+    return names
 
 
 def rom(name: str, repo: Repository, m: int = 1, **kwargs) -> List[Dict[str, Any]]:
@@ -113,36 +137,25 @@ def gsa(name: str, repo: Repository, is_covariant: Optional[bool], is_isotropic:
             shutil.copyfile(repo.fold_folder(repo.folds.start) / 'meta.json',
                             repo.folder / n / 'meta.json')
         return names
-    if is_covariant is None:
-        names = gsa(name, repo, False, is_isotropic, kinds, m, ignore_exceptions,
-                    is_error_calculated, **kwargs)
-        return (names +
-                gsa(name, repo, True, False if is_isotropic is None else is_isotropic,
-                    kinds, m, ignore_exceptions, is_error_calculated, **kwargs))
-    full_name = name + ('.c' if is_covariant else '.v')
-    if is_isotropic is None:
-        names = gsa(name, repo, is_covariant, True, kinds, m, ignore_exceptions,
-                    is_error_calculated, **kwargs)
-        return names + gsa(name, repo, is_covariant, False, kinds, m, ignore_exceptions,
-                           is_error_calculated, **kwargs)
-    full_name = full_name + ('.i' if is_isotropic else '.a')
-    with contexts.Timer(f'fold.{repo.meta["k"]} {full_name} GSA'):
-        names = []
-        try:
-            from romcomma_tpu.gsa.calibrators import marginalize_all_kinds
-            gp = MOGP(full_name, repo, is_read=True, is_covariant=is_covariant,
-                      is_isotropic=is_isotropic)
-            sobols = [Sobol(gp, kind, m, is_error_calculated, **kwargs) for kind in kinds]
-            # One jitted computation covers every kind (shared calibrator
-            # precompute); each Sobol then post-processes and saves its share.
-            kind_slices = {s.kind.name: tuple(s._m_dataset) for s in sobols}
-            by_kind, extras = marginalize_all_kinds(gp, kind_slices,
-                                                    is_error_calculated,
-                                                    **sobols[0].meta)
-            for s in sobols:
-                folder = s.calibrate(precomputed=(by_kind[s.kind.name], extras)).get('folder')
-                names += [Path(folder).relative_to(repo.folder)]
-        except BaseException as exception:
-            if not ignore_exceptions:
-                raise exception
+    names = []
+    for covariant, isotropic in _model_passes(is_covariant, is_isotropic):
+        full_name = _model_name(name, covariant, isotropic)
+        with contexts.Timer(f'fold.{repo.meta["k"]} {full_name} GSA'):
+            try:
+                from romcomma_tpu.gsa.calibrators import marginalize_all_kinds
+                gp = MOGP(full_name, repo, is_read=True, is_covariant=covariant,
+                          is_isotropic=isotropic)
+                sobols = [Sobol(gp, kind, m, is_error_calculated, **kwargs) for kind in kinds]
+                # One jitted computation covers every kind (shared calibrator
+                # precompute); each Sobol then post-processes and saves its share.
+                kind_slices = {s.kind.name: tuple(s._m_dataset) for s in sobols}
+                by_kind, extras = marginalize_all_kinds(gp, kind_slices,
+                                                        is_error_calculated,
+                                                        **sobols[0].meta)
+                for s in sobols:
+                    folder = s.calibrate(precomputed=(by_kind[s.kind.name], extras)).get('folder')
+                    names += [Path(folder).relative_to(repo.folder)]
+            except BaseException:
+                if not ignore_exceptions:
+                    raise
     return names

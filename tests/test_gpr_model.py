@@ -141,3 +141,39 @@ def test_large_n_route_matches_fused(tmp_path):
     assert abs(lml_fused - lml_large) < max(0.02 * abs(lml_fused), 0.5)
     np.testing.assert_allclose(gp_large.kernel.data.lengthscales.np,
                                gp_fused.kernel.data.lengthscales.np, rtol=0.3, atol=0.3)
+
+
+def test_model_pass_expansion_and_warm_start(tmp_path):
+    """Pin the tri-state pass expansion and the warm-start ancestor chain of
+    user.run (reference run.py:69-88 semantics)."""
+    from romcomma_tpu.user.run import _model_passes, _resolve_warm_start
+
+    assert _model_passes(None, None) == [(False, True), (False, False), (True, False)]
+    assert _model_passes(None, True) == [(False, True), (True, True)]
+    assert _model_passes(None, False) == [(False, False), (True, False)]
+    assert _model_passes(True, None) == [(True, True), (True, False)]
+    assert _model_passes(False, None) == [(False, True), (False, False)]
+    assert _model_passes(True, False) == [(True, False)]
+
+    class FakeFold:
+        folder = tmp_path
+
+    def mk(name):
+        (tmp_path / name).mkdir()
+        (tmp_path / name / 'marker.csv').write_text(name)
+
+    # Nothing trained: train from scratch.
+    assert _resolve_warm_start('gpr', FakeFold, 'gpr.v.i', False) is False
+    # Anisotropic variant warm-starts from its isotropic sibling.
+    mk('gpr.v.i')
+    assert _resolve_warm_start('gpr', FakeFold, 'gpr.v.a', False) is True
+    assert (tmp_path / 'gpr.v.a' / 'marker.csv').read_text() == 'gpr.v.i'
+    (tmp_path / 'gpr.v.a' / 'marker.csv').write_text('gpr.v.a')
+    # Covariant prefers its variant twin over the isotropic sibling.
+    mk('gpr.c.i')
+    assert _resolve_warm_start('gpr', FakeFold, 'gpr.c.a', True) is True
+    assert (tmp_path / 'gpr.c.a' / 'marker.csv').read_text() == 'gpr.v.a'
+    # An existing model folder is reused untouched.
+    (tmp_path / 'gpr.c.a' / 'marker.csv').write_text('trained')
+    assert _resolve_warm_start('gpr', FakeFold, 'gpr.c.a', True) is True
+    assert (tmp_path / 'gpr.c.a' / 'marker.csv').read_text() == 'trained'
