@@ -28,7 +28,8 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from romcomma_tpu.ops.gram import rbf_gram, rbf_gram_variant, rbf_gram_covariant
+from romcomma_tpu.ops.gram import (rbf_gram, rbf_gram_variant, rbf_gram_covariant,
+                                   rbf_gram_covariant_unit)
 from romcomma_tpu.ops.linalg import cholesky, tri_solve, cho_solve, add_diag, mvn_logpdf
 from romcomma_tpu.ops import lbfgs
 from romcomma_tpu.models.params import (VariantParams, CovariantParams,
@@ -235,23 +236,72 @@ def lml_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray) -> jnp.n
     return jnp.sum(mvn_logpdf(yy, jnp.zeros_like(yy), chol))
 
 
-@partial(jax.jit, static_argnames=('maxiter',))
-def calibrate_covariant(raw: CovariantParams, mask: CovariantParams,
-                        x: jnp.ndarray, y: jnp.ndarray, maxiter: int = 5000,
-                        gtol: float = 1e-16, ftol: float = lbfgs.SCIPY_FTOL):
-    wd = jax.tree_util.tree_leaves(raw)[0].dtype
-    x, y = x.astype(wd), y.astype(wd)
+def _covariant_objective(raw: CovariantParams, mask: CovariantParams,
+                         x: jnp.ndarray, y: jnp.ndarray, ls_frozen: bool):
+    """Masked negative-LML objective closure for covariant calibration.
+
+    With ``ls_frozen`` (the reference's DEFAULT covariant configuration,
+    gpr/kernels.py:54-57) the unit-variance gram is computed ONCE outside the
+    objective and closed over — the TPU-native equivalent of the reference's
+    K_unit_variance cache (gpf/kernels.py:74-104, used at gpf/models.py:67-68):
+    inside a fused lax.while_loop descent XLA hoists the loop-invariant gram,
+    and on the host-paced path it is literally a staged constant. Only the
+    O((LN)^3) factorization remains per evaluation; the O(L^2 N^2 M) gram
+    drops out of the loop."""
     frozen = raw
+    L = raw.raw_lengthscales.shape[0]
+    N = x.shape[0]
+    eye_N = jnp.eye(N, dtype=x.dtype)
+    unit = (rbf_gram_covariant_unit(x, covariant_constrain(raw)['lengthscales'])
+            if ls_frozen else None)
+    yy = y.T.reshape(-1, 1)
 
     def objective(p: CovariantParams) -> jnp.ndarray:
         eff = jax.tree_util.tree_map(
             lambda pv, fv, m: fv + m * (pv - fv), p, frozen, mask)
-        return -lml_covariant(eff, x, y)
+        c = covariant_constrain(eff)
+        if ls_frozen:
+            K4 = c['F'][:, None, :, None] * unit
+            noise4 = c['noise_cov'][:, None, :, None] * eye_N[None, :, None, :]
+            Kn = (K4 + noise4).reshape(L * N, L * N)
+        else:
+            Kn = _covariant_noisy_K(c, x)
+        chol = cholesky(Kn)
+        return -jnp.sum(mvn_logpdf(yy, jnp.zeros_like(yy), chol))
 
+    def merge(p: CovariantParams) -> CovariantParams:
+        return jax.tree_util.tree_map(
+            lambda pv, fv, m: fv + m * (pv - fv), p, frozen, mask)
+
+    return objective, merge
+
+
+@partial(jax.jit, static_argnames=('maxiter', 'ls_frozen'))
+def calibrate_covariant(raw: CovariantParams, mask: CovariantParams,
+                        x: jnp.ndarray, y: jnp.ndarray, maxiter: int = 5000,
+                        gtol: float = 1e-16, ftol: float = lbfgs.SCIPY_FTOL,
+                        ls_frozen: bool = False):
+    wd = jax.tree_util.tree_leaves(raw)[0].dtype
+    x, y = x.astype(wd), y.astype(wd)
+    objective, merge = _covariant_objective(raw, mask, x, y, ls_frozen)
     res = lbfgs.minimize(objective, raw, maxiter=maxiter, gtol=gtol, ftol=ftol)
-    eff = jax.tree_util.tree_map(
-        lambda pv, fv, m: fv + m * (pv - fv), res.params, frozen, mask)
-    return eff, -res.value, res.iterations
+    return merge(res.params), -res.value, res.iterations
+
+
+def calibrate_covariant_host(raw: CovariantParams, mask: CovariantParams,
+                             x: jnp.ndarray, y: jnp.ndarray, maxiter: int = 5000,
+                             gtol: float = 1e-16, ftol: float = lbfgs.SCIPY_FTOL,
+                             ls_frozen: bool = False):
+    """Host-paced covariant calibration for large LN: scipy L-BFGS-B over ONE
+    jitted value+grad program per evaluation. The fused whole-descent program
+    exceeds XLA TPU compiler limits near LN~20k (CLAUDE.md; ops/lbfgs.py:121-124)
+    while the single-evaluation program stays compilable — the same policy as
+    the variant dense route (parallel/distributed.py DENSE_DIRECT path)."""
+    wd = jax.tree_util.tree_leaves(raw)[0].dtype
+    x, y = x.astype(wd), y.astype(wd)
+    objective, merge = _covariant_objective(raw, mask, x, y, ls_frozen)
+    res = lbfgs.minimize_scipy(objective, raw, maxiter=maxiter, gtol=gtol, ftol=ftol)
+    return merge(res.params), -res.value, res.iterations
 
 
 @partial(jax.jit, static_argnames=('y_instead_of_f',))
@@ -276,6 +326,70 @@ def predict_covariant(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray,
     var_f = jnp.maximum((knn_diag - jnp.sum(A * A, axis=0).reshape(L, o)).T, 0.0)
     var = var_f + (jnp.diag(c['noise_cov'])[None, :] if y_instead_of_f else 0.0)
     return mean, var
+
+
+@partial(jax.jit, static_argnames=('full_cov', 'full_output_cov'))
+def predict_covariant_full(raw: CovariantParams, x: jnp.ndarray, y: jnp.ndarray,
+                           xs: jnp.ndarray, full_cov: bool = False,
+                           full_output_cov: bool = False
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-covariance latent prediction p(f*|Y) for the covariant MOGP,
+    matching the reference's predict_f shape semantics exactly
+    (gpf/models.py:84-111), including the ``full_cov => full_output_cov``
+    rule. Returns (mean (n,L), var):
+
+        full_cov=False, full_output_cov=False -> var (n,L)
+        full_cov=False, full_output_cov=True  -> var (n,L,L)
+        full_cov=True  (forces full_output_cov) -> var (n,n,L,L)
+
+    Latent f: no noise is added (the reference's predict_f is f, not y)."""
+    full_output_cov = True if full_cov else full_output_cov
+    c = covariant_constrain(raw)
+    L = c['lengthscales'].shape[0]
+    N, n = x.shape[0], xs.shape[0]
+    chol = cholesky(_covariant_noisy_K(c, x))
+    Kmn = rbf_gram_covariant(x, xs, c['lengthscales'], c['F']).reshape(L * N, L * n)
+    A = tri_solve(chol, Kmn)                                            # (LN,Ln)
+    alpha = tri_solve(chol, y.T.reshape(-1, 1))                         # (LN,1)
+    mean = (A.T @ alpha).reshape(L, n).T                                # (n,L)
+    Knn = rbf_gram_covariant(xs, xs, c['lengthscales'], c['F'])         # (L,n,L,n)
+    f_var = Knn - (A.T @ A).reshape(L, n, L, n)
+    if full_output_cov:
+        f_var = jnp.einsum('LNln -> LlNn', f_var)                       # (L,L,n,n)
+    else:
+        f_var = jnp.einsum('LNLn -> LNn', f_var)                        # (L,n,n)
+    if not full_cov:
+        f_var = jnp.einsum('...NN -> ...N', f_var)
+    return mean, jnp.transpose(f_var, tuple(reversed(range(f_var.ndim))))
+
+
+@partial(jax.jit, static_argnames=('full_cov', 'full_output_cov'))
+def predict_variant_full(raw: VariantParams, x: jnp.ndarray, y: jnp.ndarray,
+                         xs: jnp.ndarray, full_cov: bool = False,
+                         full_output_cov: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """predict_covariant_full's shape contract for the variant model: the L
+    independent GPs have zero cross-output covariance, so the (L,L) blocks
+    are diagonal embeddings of the per-output posterior covariances."""
+    full_output_cov = True if full_cov else full_output_cov
+    c = variant_constrain(raw)
+    L, N, n = y.shape[1], x.shape[0], xs.shape[0]
+    K = rbf_gram_variant(x, x, c['lengthscales'], c['variance'])
+    chol = cholesky(K + c['noise'][:, None, None] * jnp.eye(N, dtype=x.dtype))
+    Ks = rbf_gram_variant(x, xs, c['lengthscales'], c['variance'])      # (L,N,n)
+    A = tri_solve(chol, Ks)
+    alpha = tri_solve(chol, y.T[..., None])                             # (L,N,1)
+    mean = jnp.einsum('lno,lni->ol', A, alpha)                          # (n,L)
+    Knn = rbf_gram_variant(xs, xs, c['lengthscales'], c['variance'])    # (L,n,n)
+    f_var = Knn - jnp.einsum('lna,lnb->lab', A, A)                      # (L,n,n)
+    eye_L = jnp.eye(L, dtype=x.dtype)
+    if full_cov:
+        # (L,n,n) -> (n,n,L,L) with zeros off the output diagonal.
+        return mean, jnp.einsum('lab,lj->abjl', f_var, eye_L)
+    diag = jnp.einsum('lnn->ln', f_var)
+    if full_output_cov:
+        return mean, jnp.einsum('ln,lj->njl', diag, eye_L)              # (n,L,L)
+    return mean, diag.T                                                 # (n,L)
 
 
 @jax.jit

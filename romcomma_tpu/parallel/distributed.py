@@ -686,11 +686,15 @@ class DistributedGP:
 
     def calibrate(self, X: np.ndarray, Y: np.ndarray, ls0, s2_0, noise0,
                   maxiter: int = 5000, gtol: float = 1e-16,
-                  callback=None, max_linesearch_steps: int | None = None):
+                  callback=None, max_linesearch_steps: int | None = None,
+                  mask: tuple = (1.0, 1.0, 1.0)):
         """L-BFGS maximization of the distributed LML, host-paced: each
         iteration is one bounded device dispatch (a fused whole-descent
         program at N>=20k exceeds tunnelled-runtime execution limits and
-        compiles slowly). Returns (ls, s2, noise), final LML, iterations."""
+        compiles slowly). ``mask`` = (lengthscales, signal-variance, noise)
+        trainability as 0/1 floats; frozen groups stay at their initial
+        values, matching the fused path's META trainability system.
+        Returns (ls, s2, noise), final LML, iterations."""
         from romcomma_tpu.ops import lbfgs
         from romcomma_tpu.ops.transforms import positive, positive_inverse
         from romcomma_tpu.models.params import NOISE_LOWER_BOUND
@@ -701,6 +705,14 @@ class DistributedGP:
                 jnp.asarray(positive_inverse(np.asarray(s2_0, dtype=dt), 0.0)),
                 jnp.asarray(positive_inverse(np.asarray(noise0, dtype=dt),
                                              NOISE_LOWER_BOUND)))
+        frozen0 = raw0
+        mask_f = tuple(float(m) for m in mask)
+        if all(m == 1.0 for m in mask_f):
+            merge = lambda raw: raw       # identity: keep bit-exact descent
+        else:
+            def merge(raw):
+                return tuple(fv + m * (rv - fv)
+                             for rv, fv, m in zip(raw, frozen0, mask_f))
 
         if (self.mesh.devices.size == 1 and len(X) <= self.DENSE_DIRECT_MAX_N):
             # Degenerate mesh: the blocked engine's generality costs ~6x per
@@ -716,7 +728,7 @@ class DistributedGP:
             yd = jnp.asarray(np.asarray(Y, dtype=dt).reshape(len(X), -1)[:, :1])
 
             def dense_objective(raw):
-                rls, rs2, rnoise = raw
+                rls, rs2, rnoise = merge(raw)
                 K = rbf_gram(xd, xd, positive(rls, 0.0), positive(rs2, 0.0))
                 ch = dense_cholesky(add_diag(K, positive(rnoise, NOISE_LOWER_BOUND)))
                 value = -jnp.sum(mvn_logpdf(yd, jnp.zeros_like(yd), ch))
@@ -729,20 +741,20 @@ class DistributedGP:
                                        gtol=gtol, callback=callback,
                                        max_linesearch_steps=max_linesearch_steps)
             if np.isfinite(float(res.value)):
-                rls, rs2, rnoise = res.params
+                rls, rs2, rnoise = merge(res.params)
                 return ((positive(rls, 0.0), positive(rs2, 0.0),
                          positive(rnoise, NOISE_LOWER_BOUND)),
                         -res.value, res.iterations)
 
         def objective(raw):
-            rls, rs2, rnoise = raw
+            rls, rs2, rnoise = merge(raw)
             return -self._lml(positive(rls, 0.0), positive(rs2, 0.0),
                               positive(rnoise, NOISE_LOWER_BOUND), x_dev, y_dev)
 
         res = lbfgs.minimize_host(objective, raw0, maxiter=maxiter, gtol=gtol,
                                   callback=callback,
                                   max_linesearch_steps=max_linesearch_steps)
-        rls, rs2, rnoise = res.params
+        rls, rs2, rnoise = merge(res.params)
         return ((positive(rls, 0.0), positive(rs2, 0.0),
                  positive(rnoise, NOISE_LOWER_BOUND)),
                 -res.value, res.iterations)

@@ -128,3 +128,94 @@ def test_calibrate_covariant_improves():
                                np.asarray(rawc.raw_lengthscales), atol=0)
     np.testing.assert_allclose(np.asarray(ropt.kernel_chol_lower),
                                np.asarray(rawc.kernel_chol_lower), atol=0)
+
+
+def test_predict_full_cov_shapes_and_diagonal_consistency():
+    """predict_*_full obeys the reference's shape contract
+    (gpf/models.py:84-111) and its diagonal matches the diagonal path."""
+    X, Y = _data()
+    xs = np.random.default_rng(5).normal(size=(7, 3))
+    ls = np.array([[5., 4., 3.], [2., 2., 2.]])
+    F = np.array([[2.0, 0.4], [0.4, 1.5]])
+    noise = np.array([[0.05, 0.01], [0.01, 0.1]])
+    rawc = P.covariant_init(F, ls, noise)
+
+    mean_d, var_d = gp.predict_covariant(rawc, jnp.asarray(X), jnp.asarray(Y),
+                                         jnp.asarray(xs), y_instead_of_f=False)
+    mean0, var0 = gp.predict_covariant_full(rawc, jnp.asarray(X), jnp.asarray(Y),
+                                            jnp.asarray(xs))
+    np.testing.assert_allclose(np.asarray(mean0), np.asarray(mean_d), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(var0), np.asarray(var_d), rtol=1e-7, atol=1e-12)
+    assert var0.shape == (7, 2)
+
+    _, var1 = gp.predict_covariant_full(rawc, jnp.asarray(X), jnp.asarray(Y),
+                                        jnp.asarray(xs), full_output_cov=True)
+    assert var1.shape == (7, 2, 2)
+    np.testing.assert_allclose(np.einsum('nll->nl', np.asarray(var1)),
+                               np.asarray(var0), rtol=1e-9)
+    # full_cov forces full_output_cov regardless of the flag passed
+    _, var2 = gp.predict_covariant_full(rawc, jnp.asarray(X), jnp.asarray(Y),
+                                        jnp.asarray(xs), full_cov=True,
+                                        full_output_cov=False)
+    assert var2.shape == (7, 7, 2, 2)
+    np.testing.assert_allclose(np.einsum('nnjl->njl', np.asarray(var2)),
+                               np.asarray(var1), rtol=1e-9, atol=1e-12)
+    # symmetry of the joint covariance: var2[a,b,j,l] == var2[b,a,l,j]
+    np.testing.assert_allclose(np.asarray(var2),
+                               np.transpose(np.asarray(var2), (1, 0, 3, 2)),
+                               rtol=1e-7, atol=1e-12)
+
+
+def test_predict_variant_full_matches_variant_and_zero_cross_cov():
+    X, Y = _data()
+    xs = np.random.default_rng(6).normal(size=(5, 3))
+    raw = P.variant_init(np.array([2.0, 1.5]), np.array([[5., 4., 3.], [2., 2., 2.]]),
+                         np.array([0.05, 0.1]))
+    mean_d, var_d = gp.predict_variant(raw, jnp.asarray(X), jnp.asarray(Y),
+                                       jnp.asarray(xs), y_instead_of_f=False)
+    mean0, var0 = gp.predict_variant_full(raw, jnp.asarray(X), jnp.asarray(Y),
+                                          jnp.asarray(xs))
+    np.testing.assert_allclose(np.asarray(mean0), np.asarray(mean_d), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(var0), np.asarray(var_d), rtol=1e-6, atol=1e-12)
+    _, var2 = gp.predict_variant_full(raw, jnp.asarray(X), jnp.asarray(Y),
+                                      jnp.asarray(xs), full_cov=True)
+    assert var2.shape == (5, 5, 2, 2)
+    v = np.asarray(var2)
+    assert np.all(v[:, :, 0, 1] == 0.0) and np.all(v[:, :, 1, 0] == 0.0)
+    np.testing.assert_allclose(np.einsum('nnll->nl', v), np.asarray(var0),
+                               rtol=1e-6, atol=1e-12)
+
+
+def test_calibrate_covariant_frozen_ls_cache_matches():
+    """The unit-gram-cached descent (ls_frozen=True) reproduces the uncached
+    result bit-for-bit when lengthscales are mask-frozen (the reference's
+    default covariant configuration, gpr/kernels.py:54-57)."""
+    X, Y = _data(N=24)
+    ls = np.array([[2., 2., 2.], [2., 2., 2.]])
+    rawc = P.covariant_init(np.diag([1.5, 1.0]), ls, np.diag([0.1, 0.1]))
+    mask = P.covariant_mask()   # reference defaults: lengthscales frozen
+    out_plain = gp.calibrate_covariant(rawc, mask, jnp.asarray(X), jnp.asarray(Y),
+                                       maxiter=40)
+    out_cached = gp.calibrate_covariant(rawc, mask, jnp.asarray(X), jnp.asarray(Y),
+                                        maxiter=40, ls_frozen=True)
+    np.testing.assert_allclose(float(out_plain[1]), float(out_cached[1]),
+                               rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(out_plain[0]),
+                    jax.tree_util.tree_leaves(out_cached[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9)
+
+
+def test_calibrate_covariant_host_matches_fused():
+    """The host-paced (scipy) large-LN covariant route converges to the same
+    optimum as the fused on-device descent."""
+    X, Y = _data(N=24)
+    ls = np.array([[2., 2., 2.], [2., 2., 2.]])
+    rawc = P.covariant_init(np.diag([1.5, 1.0]), ls, np.diag([0.1, 0.1]))
+    mask = P.covariant_mask()
+    _, lml_fused, _ = gp.calibrate_covariant(rawc, mask, jnp.asarray(X),
+                                             jnp.asarray(Y), maxiter=200,
+                                             ls_frozen=True)
+    _, lml_host, _ = gp.calibrate_covariant_host(rawc, mask, jnp.asarray(X),
+                                                 jnp.asarray(Y), maxiter=200,
+                                                 ls_frozen=True)
+    assert abs(float(lml_fused) - float(lml_host)) < max(0.01 * abs(float(lml_fused)), 0.1)

@@ -177,3 +177,57 @@ def test_model_pass_expansion_and_warm_start(tmp_path):
     (tmp_path / 'gpr.c.a' / 'marker.csv').write_text('trained')
     assert _resolve_warm_start('gpr', FakeFold, 'gpr.c.a', True) is True
     assert (tmp_path / 'gpr.c.a' / 'marker.csv').read_text() == 'trained'
+
+
+def test_mean_function_wiring(tmp_path):
+    """GPR(mean_function=...) fits the residuals Y - mean(X) and adds the mean
+    back in predict/predict_f (reference MOMeanFunction,
+    gpf/mean_functions.py:30-64; default Zero at gpf/models.py:127)."""
+    from romcomma_tpu.models import means
+
+    import jax
+    import jax.numpy as jnp
+    from romcomma_tpu.models import gp as gpcore
+
+    repo = _repo(tmp_path)
+    fold = Fold(repo, 0)
+    c = np.full(fold.L, 0.6)
+    gp0 = MOGP('gpr.zero', fold, is_read=False, is_covariant=False, is_isotropic=False)
+    gpm = MOGP('gpr.mean', fold, is_read=False, is_covariant=False, is_isotropic=False,
+               mean_function=means.Constant(c))
+    # The model fits the residuals Y - mean(X).
+    np.testing.assert_allclose(gpm._Y, gp0._Y - c[None, :], rtol=1e-6)
+    gpm.calibrate(maxiter=150)
+    xs = gpm.X[:12]
+    # The mean is added back in predict: the public prediction equals the
+    # zero-mean posterior over the residual targets plus mean(xs), exactly.
+    m_res, _ = jax.device_get(gpcore.predict_variant(
+        gpm._variant_raw(), jnp.asarray(gpm._X), jnp.asarray(gpm._Y),
+        jnp.asarray(np.asarray(xs, dtype=gpm._X.dtype)), y_instead_of_f=True))
+    mm, _ = gpm.predict(xs)
+    np.testing.assert_allclose(mm, np.asarray(m_res) + c[None, :], atol=1e-6)
+    mf, vf = gpm.predict_f(xs)
+    np.testing.assert_allclose(mf, mm, atol=1e-5)
+    assert vf.shape == mm.shape
+    _, var_joint = gpm.predict_f(xs, full_cov=True)
+    assert var_joint.shape == (12, 12, fold.L, fold.L)
+
+
+def test_masked_large_n_route(tmp_path):
+    """Frozen hyperparameter groups are honoured when calibration routes
+    through the distributed large-N engine (round-1 VERDICT item 5): a
+    variance-frozen descent must leave the kernel variance at its initial
+    value while still optimizing the free groups."""
+    noise = sample.GaussianNoise.Variance(1, 0.1, False, True)
+    repo = sample.Function(tmp_path, sample.DOE.latin_hypercube,
+                           functions.ISHIGAMI.subVector('i1', ['standard']),
+                           64, 3, noise, None, True).repo.into_K_folds(-1)
+    fold = Fold(repo, 0)
+    gp = MOGP('masked', fold, is_read=False, is_covariant=False, is_isotropic=False)
+    v0 = gp.kernel.data.variance.np.copy()
+    ls0 = gp.kernel.data.lengthscales.np.copy()
+    gp.calibrate(maxiter=40, large_n_threshold=1, distributed_block=8,
+                 kernel={'variance': False})
+    np.testing.assert_allclose(gp.kernel.data.variance.np, v0, atol=0)
+    assert not np.allclose(gp.kernel.data.lengthscales.np, ls0)
+    assert np.isfinite(float(gp.likelihood.data.log_marginal.np[0, 0]))

@@ -123,9 +123,16 @@ def test_mean_functions():
     import jax.numpy as jnp
     import numpy as np
     from romcomma_tpu.models import means
-    x = jnp.ones((5, 3))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)))
     assert means.Zero(2)(x).shape == (5, 2)
+    assert means.Zero(2).gradient(x).shape == (5, 2, 3)
     c = means.Constant([1.0, -2.0])
-    y = jnp.zeros((5, 2))
-    np.testing.assert_allclose(means.apply(c, x, y), -c(x))
-    np.testing.assert_allclose(means.unapply(c, x, y), c(x))
+    np.testing.assert_allclose(np.asarray(c(x)),
+                               np.broadcast_to([1.0, -2.0], (5, 2)))
+    np.testing.assert_allclose(np.asarray(c.gradient(x)), 0.0)
+    A = np.random.default_rng(1).normal(size=(3, 2))
+    lin = means.Linear(A, [0.5, -0.5])
+    np.testing.assert_allclose(np.asarray(lin(x)),
+                               np.asarray(x) @ A + np.array([0.5, -0.5]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lin.gradient(x)),
+                               np.broadcast_to(A.T, (5, 2, 3)), rtol=1e-6)
