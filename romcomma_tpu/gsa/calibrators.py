@@ -411,11 +411,6 @@ class ClosedSobolWithError(ClosedSobol):
 
     META: Dict[str, Any] = {'is_T_partial': True}
 
-    #: N at/above which marginalize_intervals factorizes the error integrals
-    #: (below it, the per-slice program compiles faster and runtime is
-    #: dispatch-bound). Overridable via meta['factorize_errors_at_n'].
-    from romcomma_tpu.base.definitions import HOST_F64_BELOW_N as FACTORIZE_ERRORS_AT_N
-
     class RankEquation(NamedTuple):
         l: str
         i: str
@@ -464,9 +459,11 @@ class ClosedSobolWithError(ClosedSobol):
                                 is_variance_diagonal=True, LBunch=10000)]
         return result
 
-    def _OmegaGaussian(self, mp, G: jnp.ndarray, Phi: jnp.ndarray, Upsilon: jnp.ndarray,
-                       rank_eqs) -> List[Gaussian]:
-        """The Omega integral family (calibrators.py:214-242)."""
+    def _omega_mean_variance(self, mp, G: jnp.ndarray, Phi: jnp.ndarray,
+                             Upsilon: jnp.ndarray):
+        """Omega-family mean/variance tensors (reference calibrators.py:
+        214-242), elementwise in the trailing M axis, before rank-equating.
+        Sliced to ``mp`` when it is not the full interval."""
         Gamma = 1 - Phi
         Gamma_inv = 1 / Gamma
         Pi = 1 + Phi + jnp.einsum('ikM, ikM, ikM -> ikM', Phi, Gamma_inv, Phi)
@@ -484,16 +481,30 @@ class ClosedSobolWithError(ClosedSobol):
         if mp is not self.Ms:
             variance = variance[..., mp[0]:mp[1]]
             mean = mean[..., mp[0]:mp[1]]
+        return mean, variance
+
+    def _OmegaGaussian(self, mp, G: jnp.ndarray, Phi: jnp.ndarray, Upsilon: jnp.ndarray,
+                       rank_eqs) -> List[Gaussian]:
+        """The Omega integral family (calibrators.py:214-242)."""
+        mean, variance = self._omega_mean_variance(mp, G, Phi, Upsilon)
+        if mp is not self.Ms:
             G = G[..., mp[0]:mp[1]]
         return self._equatedRanksGaussian(mean, variance, G[:, None, ...], rank_eqs)
 
-    def _UpsilonGaussian(self, G: jnp.ndarray, Phi: jnp.ndarray, Upsilon: jnp.ndarray,
-                         rank_eqs) -> List[Gaussian]:
-        """The Upsilon integral family (calibrators.py:244-257)."""
+    def _upsilon_mean_variance(self, G: jnp.ndarray, Phi: jnp.ndarray,
+                               Upsilon: jnp.ndarray):
+        """Upsilon-family mean/variance tensors (reference calibrators.py:
+        244-257), elementwise in the trailing M axis, before rank-equating."""
         Upsilon_cho = jnp.sqrt(Upsilon)
         mean = jnp.einsum('ikM, lLNM -> liLNkM', Upsilon_cho, G)[..., None, :, None, :]
         variance = 1 - jnp.einsum('ikM, lLM, ikM -> liLkM', Upsilon_cho, Phi,
                                   Upsilon_cho)[..., None, :, None, :]
+        return mean, variance
+
+    def _UpsilonGaussian(self, G: jnp.ndarray, Phi: jnp.ndarray, Upsilon: jnp.ndarray,
+                         rank_eqs) -> List[Gaussian]:
+        """The Upsilon integral family (calibrators.py:244-257)."""
+        mean, variance = self._upsilon_mean_variance(G, Phi, Upsilon)
         return self._equatedRanksGaussian(mean, variance,
                                           jnp.asarray(0.0, dtype=FLOAT()), rank_eqs)
 
@@ -572,17 +583,22 @@ class ClosedSobolWithError(ClosedSobol):
 
     def _T(self, Wmm: jnp.ndarray, WMm: jnp.ndarray = None, Vm: jnp.ndarray = None) -> jnp.ndarray:
         if self.meta['is_T_partial']:
-            Q = Wmm
-        else:
-            Q = Wmm - 2 * Vm * WMm / self.V[1] + Vm * Vm * self.Q
-        return jnp.sqrt(jnp.abs(Q) / self.V[4])
+            return jnp.sqrt(jnp.abs(Wmm) / self.V[4])
+        return self._T_from(Wmm, self.Q, WMm, Vm)
+
+    def _T_from(self, Wmm: jnp.ndarray, Q: jnp.ndarray, WMm: jnp.ndarray,
+                Vm: jnp.ndarray) -> jnp.ndarray:
+        """Non-partial T with ``Q`` passed explicitly (the factorized engine
+        computes Q itself before the lazy full-interval cache exists)."""
+        Qs = Wmm - 2 * Vm * WMm / self.V[1] + Vm * Vm * Q
+        return jnp.sqrt(jnp.abs(Qs) / self.V[4])
 
     def _families(self, m: Tuple[int, int]):
-        """The error-integral family bundle of slice ``m``: (GGaussian,
+        """The error-integral families of slice ``m``: (GGaussian,
         psi ratio, Upsilon Gaussians per rank family, Omega Gaussians per
-        rank family, rank families). All members are diagonal-variance
-        Gaussians over the slice dims, so bundles of adjacent slices compose
-        by exponent-addition/det-multiplication (:meth:`_bundle_mul`)."""
+        rank family, rank families) — the per-slice evaluation path (used
+        for exotic/general slices; canonical intervals go through the
+        factorized scan engine in gsa/factorized_errors.py)."""
         G, Phi, Upsilon = tuple(tensor[..., m[0]:m[1]]
                                 for tensor in (self.G, self.Phi, self.Upsilon))
         GGaussian = Gaussian(G, Phi, is_variance_diagonal=True, LBunch=2)
@@ -593,35 +609,6 @@ class ClosedSobolWithError(ClosedSobol):
         oms = tuple(self._OmegaGaussian(m, self.G, self.Phi, self.Upsilon, req)
                     for req in families)
         return (GGaussian, psi_ratio, ups, oms, families)
-
-    @staticmethod
-    def _g_mul(a: Gaussian, b: Gaussian) -> Gaussian:
-        """Product of two diagonal Gaussian pdfs over disjoint dim sets:
-        exponents add, sqrt-dets multiply (trailing width axes are 1)."""
-        r = copy.copy(a)
-        r.exponent = a.exponent + b.exponent
-        r.cho_diag = a.cho_diag * b.cho_diag
-        return r
-
-    @classmethod
-    def _bundle_mul(cls, a, b):
-        return (cls._g_mul(a[0], b[0]), cls._g_mul(a[1], b[1]),
-                tuple([cls._g_mul(x, y) for x, y in zip(la, lb)]
-                      for la, lb in zip(a[2], b[2])),
-                tuple([cls._g_mul(x, y) for x, y in zip(la, lb)]
-                      for la, lb in zip(a[3], b[3])),
-                a[4])
-
-    @classmethod
-    def _bundle_neutral(cls, a):
-        """The empty-slice bundle (pdf == 1): zero exponents, unit dets."""
-        def g(x: Gaussian) -> Gaussian:
-            r = copy.copy(x)
-            r.exponent = jnp.zeros_like(x.exponent)
-            r.cho_diag = jnp.ones_like(x.cho_diag)
-            return r
-        return (g(a[0]), g(a[1]), tuple([g(x) for x in la] for la in a[2]),
-                tuple([g(x) for x in la] for la in a[3]), a[4])
 
     def _error_results(self, bundle, Vm) -> Dict[str, jnp.ndarray]:
         """W and T from a family bundle (the tail of reference
@@ -649,64 +636,29 @@ class ClosedSobolWithError(ClosedSobol):
         """Factorized all-interval pass INCLUDING standard errors.
 
         V/S come from the parent's O(N^2 M) scan. The W/T error integrals
-        factorize the same way: every family Gaussian has diagonal variance
-        over the slice dims with slice-independent per-dim parameters, so
-        the bundle of a prefix/suffix slice is the running product of
-        width-1 bundles built by the trusted per-slice constructors. Each
-        requested slice then pays only its own exp+contraction (O(N^2) per
-        slice instead of O(N^2 width)) — and width-1 slices are no longer
-        padded to width M.
+        factorize the same way and are computed by the chunked-lax.scan
+        engine in :mod:`romcomma_tpu.gsa.factorized_errors` — the TPU-native
+        program shape (one compact scan over dims) that replaces both the
+        O(N^2 M) *per slice* padded path and a Python-unrolled bundle
+        formulation whose HLO broke the XLA TPU compiler at N>=4096.
+        Exotic (non-canonical) slices fall back to per-slice evaluation.
         """
         specs = [self._classify_interval(m, self.M) for m in slices]
-        # Below this N the per-slice path wins: its XLA program compiles much
-        # faster on TPU (the accumulation chains compile pathologically in
-        # emulated f64) and runtime is dispatch-bound anyway. The factorized
-        # path's O(N^2 M) vs O(N^2 M^2) advantage matters at scale.
-        threshold = int(self.meta.get('factorize_errors_at_n',
-                                      self.FACTORIZE_ERRORS_AT_N))
-        if any(k == 'general' for k, _ in specs) or self.N < threshold:
+        if any(k == 'general' for k, _ in specs):
             outs = [self.marginalize(s) for s in slices]
             return {k: jnp.stack([o[k] for o in outs], axis=-1) for k in outs[0]}
+        from romcomma_tpu.gsa import factorized_errors
         base = super().marginalize_intervals(slices, host_paced)
-        singles = {i for k, i in specs if k == 'single'}
-        prefixes = {i for k, i in specs if k == 'prefix'}
-        suffixes = {i for k, i in specs if k == 'suffix'}
-        has_empty = any(k == 'empty' for k, _ in specs)
-        Vm = {i: base['V'][..., i] for i in range(len(slices))}
-        v_of = {}                       # spec -> V column (for non-partial T)
-        for i, spec in enumerate(specs):
-            v_of.setdefault(spec, Vm[i])
-        by_spec: Dict[Tuple[str, int], Dict[str, jnp.ndarray]] = {}
-        if singles or prefixes:
-            acc = None
-            for m in range(self.M):
-                if not (singles or {b for b in prefixes if b > m}):
-                    break
-                fam = self._families((m, m + 1))
-                if m in singles:
-                    by_spec[('single', m)] = self._error_results(fam, v_of[('single', m)])
-                    singles = singles - {m}
-                if prefixes:
-                    acc = fam if acc is None else self._bundle_mul(acc, fam)
-                    if (m + 1) in prefixes:
-                        by_spec[('prefix', m + 1)] = self._error_results(
-                            acc, v_of[('prefix', m + 1)])
-        if suffixes:
-            acc = None
-            for m in reversed(range(min(suffixes), self.M)):
-                fam = self._families((m, m + 1))
-                acc = fam if acc is None else self._bundle_mul(acc, fam)
-                if m in suffixes:
-                    by_spec[('suffix', m)] = self._error_results(acc, v_of[('suffix', m)])
-        if has_empty:
-            by_spec[('empty', 0)] = self._error_results(
-                self._bundle_neutral(self._families((0, 1))), v_of[('empty', 0)])
-        for key in ('W', 'T'):
-            base[key] = jnp.stack([by_spec[spec][key] for spec in specs], axis=-1)
+        base |= factorized_errors.intervals(self, tuple(slices), specs,
+                                            base['V'], host_paced)
         return base
 
     def _calibrate(self):
-        """(calibrators.py:375-402)"""
+        """(calibrators.py:375-402). The full-interval error integrals
+        (psi_factor, W, Q, T) are computed lazily on first access by the
+        factorized scan engine (gsa/factorized_errors.py) — the eager
+        full-M evaluation materializes O(L^3 N^2 M) broadcast tensors,
+        which is both the memory bomb and the compiler killer at scale."""
         super()._calibrate()
         if not self.is_F_diagonal:
             raise NotImplementedError('If the MOGP kernel covariance is not diagonal, '
@@ -715,32 +667,31 @@ class ClosedSobolWithError(ClosedSobol):
         self.V |= {4: jnp.einsum('li, li -> li', self.V[2], self.V[2])}
         self.mu_phi_mu = {'pre-factor': jnp.reshape(
             jnp.sqrt(jnp.prod(self.Lambda2[1][0] * self.Lambda2[-1][2], axis=-1)) * self.F, [-1])}
-        self.GGaussian = Gaussian(mean=self.G, variance=self.Phi,
-                                  is_variance_diagonal=True, LBunch=2)
-        self.psi_factor = self._psi_factor(self.G, self.Phi, self.GGaussian)
-        if self.meta['is_T_partial']:
-            self.UpsilonGaussians = self._UpsilonGaussian(self.G, self.Phi, self.Upsilon,
-                                                          self.RANK_EQUATIONS.DIAGONAL)
-            self.OmegaGaussians = self._OmegaGaussian(self.Ms, self.G, self.Phi, self.Upsilon,
-                                                      self.RANK_EQUATIONS.DIAGONAL)
-            self.W = self._W(self._mu_phi_mu(self.GGaussian, self.UpsilonGaussians,
-                                             self.OmegaGaussians, self.RANK_EQUATIONS.DIAGONAL),
-                             self._mu_psi_mu(self.psi_factor, self.RANK_EQUATIONS.DIAGONAL))
-        else:
-            self.UpsilonGaussians = self.RankEquations(
-                *(self._UpsilonGaussian(self.G, self.Phi, self.Upsilon, rank_eq)
-                  for rank_eq in self.RANK_EQUATIONS))
-            self.OmegaGaussians = self.RankEquations(
-                *(self._OmegaGaussian(self.Ms, self.G, self.Phi, self.Upsilon, rank_eq)
-                  for rank_eq in self.RANK_EQUATIONS))
-            self.W = self.RankEquations(
-                *(self._W(self._mu_phi_mu(self.GGaussian, self.UpsilonGaussians[i],
-                                          self.OmegaGaussians[i], rank_eq),
-                          self._mu_psi_mu(self.psi_factor, rank_eq))
-                  for i, rank_eq in enumerate(self.RANK_EQUATIONS)))
-            self.Q = _diag_part(self.W.MIXED) / (4.0 * self.V[1] * self.V[1])
-            self.Q = self.Q[None, ...] + self.Q[..., None] + 2.0 * jnp.diag(self.Q)
-            self.T = self._T(self.W.DIAGONAL, self.W.MIXED, self.V[0])
+        self._full_error_cache = None
+
+    def _full_error(self) -> Dict[str, Any]:
+        if self._full_error_cache is None:
+            from romcomma_tpu.gsa import factorized_errors
+            self._full_error_cache = factorized_errors.full_interval(self)
+        return self._full_error_cache
+
+    @property
+    def psi_factor(self) -> jnp.ndarray:
+        return self._full_error()['psi_factor']
+
+    @property
+    def W(self):
+        w = self._full_error()['W']
+        return (w['DIAGONAL'] if self.meta['is_T_partial']
+                else self.RankEquations(DIAGONAL=w['DIAGONAL'], MIXED=w['MIXED']))
+
+    @property
+    def Q(self) -> jnp.ndarray:
+        return self._full_error()['Q']
+
+    @property
+    def T(self) -> jnp.ndarray:
+        return self._full_error()['T']
 
 
 _MARGINALIZE_ALL_CACHE: Dict[Any, Any] = {}
@@ -757,14 +708,14 @@ def _gsa_cpu_device(meta: Dict[str, Any], N: int, is_error_calculated: bool = Fa
     """The CPU device to run GSA on, or None to stay on the default backend.
     Pops meta['gsa_on_cpu'] (True/False override; None = auto).
 
-    Auto policy: below GSA_ON_CPU_BELOW_N always host; the standard-error
-    (W/T) path goes to host at EVERY N — its factorized program hard-fails
-    the XLA TPU compiler at N>=4096 (remote-helper crash, measured), and the
-    per-slice variant costs >10 min of emulated-f64 compile. The no-error
-    factorized pass is the one that runs well on TPU at scale."""
+    Auto policy: below GSA_ON_CPU_BELOW_N always host (dispatch-bound; native
+    f64 compiles in seconds). At scale BOTH the no-error V pass and the
+    standard-error W/T pass run on the accelerator: each is one compact
+    chunked lax.scan over dims (gsa/factorized_errors.py for W/T), the
+    program shape the XLA TPU compiler handles in emulated f64."""
     explicit = meta.pop('gsa_on_cpu', None)
     if explicit is None:
-        route = is_error_calculated or (N < GSA_ON_CPU_BELOW_N)
+        route = N < GSA_ON_CPU_BELOW_N
     else:
         route = bool(explicit)
     return _host_cpu_device(route)

@@ -1,0 +1,368 @@
+"""TPU-native factorized standard-error (W/T) pass for ClosedSobolWithError.
+
+Computes the Sobol' standard-error integrals of EVERY canonical interval
+slice (single dim / prefix / suffix / empty) in one chunked ``lax.scan``
+over input dims — the same program shape as ``ClosedSobol.
+marginalize_intervals``'s V pass, which is the one GSA program known to
+compile and run well on the TPU in emulated f64.  It replaces a
+Python-unrolled per-dim "bundle product" formulation whose giant HLO
+hard-failed the XLA TPU compiler at N>=4096.
+
+Math (quantities defined in reference romcomma/gsa/calibrators.py:146-402;
+the factorization itself is the TPU redesign):
+
+Every error-family Gaussian — psi, the Upsilon and Omega families per rank
+equation, and the G-divisor Gaussian — has diagonal variance over input
+dims with *slice-independent per-dim parameters*, and its per-dim exponent
+has the separable form
+
+    e_m(p, q) = -(a_m[p-axes] - b_m[q-axes])^2 / (2 v_m[batch-axes])
+
+with a batch-only Cholesky diagonal.  Exponents are therefore additive over
+dims and sqrt-determinants multiplicative, so a forward scan over dims
+yields every prefix slice (CLOSED kind), a reverse scan every suffix
+(TOTAL), and the per-dim plane itself every single-dim slice (FIRST_ORDER)
+— at O(N^2 M) total cost instead of O(N^2 M) *per slice*.  The Upsilon
+(p-side-only) and G-divisor exponents carry no (p, q) cross term, so their
+cumulative sums — and all determinant products — are precomputed outside
+the scan as O(N M) arrays and folded in at emission time.
+
+Because ``g0KY`` is centred (sums to zero per output), the empty-slice
+error integrals vanish identically: W = 0, T = 0.
+
+Only the diagonal-F case exists here: ``ClosedSobolWithError._calibrate``
+rejects non-diagonal F (matching the reference's instability note).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from romcomma_tpu.ops.linalg import tri_solve
+
+
+def _set_diag(x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    idx = jnp.arange(x.shape[-1])
+    return x.at[..., idx, idx].set(d)
+
+
+def _diag_part(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.einsum('...ii -> ...i', x)
+
+
+def _cums(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Per-dim ('single'), forward-cumulative ('prefix') and
+    reverse-cumulative ('suffix') views along the leading M axis."""
+    return {'single': x, 'prefix': jnp.cumsum(x, axis=0),
+            'suffix': jnp.cumsum(x[::-1], axis=0)[::-1]}
+
+
+KINDS = ('single', 'prefix', 'suffix')
+
+
+# --------------------------------------------------------------------------- #
+# Per-dim family parameters (compact axes; asserts the diagonal-F layout)
+# --------------------------------------------------------------------------- #
+
+def _member_specs(cal) -> List[Dict[str, Any]]:
+    """One spec per (family, rank-equation) member.
+
+    Per member: Omega per-dim N-side mean ``a`` (M, N, j, k) and variance
+    ``v`` (M, j, k); the Upsilon per-dim (p-side-only) exponent ``e_up``
+    (M, N, j, k); the combined per-dim sqrt-determinant ``d`` (M, j, k) of
+    (Omega / G-divisor) * Upsilon; and the ``_mu_phi_mu`` branch layout
+    (p-side index, output spec, MIXED flag)."""
+    families = ((('DIAGONAL', cal.RANK_EQUATIONS.DIAGONAL),)
+                if cal.meta['is_T_partial']
+                else (('DIAGONAL', cal.RANK_EQUATIONS.DIAGONAL),
+                      ('MIXED', cal.RANK_EQUATIONS.MIXED)))
+    om_mean, om_var = cal._omega_mean_variance(cal.Ms, cal.G, cal.Phi, cal.Upsilon)
+    up_mean, up_var = cal._upsilon_mean_variance(cal.G, cal.Phi, cal.Upsilon)
+    dg = jnp.sqrt(cal.Phi[:, 0, :])                       # (L, M) G-divisor cho
+
+    def equate(tensor, rank_eq, insert_n_axis: bool):
+        t = jnp.expand_dims(tensor, 3) if insert_n_axis else tensor
+        return cal._equateRanks(t, rank_eq)[..., None, :]  # (L',N?,j,k,J,1,M)
+
+    def compact(t, with_n: bool):
+        assert t.shape[0] == 1 and t.shape[4] == 1 and t.shape[5] == 1, t.shape
+        t = t[0, :, :, :, 0, 0, :] if with_n else t[0, 0, :, :, 0, 0, :]
+        return jnp.moveaxis(t, -1, 0)                      # M leading
+
+    specs: List[Dict[str, Any]] = []
+    for fam_name, rank_eqs in families:
+        for rank_eq in rank_eqs:
+            mixed = rank_eq in cal.RANK_EQUATIONS.MIXED
+            diag_add = (not mixed) and rank_eq.l == 'k' and rank_eq.i == 'j'
+            a = compact(equate(om_mean, rank_eq, False), True)     # (M,N,j,k)
+            v = compact(equate(om_var, rank_eq, True), False)      # (M,j,k)
+            a_u = equate(up_mean, rank_eq, False)
+            v_u = equate(up_var, rank_eq, True)
+            e_up = compact(-0.5 * (a_u * a_u / v_u), True)          # (M,N,j,k)
+            d_u = compact(jnp.sqrt(v_u), False)                     # (M,j,k)
+            assert a.shape[2] == dg.shape[0], (a.shape, dg.shape)   # j == L
+            d = jnp.sqrt(v) * d_u / dg.T[:, :, None]                # GG on j
+            specs.append({'family': fam_name, 'p': 'k' if mixed else 'j',
+                          'out': 'j' if diag_add else 'jk', 'mixed': mixed,
+                          'a': a, 'v': v, 'e_up': e_up, 'd': d})
+    return specs
+
+
+def _chunk_size(cal, n_members: int) -> int:
+    """q-axis chunk size: ~3 live (N, L, L, chunk) planes per member plus
+    the psi plane, exp temporaries included.  meta['n_chunk'] overrides
+    (0 = unchunked, the V-pass convention)."""
+    explicit = cal.meta.get('n_chunk', None)
+    if explicit is not None:
+        return int(explicit) if explicit else cal.N
+    L = cal.G.shape[0]
+    budget = cal.V_MEMORY_BUDGET_BYTES // jnp.dtype(cal.X.dtype).itemsize
+    per_col = cal.N * L * L * 3 * (n_members + 1)
+    return int(min(cal.N, max(64, budget // max(per_col, 1))))
+
+
+# --------------------------------------------------------------------------- #
+# The scan engine
+# --------------------------------------------------------------------------- #
+
+def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
+    """Run the factorized error sweep.
+
+    ``need`` flags which kinds to emit ('single'/'suffix'; 'prefix' always
+    runs — its (0, M) column is the full-interval psi factor and MIXED-W
+    source).  Returns {'specs', 'quads': {kind: [(M, j[, k]) per member]},
+    'psi': {kind: (M, l, i, N)}} with determinants applied and the psi
+    factors K-solved (reference calibrators.py:290-322 semantics).
+    """
+    kinds = tuple(k for k in KINDS if need.get(k) or k == 'prefix')
+    specs = _member_specs(cal)
+    R = len(specs)
+    L, _, N, M = cal.G.shape
+    dt = cal.G.dtype
+    g = cal.g0KY[:, 0, :]                                  # (L, N)
+    g0q = cal.g0[:, 0, :]                                  # (L, N) psi q side
+    Gm = jnp.moveaxis(cal.G[:, 0, :, :], -1, 0)            # (M, L, N)
+    phi_m = jnp.moveaxis(cal.Phi[:, 0, :], -1, 0)          # (M, L)
+    # psi per-dim variance phi_l (1 - phi_l phi_i) and G-divisor exponent.
+    v_psi = phi_m[:, :, None] * (1.0 - phi_m[:, :, None] * phi_m[:, None, :])
+    eg = _cums(-0.5 * Gm * Gm / phi_m[..., None])          # (M, L, N) per kind
+
+    # Per-kind emission-time arrays: q-side Omega weights g0KY * exp(-Egg)
+    # (the G-divisor division, aligned on j), p-side psi weights (aligned on
+    # l), Upsilon exponent cums, and inverse determinant products.
+    gw = {k: g[None] * jnp.exp(-eg[k]) for k in kinds}     # (M, L, N)
+    eup = {k: [] for k in kinds}
+    invd = {k: [] for k in kinds}
+    for spec in specs:
+        ecum = _cums(spec['e_up'])
+        dcum = _cums(jnp.log(spec['d']))
+        for k in kinds:
+            eup[k].append(ecum[k])
+            invd[k].append(jnp.exp(-dcum[k]))
+    invd_psi = {k: jnp.exp(-_cums(jnp.log(
+        jnp.sqrt(v_psi) / jnp.sqrt(phi_m)[:, :, None]))[k]) for k in kinds}
+
+    chunk = _chunk_size(cal, R)
+    nc = -(-N // chunk)
+    Npad = nc * chunk
+
+    def pad_chunk(x):                          # (M, L, N) -> (nc, M, L, chunk)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Npad - N)))
+        return jnp.moveaxis(x.reshape(M, L, nc, chunk), 2, 0)
+
+    Gq = pad_chunk(Gm)
+    gw_c = {k: pad_chunk(gw[k]) for k in kinds}            # zero-padded
+    g0q_c = jnp.moveaxis(jnp.pad(g0q, ((0, 0), (0, Npad - N))
+                                 ).reshape(L, nc, chunk), 1, 0)   # (nc, L, c)
+
+    fwd_kinds = tuple(k for k in ('single', 'prefix') if k in kinds)
+    do_bwd = 'suffix' in kinds
+
+    def member_quad(spec, plane, gq_m):
+        return jnp.einsum(f"{spec['p']}N, NjkC, jC -> {spec['out']}",
+                          g, plane, gq_m)
+
+    def run_chunk(Gq_i, gw_i, g0q_i):
+        """All sweeps for one q chunk.  Returns
+        {kind: ([member quads (M, ...)], psi contribs (M, l, i, c))}."""
+        xs = (Gq_i,                                         # (M, L, c)
+              tuple(spec['a'] for spec in specs),           # (M, N, j, k)
+              tuple(spec['v'] for spec in specs),           # (M, j, k)
+              {k: gw_i[k] for k in kinds},                  # (M, L, c)
+              {k: gw[k] for k in kinds},                    # (M, L, N) p-side
+              {k: tuple(eup[k]) for k in kinds},            # (M, N, j, k)
+              Gm, phi_m, v_psi)
+
+        def init():
+            E_oms = tuple(jnp.zeros((N,) + spec['v'].shape[1:] + (chunk,), dt)
+                          for spec in specs)
+            return (E_oms, jnp.zeros((L, N, L, chunk), dt))
+
+        def step(carry, xs_m, emit_kinds, accumulated):
+            E_oms, E_psi = carry
+            Gq_m, a_s, v_s, gq_s, pw_s, eup_s, Gm_m, phim, vps = xs_m
+            e_oms = tuple(-0.5 * (a_s[r][..., None] - Gq_m[None, :, None, :]) ** 2
+                          / v_s[r][None, :, :, None] for r in range(R))
+            E_oms = tuple(E + e for E, e in zip(E_oms, e_oms))
+            b = phim[:, None, None] * Gq_m[None, :, :]      # (l, i, c)
+            e_psi = -0.5 * (b[:, None, :, :] - Gm_m[:, :, None, None]) ** 2 \
+                / vps[:, None, :, None]
+            E_psi = E_psi + e_psi
+            ys = {}
+            for k in emit_kinds:
+                oms = E_oms if accumulated[k] else e_oms
+                psi = E_psi if accumulated[k] else e_psi
+                ys[k] = (tuple(member_quad(spec,
+                                           jnp.exp(oms[r] + eup_s[k][r][..., None]),
+                                           gq_s[k]) for r, spec in enumerate(specs)),
+                         jnp.einsum('lN, iC, lNiC -> liC', pw_s[k], g0q_i,
+                                    jnp.exp(psi)))
+            return (E_oms, E_psi), ys
+
+        _, out = lax.scan(lambda c, x: step(c, x, fwd_kinds,
+                                            {'single': False, 'prefix': True}),
+                          init(), xs)
+        if do_bwd:
+            _, out_b = lax.scan(lambda c, x: step(c, x, ('suffix',),
+                                                  {'suffix': True}),
+                                init(), xs, reverse=True)
+            out = out | out_b
+        return out
+
+    def zero_acc():
+        return {k: tuple(jnp.zeros((M,) + (spec['v'].shape[1],)
+                                   + (() if spec['out'] == 'j'
+                                      else spec['v'].shape[2:]), dt)
+                         for spec in specs) for k in kinds}
+
+    if host_paced:
+        stepped = jax.jit(run_chunk)
+        quads = zero_acc()
+        psi_parts = {k: [] for k in kinds}
+        for i in range(int(nc)):
+            out = stepped(Gq[i], {k: gw_c[k][i] for k in kinds}, g0q_c[i])
+            quads = {k: tuple(q0 + q1 for q0, q1 in zip(quads[k], out[k][0]))
+                     for k in kinds}
+            for k in kinds:
+                psi_parts[k].append(out[k][1])
+        psi = {k: jnp.concatenate(psi_parts[k], axis=-1)[..., :N] for k in kinds}
+    else:
+        def outer(acc, xs_i):
+            Gq_i, gw_i, g0q_i = xs_i
+            out = run_chunk(Gq_i, gw_i, g0q_i)
+            acc = {k: tuple(q0 + q1 for q0, q1 in zip(acc[k], out[k][0]))
+                   for k in kinds}
+            return acc, {k: out[k][1] for k in kinds}
+        quads, psi_stack = lax.scan(outer, zero_acc(),
+                                    (Gq, {k: gw_c[k] for k in kinds}, g0q_c))
+        psi = {k: jnp.moveaxis(psi_stack[k], 0, -2
+                               ).reshape(M, L, L, Npad)[..., :N] for k in kinds}
+
+    # Determinants, then the K_cho solve of the psi factors.
+    quads = {k: tuple(q * (invd[k][r] if specs[r]['out'] == 'jk'
+                           else invd[k][r][..., 0])
+                      for r, q in enumerate(quads[k])) for k in kinds}
+    psi = {k: jnp.squeeze(tri_solve(cal.K_cho,
+                                    (psi[k] * invd_psi[k][..., None])[..., None]),
+                          axis=-1) for k in kinds}
+    return {'specs': specs, 'quads': quads, 'psi': psi}
+
+
+# --------------------------------------------------------------------------- #
+# Assembly: W (and T) per slice from the sweep outputs
+# --------------------------------------------------------------------------- #
+
+def _mu_phi(cal, specs, quads_m) -> Dict[str, jnp.ndarray]:
+    """mu_phi_mu per family from one slice's member quads — the branch rules
+    of ClosedSobolWithError._mu_phi_mu (reference calibrators.py:259-288)."""
+    pref = cal.mu_phi_mu['pre-factor']
+    out: Dict[str, jnp.ndarray] = {}
+    for spec, quad in zip(specs, quads_m):
+        if spec['mixed']:
+            mu = jnp.einsum('k, jk -> jk', pref, quad)
+            mu = _set_diag(mu, 2.0 * _diag_part(mu))
+        elif spec['out'] == 'j':
+            mu = jnp.diag(jnp.einsum('j, j -> j', pref, quad))
+        else:
+            mu = jnp.einsum('k, jk -> jk', pref, quad)
+        out[spec['family']] = out.get(spec['family'], 0.0) + mu
+    return out
+
+
+def _mu_psi(psi_m: jnp.ndarray, first: jnp.ndarray, mixed: bool) -> jnp.ndarray:
+    """mu_psi_mu for one slice (reference calibrators.py:311-322): ``first``
+    is the slice's own factor (DIAGONAL) or the full-interval factor, taken
+    on its output diagonal (MIXED)."""
+    ein = 'iin, lin -> li' if mixed else 'lin, lin -> li'
+    r = jnp.einsum(ein, first, psi_m)
+    return _set_diag(r, 2.0 * _diag_part(r))
+
+
+def _w_of(cal, specs, quads_m, psi_m, psi_full) -> Dict[str, jnp.ndarray]:
+    out = {}
+    for fam, mu in _mu_phi(cal, specs, quads_m).items():
+        mixed = fam == 'MIXED'
+        W = mu - _mu_psi(psi_m, psi_full if mixed else psi_m, mixed)
+        out[fam] = W + W.T
+    return out
+
+
+def _full_cache(cal, sweep) -> Dict[str, Any]:
+    """The full-interval (0, M) error quantities from a sweep's prefix
+    column: psi_factor, W per family, and Q/T in non-partial mode."""
+    M = cal.M
+    psi_full = sweep['psi']['prefix'][M - 1]
+    full_W = _w_of(cal, sweep['specs'],
+                   [q[M - 1] for q in sweep['quads']['prefix']],
+                   psi_full, psi_full)
+    cache = {'psi_factor': psi_full, 'W': full_W}
+    if not cal.meta['is_T_partial']:
+        Q = _diag_part(full_W['MIXED']) / (4.0 * cal.V[1] * cal.V[1])
+        cache['Q'] = Q[None, ...] + Q[..., None] + 2.0 * jnp.diag(Q)
+        cache['T'] = cal._T_from(full_W['DIAGONAL'], cache['Q'],
+                                 full_W['MIXED'], cal.V[0])
+    return cache
+
+
+def full_interval(cal) -> Dict[str, Any]:
+    """Lazy backing of ClosedSobolWithError.psi_factor/W/Q/T."""
+    return _full_cache(cal, error_scan(cal, {}))
+
+
+def intervals(cal, slices, kinds_idx, V_cols, host_paced: bool = False):
+    """W and T columns for classified canonical slices.
+
+    ``kinds_idx`` = [('single'|'prefix'|'suffix'|'empty', idx)] aligned with
+    ``slices``; ``V_cols`` are the V columns of the base pass (slice axis
+    last), used by the non-partial T correction.  Populates the
+    calibrator's full-interval error cache as a side effect.
+    """
+    need = {k: any(s[0] == k for s in kinds_idx) for k in KINDS}
+    sweep = error_scan(cal, need, host_paced)
+    cache = _full_cache(cal, sweep)
+    cal._full_error_cache = cache
+    psi_full = cache['psi_factor']
+
+    L_out = cal.g0KY.shape[0]
+    zero = jnp.zeros((L_out, L_out), dtype=cal.G.dtype)
+    W_cols, T_cols = [], []
+    for i, (kind, idx) in enumerate(kinds_idx):
+        if kind == 'empty':
+            W_cols.append(zero)
+            T_cols.append(zero)
+            continue
+        m = idx - 1 if kind == 'prefix' else idx
+        Ws = _w_of(cal, sweep['specs'],
+                   [q[m] for q in sweep['quads'][kind]],
+                   sweep['psi'][kind][m], psi_full)
+        W_cols.append(Ws['DIAGONAL'])
+        if cal.meta['is_T_partial']:
+            T_cols.append(cal._T(Ws['DIAGONAL']))
+        else:
+            T_cols.append(cal._T_from(Ws['DIAGONAL'], cache['Q'], Ws['MIXED'],
+                                      V_cols[..., i]))
+    return {'W': jnp.stack(W_cols, axis=-1), 'T': jnp.stack(T_cols, axis=-1)}

@@ -252,3 +252,36 @@ def test_distributed_sobol_f32_fast_mode():
         a = np.array([f64[k][m] for m in range(M)])
         b = np.array([f32[k][m] for m in range(M)])
         np.testing.assert_allclose(b, a, atol=1e-4, rtol=1e-3, err_msg=k)
+
+
+def test_error_scan_host_paced_matches_fused():
+    """The host-paced chunk loop of the error engine (bounded dispatches for
+    tunnelled TPU runtimes) matches the fused lax.scan path."""
+    M = 4
+    cal = _error_calibrator(M=M, N=50, L=2)
+    cal.meta['n_chunk'] = 16
+    slices = tuple([(m, m + 1) for m in range(M)] + [(0, 2), (1, M), (0, M)])
+    fused = cal.marginalize_intervals(slices)
+    paced = cal.marginalize_intervals(slices, host_paced=True)
+    for key in ('W', 'T'):
+        np.testing.assert_allclose(np.asarray(paced[key]), np.asarray(fused[key]),
+                                   rtol=1e-10, atol=1e-14)
+
+
+@pytest.mark.parametrize('is_T_partial', [True, False])
+def test_error_full_interval_lazy_matches_per_slice(is_T_partial):
+    """The lazy full-interval cache (psi_factor / W / Q / T via the scan
+    engine) agrees with the per-slice evaluation of the (0, M) slice."""
+    M = 4
+    cal = _error_calibrator(is_T_partial=is_T_partial, M=M, N=50, L=2)
+    want = cal.marginalize((0, M))          # per-slice eager path
+    W = cal.W if is_T_partial else cal.W.DIAGONAL
+    np.testing.assert_allclose(np.asarray(W), np.asarray(want['W']),
+                               rtol=1e-9, atol=1e-12)
+    if not is_T_partial:
+        # Full-interval T: the per-slice T of (0, M) uses the same Q.
+        # atol floor sqrt(eps * scale): Q cancels to ~0 on the full slice's
+        # diagonal, same as test_error_intervals_match_per_slice.
+        np.testing.assert_allclose(np.asarray(cal._T(cal.W.DIAGONAL, cal.W.MIXED,
+                                                     np.asarray(want['V']))),
+                                   np.asarray(want['T']), rtol=1e-9, atol=1e-7)
