@@ -74,7 +74,10 @@ def run_on(device, arrays, slices, N, M, n_chunk, host_paced):
 
 def main(N: int = 8192, M: int = 30, n_chunk: int = 0) -> dict:
     import jax
+    print(f'backend={jax.default_backend()} devices={jax.devices()}', flush=True)
+    t0 = time.time()
     K_cho, K_inv_Y, ls, F, X = build_posterior(N, M)
+    print(f'posterior built in {time.time() - t0:.1f}s', flush=True)
     arrays = {'F': F, 'K_cho': K_cho, 'K_inv_Y': K_inv_Y, 'Lambda': ls, 'X': X}
     slices = tuple([(m, m + 1) for m in range(M)]        # first-order
                    + [(0, m + 1) for m in range(1, M)]   # closed
@@ -88,10 +91,12 @@ def main(N: int = 8192, M: int = 30, n_chunk: int = 0) -> dict:
     result = {'N': N, 'M': M, 'backend': backend, 'slices': len(slices),
               'cpu_setup_s': round(cpu_setup, 1),
               'cpu_WT_s': round(cpu_time, 1)}
+    print(f'cpu done: setup {cpu_setup:.1f}s intervals {cpu_time:.1f}s', flush=True)
     if backend != 'cpu':
         acc = jax.devices()[0]
         acc_out, acc_setup, acc_time = run_on(acc, arrays, slices, N, M,
                                               n_chunk, host_paced=True)
+        print(f'acc done: setup {acc_setup:.1f}s intervals {acc_time:.1f}s', flush=True)
         rel = {}
         for key in ('V', 'S', 'W', 'T'):
             a, b = np.asarray(acc_out[key]), np.asarray(cpu_out[key])

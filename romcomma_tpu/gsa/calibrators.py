@@ -30,7 +30,7 @@ import numpy as np
 from romcomma_tpu.base.definitions import FLOAT
 from romcomma_tpu.gsa.base import Calibrator, Gaussian, diag_det
 from romcomma_tpu.models.gpr import GPR
-from romcomma_tpu.ops.linalg import tri_solve
+from romcomma_tpu.ops.linalg import cho_solve, tri_solve
 
 
 def _set_diag(x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
@@ -811,16 +811,126 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
 
 
 class ClosedSobolWithRotation(ClosedSobol):
-    """Closed Sobol' indices under a basis rotation U = Theta X — the ROM hook
-    (reference calibrators.py:405-423)."""
+    """Closed Sobol' indices under an input-basis rotation u = Theta x — the
+    ROM hook (reference calibrators.py:405-423; intended use rom/old.py:
+    59-74, 200-214).
 
-    def _matrix_inverse(self, tensor: jnp.ndarray, I: jnp.ndarray = None) -> jnp.ndarray:
-        """Invert the inner (M,M) matrix of an (L,L,M,M) or (L,L,L,L,M,M) tensor."""
-        if I is None:
-            I = jnp.eye(self.M, dtype=tensor.dtype)[None, None, None, None, ...]
-            ein = 'IiLlmM, IiLlmJ -> IiLlMJ'
-        else:
-            ein = 'LlmM, LlmJ -> LlMJ'
-        result = jnp.linalg.cholesky(tensor)
-        result = tri_solve(result, jnp.broadcast_to(I, tensor.shape).astype(tensor.dtype))
-        return jnp.einsum(ein, result, result)
+    The reference left this class as an inert ``_matrix_inverse`` stub. Here
+    the rotated closed index is implemented in full-matrix Gaussian algebra:
+    with orthonormal rows P = Theta[:Mu] and x ~ N(0, I),
+
+        V[u_{1:Mu}] = Cov_u( E[f_l | Px], E[f_j | Px] )
+
+    closes over the RBF posterior mean exactly.  Conditioning gives
+    x | Px=u ~ N(P^T u, Sigma_c), Sigma_c = I - P^T P; with B_l =
+    (Lambda_l^2 + Sigma_c)^{-1} and C_lj = P^T (P (B_l+B_j) P^T + I)^{-1} P,
+
+        E_u[g^l_n g^j_n'] ∝ exp(-q_l(x_n)/2 - q_j(x_n')/2 + x_n^T B_l C_lj B_j x_n')
+
+    so ALL N^2 pair integrals are ONE (N,M)@(M,M)@(M,N) MXU matmul plus an
+    elementwise exp per output pair — and the whole map is DIFFERENTIABLE in
+    Theta.  The ROM rotation is therefore chosen by gradient ascent of the
+    leading closed index through a Cayley parameterization of SO(M)
+    (:meth:`optimize_theta`), replacing the reference's dormant
+    random-exploration heuristic (rom/old.py ``N_explore``).
+    """
+
+    def V_rotated(self, P: jnp.ndarray) -> jnp.ndarray:
+        """The (L, L) conditional-variance matrix of the rotated slice
+        u_{1:Mu} = P x (P: (Mu, M), orthonormal rows).  At P = I[:Mu] this
+        equals ``marginalize((0, Mu))['V']`` (oracle-tested).  Jittable and
+        differentiable in P.
+
+        Matches the reference's V *estimator* exactly: the centred ``g0KY``
+        weights contracted through the Gaussian pdf RATIO
+        H = E_u[g^l_n g^j_n'] / (g0_ln g0_jn') — the rotated-basis
+        generalization of :meth:`ClosedSobol._V`, where the diagonal per-dim
+        ratio algebra becomes full-matrix algebra in Sigma_c = I - P^T P."""
+        if not self.is_F_diagonal:
+            raise NotImplementedError('Rotated Sobol indices require a '
+                                      'diagonal kernel covariance F.')
+        X = self.X                                        # (N, M)
+        dt = X.dtype
+        Lam2 = (self.Lambda ** 2).astype(dt)              # (L, M)
+        g = self.g0KY[:, 0, :].astype(dt)                 # (L, N) centred
+        L, M, Mu = self.L, self.M, P.shape[0]
+        I_M = jnp.eye(M, dtype=dt)
+        I_Mu = jnp.eye(Mu, dtype=dt)
+        Sig_c = I_M - P.T @ P
+        B, logc1, lc0, q0 = [], [], [], []
+        for l in range(L):
+            A = jnp.diag(Lam2[l]) + Sig_c                 # Lambda^2 + Sigma_c
+            cho = jnp.linalg.cholesky(A)
+            B.append(cho_solve(cho, I_M))
+            logc1.append(0.5 * jnp.sum(jnp.log(Lam2[l]))
+                         - jnp.sum(jnp.log(jnp.diagonal(cho))))
+            # The g0 divisor's log-constant and per-point exponent (the
+            # unconditional integral, Sigma_c -> I).
+            lc0.append(0.5 * jnp.sum(jnp.log(Lam2[l] / (Lam2[l] + 1.0))))
+            q0.append(jnp.sum(X * X / (Lam2[l] + 1.0), axis=-1))   # (N,)
+        rows = []
+        for l in range(L):
+            cols = []
+            for j in range(L):
+                S = B[l] + B[j]
+                cho_m = jnp.linalg.cholesky(P @ S @ P.T + I_Mu)
+                C = P.T @ cho_solve(cho_m, I_Mu) @ P      # (M, M)
+                q_l = jnp.einsum('nM, MK, nK -> n', X, B[l] - B[l] @ C @ B[l], X)
+                q_j = jnp.einsum('nM, MK, nK -> n', X, B[j] - B[j] @ C @ B[j], X)
+                cross = X @ (B[l] @ C @ B[j]) @ X.T       # (N, N) one MXU matmul
+                log_H = (cross - 0.5 * (q_l - q0[l])[:, None]
+                         - 0.5 * (q_j - q0[j])[None, :]
+                         + (logc1[l] + logc1[j] - lc0[l] - lc0[j]
+                            - jnp.sum(jnp.log(jnp.diagonal(cho_m)))))
+                cols.append(g[l] @ jnp.exp(log_H) @ g[j])
+            rows.append(jnp.stack(cols))
+        return jnp.stack(rows)
+
+    def S_rotated(self, P: jnp.ndarray) -> jnp.ndarray:
+        """Closed Sobol' index matrix of the rotated slice, normalized by the
+        total variance exactly like :meth:`ClosedSobol.marginalize`."""
+        return self.V_rotated(P) / self.V[2]
+
+    @staticmethod
+    def _cayley(A_flat: jnp.ndarray, M: int) -> jnp.ndarray:
+        """Theta in SO(M) from M(M-1)/2 free parameters via the Cayley
+        transform Theta = (I + A)^{-1} (I - A), A skew-symmetric."""
+        idx = jnp.tril_indices(M, -1)
+        A = jnp.zeros((M, M), dtype=A_flat.dtype).at[idx].set(A_flat)
+        A = A - A.T
+        I = jnp.eye(M, dtype=A_flat.dtype)
+        return jnp.linalg.solve(I + A, I - A)
+
+    def optimize_theta(self, Mu: int, maxiter: int = 200, n_starts: int = 4,
+                       seed: int = 0, scale: float = 0.5):
+        """Gradient-ascend the mean (over outputs) leading closed index
+        S[u_{1:Mu}] over Theta in SO(M).  Multi-start (identity + random
+        Cayley generators) guards the non-convex landscape — the gradient
+        replaces the reference's N_explore random sampling.  Returns
+        (Theta (M, M), best S scalar)."""
+        from romcomma_tpu.ops import lbfgs
+        M = self.M
+        n_free = (M * (M - 1)) // 2
+        dt = self.X.dtype
+
+        def objective(A_flat):
+            P = self._cayley(A_flat, M)[:Mu]
+            return -jnp.mean(jnp.diagonal(self.S_rotated(P)))
+
+        rng = np.random.default_rng(seed)
+        starts = [jnp.zeros((n_free,), dtype=dt)]
+        starts += [jnp.asarray(rng.normal(scale=scale, size=n_free), dtype=dt)
+                   for _ in range(max(0, n_starts - 1))]
+        best = None
+        for x0 in starts:
+            res = lbfgs.minimize(objective, x0, maxiter=maxiter)
+            if best is None or float(res.value) < float(best.value):
+                best = res
+        theta = np.asarray(self._cayley(best.params, M))
+        # Deterministic signs (leading entry of each row positive) keep the
+        # persisted rotation reproducible; row sign flips leave S invariant.
+        signs = np.sign(theta[np.arange(M), np.abs(theta).argmax(axis=1)])
+        theta = theta * signs[:, None]
+        if np.linalg.det(theta) < 0:
+            theta[-1] *= -1.0
+        return theta, -float(best.value)

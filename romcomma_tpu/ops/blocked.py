@@ -148,3 +148,46 @@ def _chol_bwd(block, L, Lbar):
 
 
 cholesky_blocked.defvjp(_chol_fwd, _chol_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def mvn_lml_blocked(K: jnp.ndarray, y: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+    """Zero-mean Gaussian log marginal likelihood of y (N,1) under SPD K
+    (N,N), with every O(N^3) op on the MXU-blocked kernels and a custom VJP.
+
+    The gradient w.r.t. K is the closed form 0.5 (alpha alpha^T - K^{-1})
+    with alpha = K^{-1} y (Rasmussen & Williams eq. 5.9), built from one
+    blocked N-RHS substitution sweep (L^{-1}) plus one full-rate MXU matmul
+    — instead of reverse-differentiating the factorization loop. Composes
+    with the (auto-differentiated, matmul-shaped) gram builders: this is the
+    single-device hot spot of large-N calibration (the reference's
+    gpf/models.py:81 Cholesky under TF autodiff).
+
+    A non-finite factorization (f32 breakdown near singularity) yields -inf
+    so linesearches back off rather than aborting."""
+    value, _ = _mvn_lml_blocked_fwd(K, y, block)
+    return value
+
+
+def _mvn_lml_blocked_fwd(K, y, block):
+    N = K.shape[-1]
+    L = _cholesky_blocked_impl(K, block)
+    z = trsm_blocked(L, y, block=block)
+    alpha = trsm_blocked(L, z, trans=True, block=block)
+    value = (-0.5 * jnp.sum(z * z)
+             - jnp.sum(jnp.log(jnp.diagonal(L)))
+             - 0.5 * N * jnp.log(2.0 * jnp.asarray(jnp.pi, y.dtype)))
+    value = jnp.where(jnp.isfinite(value), value, -jnp.inf)
+    return value, (L, alpha)
+
+
+def _mvn_lml_blocked_bwd(block, res, gbar):
+    L, alpha = res
+    N = L.shape[-1]
+    Linv = trsm_blocked(L, jnp.eye(N, dtype=L.dtype), block=block)
+    Kinv = jnp.matmul(Linv.T, Linv, precision=lax.Precision.HIGHEST)
+    Kbar = (0.5 * gbar) * (alpha @ alpha.T - Kinv)
+    return Kbar, jnp.zeros_like(alpha)
+
+
+mvn_lml_blocked.defvjp(_mvn_lml_blocked_fwd, _mvn_lml_blocked_bwd)

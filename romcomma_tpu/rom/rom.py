@@ -36,10 +36,22 @@ from romcomma_tpu.models.gpr import MOGP
 
 
 class ROM:
-    """Iterative input-basis rotation for dimension reduction."""
+    """Iterative input-basis rotation for dimension reduction.
+
+    Two rotation objectives are available via meta['rotation_method']:
+
+    - ``'active_subspace'`` (default): the eigenbasis of the posterior-mean
+      gradient outer-product C = E[grad f grad f^T] — a robust spectral
+      surrogate for the reference's intent.
+    - ``'sobol'``: the REFERENCE-DESIGN objective (rom/old.py:59-74,200-214)
+      — Theta chosen to maximize the leading closed Sobol' index S[u_{1:m}]
+      directly, by gradient ascent through the differentiable rotated-basis
+      index (gsa.calibrators.ClosedSobolWithRotation.optimize_theta),
+      replacing the reference's dormant random-exploration optimizer.
+    """
 
     META: Dict[str, Any] = {'iterations': 4, 'm': 1, 'sample_size': 1024,
-                            'tolerance': 1e-3}
+                            'tolerance': 1e-3, 'rotation_method': 'active_subspace'}
 
     def __init__(self, name: str, fold: Fold, gp_name: str = 'gpr.v.a',
                  is_covariant: bool = False, is_isotropic: bool = False,
@@ -76,6 +88,18 @@ class ROM:
             rotation[-1] *= -1.0
         return rotation
 
+    def _sobol_rotation(self, gp: MOGP, m: int, meta: Dict[str, Any]) -> np.ndarray:
+        """Theta maximizing the leading closed Sobol' index S[u_{1:m}] —
+        the reference's designed ROM objective, optimized by gradient ascent
+        (see ClosedSobolWithRotation.optimize_theta)."""
+        from romcomma_tpu.gsa.calibrators import ClosedSobolWithRotation
+        cal = ClosedSobolWithRotation(gp)
+        theta, _ = cal.optimize_theta(
+            Mu=m, maxiter=int(meta.get('theta_maxiter', 200)),
+            n_starts=int(meta.get('theta_starts', 4)),
+            seed=int(meta.get('seed', 0)))
+        return theta
+
     def _leading_closed_sobol(self, gp: MOGP, m: int) -> float:
         """Mean over outputs of the closed Sobol' index S[0:m] — S is (L,L)
         with per-output indices on the diagonal."""
@@ -95,8 +119,12 @@ class ROM:
         gp.calibrate(**opt_kwargs)
         score = self._leading_closed_sobol(gp, m)
         self.history.append({'iteration': 0, 'S_m': score})
+        method = str(meta.get('rotation_method', 'active_subspace'))
         for it in range(1, iterations + 1):
-            rotation = self._active_subspace_rotation(gp, int(meta['sample_size']), rng)
+            if method == 'sobol':
+                rotation = self._sobol_rotation(gp, m, meta)
+            else:
+                rotation = self._active_subspace_rotation(gp, int(meta['sample_size']), rng)
             self.fold.X_rotation = rotation
             gp = self._gp(is_read=True)       # warm start from previous params
             gp.calibrate(**opt_kwargs)

@@ -48,3 +48,65 @@ def test_rom_already_aligned_stays_high(tmp_root):
     rom = ROM('rom', fold, m=2, iterations=1, sample_size=256, maxiter=100)
     meta = rom.calibrate()
     assert meta['history'][-1]['S_m'] > 0.5
+
+
+def _planted_2d_repo(tmp_root, N=200, M=4):
+    """A function living on a planted NON-axis-aligned 2-D active subspace
+    IN THE FOLD'S NORMALIZED COORDINATES: the fold maps X uniform ->
+    Phi^-1(X) ~ N(0,1) (data/storage.py Normalization), so the targets are
+    built from z = Phi^-1(X): f = sin(2 v1.z) + (v2.z)^2."""
+    import pandas as pd
+    from scipy.stats import norm
+    rng = np.random.default_rng(3)
+    X = rng.uniform(size=(N, M))
+    v1 = np.array([1.0, 1.0, 0.0, 0.0]) / np.sqrt(2)
+    v2 = np.array([0.0, 0.0, 1.0, -1.0]) / np.sqrt(2)
+    Z = norm.ppf(np.clip(X, 1e-12, 1 - 1e-12))
+    y = np.sin(2.0 * (Z @ v1)) + (Z @ v2) ** 2 + 0.03 * rng.standard_normal(N)
+    columns = pd.MultiIndex.from_tuples([('X', f'X.{i}') for i in range(M)] + [('Y', 'Y.0')])
+    df = pd.DataFrame(np.column_stack([X, y]), columns=columns, dtype=float)
+    from romcomma_tpu.data.storage import Repository
+    return Repository.from_df(tmp_root / 'repo2', df).into_K_folds(-1), v1, v2
+
+
+def test_rom_sobol_objective_recovers_planted_subspace(tmp_root):
+    """The reference-design ROM (Theta maximizing the leading closed Sobol'
+    index, reference rom/old.py:59-74) recovers a planted 2-D active
+    subspace: S[u_{1:2}] -> ~1 and span(theta[:2]) == span{v1, v2}."""
+    repo, v1, v2 = _planted_2d_repo(tmp_root)
+    fold = Fold(repo, 0)
+    rom = ROM('rom.sobol', fold, m=2, iterations=2, rotation_method='sobol',
+              maxiter=200, theta_maxiter=150, theta_starts=3)
+    meta = rom.calibrate()
+    assert meta['history'][-1]['S_m'] > 0.9, meta['history']
+    # The *cumulative* rotation's leading 2 rows span the planted subspace:
+    # projecting v1, v2 onto them loses almost nothing.
+    rot = np.asarray(fold.X_rotation)[:2]                   # (2, M)
+    for v in (v1, v2):
+        proj = rot.T @ np.linalg.lstsq(rot.T, v, rcond=None)[0]
+        # residual 0.25 == >93% of the direction's energy inside the span
+        assert np.linalg.norm(proj - v) < 0.25, (rot, v)
+
+
+def test_rotated_sobol_identity_oracle(tmp_root):
+    """V_rotated at Theta = I equals the per-slice closed Sobol' V for every
+    prefix width (the stub the reference never implemented,
+    reference calibrators.py:405-423)."""
+    import jax.numpy as jnp
+    from romcomma_tpu.gsa.calibrators import ClosedSobolWithRotation
+    from romcomma_tpu.models.gpr import MOGP
+    noise = sample.GaussianNoise.Variance(3, 0.05, False, True)
+    repo = sample.Function(tmp_root, sample.DOE.latin_hypercube, functions.ISHIGAMI,
+                           100, 3, noise, overwrite_existing=True).repo.into_K_folds(-1)
+    fold = Fold(repo, 0)
+    gp = MOGP('gpr.v.a', fold, is_read=False, is_covariant=False, is_isotropic=False)
+    gp.calibrate(maxiter=100)
+    cal = ClosedSobolWithRotation(gp)
+    for Mu in (1, 2, 3):
+        got = np.asarray(cal.V_rotated(jnp.eye(3)[:Mu]))
+        want = np.asarray(cal.marginalize((0, Mu))['V'])
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+    # Full-slice V is exactly rotation invariant (x ~ N(0, I)).
+    Q = np.linalg.qr(np.random.default_rng(0).normal(size=(3, 3)))[0]
+    got = np.asarray(cal.V_rotated(jnp.asarray(Q)))
+    np.testing.assert_allclose(got, np.asarray(cal.V[0]), rtol=1e-9, atol=1e-12)
