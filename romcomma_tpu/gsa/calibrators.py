@@ -643,14 +643,30 @@ class ClosedSobolWithError(ClosedSobol):
         formulation whose HLO broke the XLA TPU compiler at N>=4096.
         Exotic (non-canonical) slices fall back to per-slice evaluation.
         """
+        slices = tuple(slices)
         specs = [self._classify_interval(m, self.M) for m in slices]
         if any(k == 'general' for k, _ in specs):
+            if not hasattr(self, 'V'):
+                raise ValueError('defer_V mode supports only canonical '
+                                 'interval slices (single dim / prefix / '
+                                 f'suffix / empty); got {slices}.')
             outs = [self.marginalize(s) for s in slices]
             return {k: jnp.stack([o[k] for o in outs], axis=-1) for k in outs[0]}
         from romcomma_tpu.gsa import factorized_errors
-        base = super().marginalize_intervals(slices, host_paced)
-        base |= factorized_errors.intervals(self, tuple(slices), specs,
+        # defer_V: derive the V family from the (0, M) column of the base
+        # pass (appending that slice if the caller did not request it).
+        extra = not hasattr(self, 'V') and (0, self.M) not in slices
+        eff = slices + ((0, self.M),) if extra else slices
+        eff_specs = specs + [('prefix', self.M)] if extra else specs
+        base = super().marginalize_intervals(eff, host_paced)
+        if not hasattr(self, 'V'):
+            self._adopt_V(base['V'][..., eff.index((0, self.M))])
+        base |= factorized_errors.intervals(self, eff, eff_specs,
                                             base['V'], host_paced)
+        if extra:
+            base = {k: v[..., :-1] for k, v in base.items()}
+        if 'S' not in base:      # defer_V base returns V only; normalize now
+            base['S'] = base['V'] / self.V[2][..., None]
         return base
 
     def _calibrate(self):
@@ -664,10 +680,24 @@ class ClosedSobolWithError(ClosedSobol):
             raise NotImplementedError('If the MOGP kernel covariance is not diagonal, '
                                       'the Sobol error calculation is unstable.')
         self.Upsilon = self.Lambda2[-1][2]
-        self.V |= {4: jnp.einsum('li, li -> li', self.V[2], self.V[2])}
+        if hasattr(self, 'V'):
+            # Under defer_V the V family is derived later, from the base
+            # interval pass's (0, M) column (_adopt_V).
+            self.V |= {4: jnp.einsum('li, li -> li', self.V[2], self.V[2])}
         self.mu_phi_mu = {'pre-factor': jnp.reshape(
             jnp.sqrt(jnp.prod(self.Lambda2[1][0] * self.Lambda2[-1][2], axis=-1)) * self.F, [-1])}
         self._full_error_cache = None
+
+    def _adopt_V(self, V0: jnp.ndarray) -> None:
+        """Install the V family from a full-interval V column — the defer_V
+        complement: large-N drivers (DistributedGP.sobol_indices) skip the
+        constructor's separate O(N^2 M) V dispatch and feed the (0, M)
+        column of the factorized interval pass back in instead."""
+        V1 = _diag_part(V0)
+        Vr = jnp.sqrt(V1)
+        self.V = {0: V0, 1: V1, 2: jnp.einsum('l, i -> li', Vr, Vr)}
+        self.V |= {4: jnp.einsum('li, li -> li', self.V[2], self.V[2])}
+        self.S = self.V[0] / self.V[2]
 
     def _full_error(self) -> Dict[str, Any]:
         if self._full_error_cache is None:

@@ -68,18 +68,34 @@ KINDS = ('single', 'prefix', 'suffix')
 # Per-dim family parameters (compact axes; asserts the diagonal-F layout)
 # --------------------------------------------------------------------------- #
 
-def _member_specs(cal) -> List[Dict[str, Any]]:
-    """One spec per (family, rank-equation) member.
+def _families_of(cal):
+    return ((('DIAGONAL', cal.RANK_EQUATIONS.DIAGONAL),)
+            if cal.meta['is_T_partial']
+            else (('DIAGONAL', cal.RANK_EQUATIONS.DIAGONAL),
+                  ('MIXED', cal.RANK_EQUATIONS.MIXED)))
 
-    Per member: Omega per-dim N-side mean ``a`` (M, N, j, k) and variance
-    ``v`` (M, j, k); the Upsilon per-dim (p-side-only) exponent ``e_up``
+
+def _member_layout(cal) -> List[Dict[str, Any]]:
+    """STATIC per-member layout: the ``_mu_phi_mu`` branch of each
+    (family, rank-equation) member — p-side index, output spec, MIXED flag.
+    Kept separate from the traced arrays so the array precompute can run as
+    one jitted program."""
+    layout: List[Dict[str, Any]] = []
+    for fam_name, rank_eqs in _families_of(cal):
+        for rank_eq in rank_eqs:
+            mixed = rank_eq in cal.RANK_EQUATIONS.MIXED
+            diag_add = (not mixed) and rank_eq.l == 'k' and rank_eq.i == 'j'
+            layout.append({'family': fam_name, 'p': 'k' if mixed else 'j',
+                           'out': 'j' if diag_add else 'jk', 'mixed': mixed})
+    return layout
+
+
+def _member_arrays(cal) -> List[Dict[str, jnp.ndarray]]:
+    """Traced per-member arrays, aligned with :func:`_member_layout`:
+    Omega per-dim N-side mean ``a`` (M, N, j, k) and variance ``v``
+    (M, j, k); the Upsilon per-dim (p-side-only) exponent ``e_up``
     (M, N, j, k); the combined per-dim sqrt-determinant ``d`` (M, j, k) of
-    (Omega / G-divisor) * Upsilon; and the ``_mu_phi_mu`` branch layout
-    (p-side index, output spec, MIXED flag)."""
-    families = ((('DIAGONAL', cal.RANK_EQUATIONS.DIAGONAL),)
-                if cal.meta['is_T_partial']
-                else (('DIAGONAL', cal.RANK_EQUATIONS.DIAGONAL),
-                      ('MIXED', cal.RANK_EQUATIONS.MIXED)))
+    (Omega / G-divisor) * Upsilon."""
     om_mean, om_var = cal._omega_mean_variance(cal.Ms, cal.G, cal.Phi, cal.Upsilon)
     up_mean, up_var = cal._upsilon_mean_variance(cal.G, cal.Phi, cal.Upsilon)
     dg = jnp.sqrt(cal.Phi[:, 0, :])                       # (L, M) G-divisor cho
@@ -93,11 +109,9 @@ def _member_specs(cal) -> List[Dict[str, Any]]:
         t = t[0, :, :, :, 0, 0, :] if with_n else t[0, 0, :, :, 0, 0, :]
         return jnp.moveaxis(t, -1, 0)                      # M leading
 
-    specs: List[Dict[str, Any]] = []
-    for fam_name, rank_eqs in families:
+    arrays: List[Dict[str, jnp.ndarray]] = []
+    for fam_name, rank_eqs in _families_of(cal):
         for rank_eq in rank_eqs:
-            mixed = rank_eq in cal.RANK_EQUATIONS.MIXED
-            diag_add = (not mixed) and rank_eq.l == 'k' and rank_eq.i == 'j'
             a = compact(equate(om_mean, rank_eq, False), True)     # (M,N,j,k)
             v = compact(equate(om_var, rank_eq, True), False)      # (M,j,k)
             a_u = equate(up_mean, rank_eq, False)
@@ -106,10 +120,8 @@ def _member_specs(cal) -> List[Dict[str, Any]]:
             d_u = compact(jnp.sqrt(v_u), False)                     # (M,j,k)
             assert a.shape[2] == dg.shape[0], (a.shape, dg.shape)   # j == L
             d = jnp.sqrt(v) * d_u / dg.T[:, :, None]                # GG on j
-            specs.append({'family': fam_name, 'p': 'k' if mixed else 'j',
-                          'out': 'j' if diag_add else 'jk', 'mixed': mixed,
-                          'a': a, 'v': v, 'e_up': e_up, 'd': d})
-    return specs
+            arrays.append({'a': a, 'v': v, 'e_up': e_up, 'd': d})
+    return arrays
 
 
 def _chunk_size(cal, n_members: int) -> int:
@@ -134,72 +146,87 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
 
     ``need`` flags which kinds to emit ('single'/'suffix'; 'prefix' always
     runs — its (0, M) column is the full-interval psi factor and MIXED-W
-    source).  Returns {'specs', 'quads': {kind: [(M, j[, k]) per member]},
+    source).  Returns {'layout', 'quads': {kind: [(M, j[, k]) per member]},
     'psi': {kind: (M, l, i, N)}} with determinants applied and the psi
     factors K-solved (reference calibrators.py:290-322 semantics).
     """
     kinds = tuple(k for k in KINDS if need.get(k) or k == 'prefix')
-    specs = _member_specs(cal)
-    R = len(specs)
+    layout = _member_layout(cal)
+    R = len(layout)
     L, _, N, M = cal.G.shape
     dt = cal.G.dtype
     g = cal.g0KY[:, 0, :]                                  # (L, N)
-    g0q = cal.g0[:, 0, :]                                  # (L, N) psi q side
-    Gm = jnp.moveaxis(cal.G[:, 0, :, :], -1, 0)            # (M, L, N)
-    phi_m = jnp.moveaxis(cal.Phi[:, 0, :], -1, 0)          # (M, L)
-    # psi per-dim variance phi_l (1 - phi_l phi_i) and G-divisor exponent.
-    v_psi = phi_m[:, :, None] * (1.0 - phi_m[:, :, None] * phi_m[:, None, :])
-    eg = _cums(-0.5 * Gm * Gm / phi_m[..., None])          # (M, L, N) per kind
-
-    # Per-kind emission-time arrays: q-side Omega weights g0KY * exp(-Egg)
-    # (the G-divisor division, aligned on j), p-side psi weights (aligned on
-    # l), Upsilon exponent cums, and inverse determinant products.
-    gw = {k: g[None] * jnp.exp(-eg[k]) for k in kinds}     # (M, L, N)
-    eup = {k: [] for k in kinds}
-    invd = {k: [] for k in kinds}
-    for spec in specs:
-        ecum = _cums(spec['e_up'])
-        dcum = _cums(jnp.log(spec['d']))
-        for k in kinds:
-            eup[k].append(ecum[k])
-            invd[k].append(jnp.exp(-dcum[k]))
-    invd_psi = {k: jnp.exp(-_cums(jnp.log(
-        jnp.sqrt(v_psi) / jnp.sqrt(phi_m)[:, :, None]))[k]) for k in kinds}
-
     chunk = _chunk_size(cal, R)
     nc = -(-N // chunk)
     Npad = nc * chunk
 
-    def pad_chunk(x):                          # (M, L, N) -> (nc, M, L, chunk)
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, Npad - N)))
-        return jnp.moveaxis(x.reshape(M, L, nc, chunk), 2, 0)
+    def prep():
+        """Every per-dim array the sweeps consume — member params, per-kind
+        emission-time weights/cums/inverse-dets, and padded q chunks.  Runs
+        as ONE jitted program in host-paced mode: dozens of eager emulated-
+        f64 dispatches (each a fresh remote compile on tunnelled TPU
+        runtimes) collapse into a single compilation."""
+        mem = _member_arrays(cal)
+        g0q = cal.g0[:, 0, :]                              # (L, N) psi q side
+        Gm = jnp.moveaxis(cal.G[:, 0, :, :], -1, 0)        # (M, L, N)
+        phi_m = jnp.moveaxis(cal.Phi[:, 0, :], -1, 0)      # (M, L)
+        # psi per-dim variance phi_l (1 - phi_l phi_i); G-divisor exponent.
+        v_psi = phi_m[:, :, None] * (1.0 - phi_m[:, :, None] * phi_m[:, None, :])
+        eg = _cums(-0.5 * Gm * Gm / phi_m[..., None])      # (M, L, N) per kind
+        # Per-kind: q-side Omega weights g0KY * exp(-Egg) (the G-divisor
+        # division, aligned on j), Upsilon exponent cums, inverse dets.
+        gw = {k: g[None] * jnp.exp(-eg[k]) for k in kinds}  # (M, L, N)
+        eup = {k: [] for k in kinds}
+        invd = {k: [] for k in kinds}
+        for m in mem:
+            ecum = _cums(m['e_up'])
+            dcum = _cums(jnp.log(m['d']))
+            for k in kinds:
+                eup[k].append(ecum[k])
+                invd[k].append(jnp.exp(-dcum[k]))
+        invd_psi = {k: jnp.exp(-_cums(jnp.log(
+            jnp.sqrt(v_psi) / jnp.sqrt(phi_m)[:, :, None]))[k]) for k in kinds}
 
-    Gq = pad_chunk(Gm)
-    gw_c = {k: pad_chunk(gw[k]) for k in kinds}            # zero-padded
-    g0q_c = jnp.moveaxis(jnp.pad(g0q, ((0, 0), (0, Npad - N))
-                                 ).reshape(L, nc, chunk), 1, 0)   # (nc, L, c)
+        def pad_chunk(x):                      # (M, L, N) -> (nc, M, L, chunk)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, Npad - N)))
+            return jnp.moveaxis(x.reshape(M, L, nc, chunk), 2, 0)
+
+        return {'a': tuple(m['a'] for m in mem),
+                'v': tuple(m['v'] for m in mem),
+                'eup': {k: tuple(eup[k]) for k in kinds},
+                'invd': {k: tuple(invd[k]) for k in kinds},
+                'invd_psi': invd_psi, 'gw': gw,
+                'Gm': Gm, 'phi_m': phi_m, 'v_psi': v_psi,
+                'Gq': pad_chunk(Gm),
+                'gw_c': {k: pad_chunk(gw[k]) for k in kinds},
+                'g0q_c': jnp.moveaxis(jnp.pad(g0q, ((0, 0), (0, Npad - N))
+                                              ).reshape(L, nc, chunk), 1, 0)}
+
+    pre = jax.jit(prep)() if host_paced else prep()
+    Gq, gw_c, g0q_c = pre['Gq'], pre['gw_c'], pre['g0q_c']
+    eup, invd, invd_psi = pre['eup'], pre['invd'], pre['invd_psi']
 
     fwd_kinds = tuple(k for k in ('single', 'prefix') if k in kinds)
     do_bwd = 'suffix' in kinds
 
-    def member_quad(spec, plane, gq_m):
-        return jnp.einsum(f"{spec['p']}N, NjkC, jC -> {spec['out']}",
+    def member_quad(r, plane, gq_m):
+        return jnp.einsum(f"{layout[r]['p']}N, NjkC, jC -> {layout[r]['out']}",
                           g, plane, gq_m)
 
     def run_chunk(Gq_i, gw_i, g0q_i):
         """All sweeps for one q chunk.  Returns
         {kind: ([member quads (M, ...)], psi contribs (M, l, i, c))}."""
         xs = (Gq_i,                                         # (M, L, c)
-              tuple(spec['a'] for spec in specs),           # (M, N, j, k)
-              tuple(spec['v'] for spec in specs),           # (M, j, k)
+              pre['a'],                                     # (M, N, j, k)
+              pre['v'],                                     # (M, j, k)
               {k: gw_i[k] for k in kinds},                  # (M, L, c)
-              {k: gw[k] for k in kinds},                    # (M, L, N) p-side
-              {k: tuple(eup[k]) for k in kinds},            # (M, N, j, k)
-              Gm, phi_m, v_psi)
+              {k: pre['gw'][k] for k in kinds},             # (M, L, N) p-side
+              {k: eup[k] for k in kinds},                   # (M, N, j, k)
+              pre['Gm'], pre['phi_m'], pre['v_psi'])
 
         def init():
-            E_oms = tuple(jnp.zeros((N,) + spec['v'].shape[1:] + (chunk,), dt)
-                          for spec in specs)
+            E_oms = tuple(jnp.zeros((N,) + pre['v'][r].shape[1:] + (chunk,), dt)
+                          for r in range(R))
             return (E_oms, jnp.zeros((L, N, L, chunk), dt))
 
         def step(carry, xs_m, emit_kinds, accumulated):
@@ -216,9 +243,9 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             for k in emit_kinds:
                 oms = E_oms if accumulated[k] else e_oms
                 psi = E_psi if accumulated[k] else e_psi
-                ys[k] = (tuple(member_quad(spec,
+                ys[k] = (tuple(member_quad(r,
                                            jnp.exp(oms[r] + eup_s[k][r][..., None]),
-                                           gq_s[k]) for r, spec in enumerate(specs)),
+                                           gq_s[k]) for r in range(R)),
                          jnp.einsum('lN, iC, lNiC -> liC', pw_s[k], g0q_i,
                                     jnp.exp(psi)))
             return (E_oms, E_psi), ys
@@ -234,10 +261,10 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         return out
 
     def zero_acc():
-        return {k: tuple(jnp.zeros((M,) + (spec['v'].shape[1],)
-                                   + (() if spec['out'] == 'j'
-                                      else spec['v'].shape[2:]), dt)
-                         for spec in specs) for k in kinds}
+        return {k: tuple(jnp.zeros((M,) + (pre['v'][r].shape[1],)
+                                   + (() if layout[r]['out'] == 'j'
+                                      else pre['v'][r].shape[2:]), dt)
+                         for r in range(R)) for k in kinds}
 
     if host_paced:
         stepped = jax.jit(run_chunk)
@@ -263,25 +290,25 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
                                ).reshape(M, L, L, Npad)[..., :N] for k in kinds}
 
     # Determinants, then the K_cho solve of the psi factors.
-    quads = {k: tuple(q * (invd[k][r] if specs[r]['out'] == 'jk'
+    quads = {k: tuple(q * (invd[k][r] if layout[r]['out'] == 'jk'
                            else invd[k][r][..., 0])
                       for r, q in enumerate(quads[k])) for k in kinds}
     psi = {k: jnp.squeeze(tri_solve(cal.K_cho,
                                     (psi[k] * invd_psi[k][..., None])[..., None]),
                           axis=-1) for k in kinds}
-    return {'specs': specs, 'quads': quads, 'psi': psi}
+    return {'layout': layout, 'quads': quads, 'psi': psi}
 
 
 # --------------------------------------------------------------------------- #
 # Assembly: W (and T) per slice from the sweep outputs
 # --------------------------------------------------------------------------- #
 
-def _mu_phi(cal, specs, quads_m) -> Dict[str, jnp.ndarray]:
+def _mu_phi(cal, layout, quads_m) -> Dict[str, jnp.ndarray]:
     """mu_phi_mu per family from one slice's member quads — the branch rules
     of ClosedSobolWithError._mu_phi_mu (reference calibrators.py:259-288)."""
     pref = cal.mu_phi_mu['pre-factor']
     out: Dict[str, jnp.ndarray] = {}
-    for spec, quad in zip(specs, quads_m):
+    for spec, quad in zip(layout, quads_m):
         if spec['mixed']:
             mu = jnp.einsum('k, jk -> jk', pref, quad)
             mu = _set_diag(mu, 2.0 * _diag_part(mu))
@@ -302,9 +329,9 @@ def _mu_psi(psi_m: jnp.ndarray, first: jnp.ndarray, mixed: bool) -> jnp.ndarray:
     return _set_diag(r, 2.0 * _diag_part(r))
 
 
-def _w_of(cal, specs, quads_m, psi_m, psi_full) -> Dict[str, jnp.ndarray]:
+def _w_of(cal, layout, quads_m, psi_m, psi_full) -> Dict[str, jnp.ndarray]:
     out = {}
-    for fam, mu in _mu_phi(cal, specs, quads_m).items():
+    for fam, mu in _mu_phi(cal, layout, quads_m).items():
         mixed = fam == 'MIXED'
         W = mu - _mu_psi(psi_m, psi_full if mixed else psi_m, mixed)
         out[fam] = W + W.T
@@ -316,7 +343,7 @@ def _full_cache(cal, sweep) -> Dict[str, Any]:
     column: psi_factor, W per family, and Q/T in non-partial mode."""
     M = cal.M
     psi_full = sweep['psi']['prefix'][M - 1]
-    full_W = _w_of(cal, sweep['specs'],
+    full_W = _w_of(cal, sweep['layout'],
                    [q[M - 1] for q in sweep['quads']['prefix']],
                    psi_full, psi_full)
     cache = {'psi_factor': psi_full, 'W': full_W}
@@ -356,7 +383,7 @@ def intervals(cal, slices, kinds_idx, V_cols, host_paced: bool = False):
             T_cols.append(zero)
             continue
         m = idx - 1 if kind == 'prefix' else idx
-        Ws = _w_of(cal, sweep['specs'],
+        Ws = _w_of(cal, sweep['layout'],
                    [q[m] for q in sweep['quads'][kind]],
                    sweep['psi'][kind][m], psi_full)
         W_cols.append(Ws['DIAGONAL'])

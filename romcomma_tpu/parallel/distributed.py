@@ -623,7 +623,8 @@ class DistributedGP:
 
     def sobol_indices(self, ls, s2, noise, x_dev, y_dev, X: np.ndarray,
                       kind='first_order', n_chunk: int | None = None,
-                      gsa_dtype=None):
+                      gsa_dtype=None, error: bool = False,
+                      is_T_partial: bool = True):
         """Closed-form Sobol' indices of the trained distributed GP.
 
         The plain (no-error) ClosedSobol needs only K^{-1}y from the posterior
@@ -642,9 +643,18 @@ class DistributedGP:
         terms, so with the f64-refined posterior feeding it, |dS| ~ 1e-6 at
         N=4096 (tests/test_gsa_chunked.py pins 1e-4) — worth ~6x on TPU
         where f64 is emulated.
+
+        ``error``: also compute the Sobol' standard errors W/T through the
+        factorized scan engine (gsa/factorized_errors.py; always f64). The
+        psi integrals need the dense Cholesky factor of K in ORIGINAL row
+        order, which is refactorized in f64 on the host CPU (one-shot
+        analytics cost; the distributed factor is block-cyclic-permuted and
+        cannot be reused). Returns {'S': by_kind, 'T': by_kind} instead of
+        the plain S structure. ``is_T_partial`` selects the reference's
+        partial/total T formula (calibrators.py _T).
         """
         import time
-        from romcomma_tpu.gsa.calibrators import ClosedSobol
+        from romcomma_tpu.gsa.calibrators import ClosedSobol, ClosedSobolWithError
         kinds = (kind,) if isinstance(kind, str) else tuple(kind)
         t0 = time.time()
         alpha_stored, _ = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
@@ -652,13 +662,32 @@ class DistributedGP:
         t_posterior = time.time() - t0
         N, M = self.plan.N, X.shape[1]
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
-        f64 = jnp.float64 if gsa_dtype is None else jnp.dtype(gsa_dtype)
+        f64 = jnp.float64 if (gsa_dtype is None or error) else jnp.dtype(gsa_dtype)
+        t0 = time.time()
+        if error:
+            import jax
+            from romcomma_tpu.ops.gram import rbf_gram
+            from romcomma_tpu.ops.linalg import add_diag
+            from romcomma_tpu.ops.linalg import cholesky as dense_cholesky
+            cpu = jax.devices('cpu')[0]
+            with jax.default_device(cpu):
+                x64 = jnp.asarray(np.asarray(X), jnp.float64)
+                K = rbf_gram(x64, x64, jnp.asarray(np.asarray(ls), jnp.float64),
+                             jnp.asarray(float(s2), jnp.float64))
+                K_cho = dense_cholesky(add_diag(K, jnp.asarray(float(noise),
+                                                               jnp.float64)))
+            K_cho = jnp.asarray(np.asarray(K_cho), f64)
+            meta['is_T_partial'] = bool(is_T_partial)
+        else:
+            K_cho = jnp.zeros((1, 1, 1), f64)
+        t_kcho = time.time() - t0
         t0 = time.time()
         # defer_V: V0 comes from the (0, M) interval below — no separate
         # full-interval V dispatch.
-        cal = ClosedSobol.from_arrays(
+        cls = ClosedSobolWithError if error else ClosedSobol
+        cal = cls.from_arrays(
             F=jnp.asarray([[1.0]], f64) * jnp.asarray(s2, f64),
-            K_cho=jnp.zeros((1, 1, 1), f64),
+            K_cho=K_cho,
             K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N), f64),
             Lambda=jnp.asarray(ls, f64)[None, :],
             X=jnp.asarray(np.asarray(X), f64),
@@ -668,10 +697,12 @@ class DistributedGP:
                   'total': [(m + 1, M) for m in range(M)]}
         flat = [(0, M)] + [s for k in kinds for s in family[k]]
         # host-paced chunks: bounded dispatches for tunnelled TPU runtimes
-        V_all = np.asarray(cal.marginalize_intervals(tuple(flat),
-                                                     host_paced=True)['V'])[0, 0]
+        out = cal.marginalize_intervals(tuple(flat), host_paced=True)
+        V_all = np.asarray(out['V'])[0, 0]
         self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),
                                  'intervals_s': round(time.time() - t0, 1)}
+        if error:
+            self.last_gsa_timings['k_cho_s'] = round(t_kcho, 1)
         V0 = float(V_all[0])
         S_all = V_all[1:] / V0
         S_M = 1.0                      # L=1: S of the full interval is V0/V0
@@ -680,7 +711,14 @@ class DistributedGP:
             S_k = S_all[i * M:(i + 1) * M]
             by_kind[k] = {m: (S_M - float(v) if k == 'total' else float(v))
                           for m, v in enumerate(S_k)}
-        return by_kind[kind] if isinstance(kind, str) else by_kind
+        S_out = by_kind[kind] if isinstance(kind, str) else by_kind
+        if not error:
+            return S_out
+        T_all = np.asarray(out['T'])[0, 0][1:]
+        T_by_kind = {k: {m: float(T_all[i * M + m]) for m in range(M)}
+                     for i, k in enumerate(kinds)}
+        return {'S': S_out,
+                'T': T_by_kind[kind] if isinstance(kind, str) else T_by_kind}
 
     # -- calibration ---------------------------------------------------------- #
 

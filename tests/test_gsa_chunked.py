@@ -285,3 +285,48 @@ def test_error_full_interval_lazy_matches_per_slice(is_T_partial):
         np.testing.assert_allclose(np.asarray(cal._T(cal.W.DIAGONAL, cal.W.MIXED,
                                                      np.asarray(want['V']))),
                                    np.asarray(want['T']), rtol=1e-9, atol=1e-7)
+
+
+def test_distributed_sobol_error_mode_matches_direct():
+    """sobol_indices(error=True) — the large-N production entry for W/T —
+    matches a directly constructed ClosedSobolWithError on the same
+    posterior (defer_V + host-refactorized K_cho + host-paced engine)."""
+    import jax.numpy as jnp
+    from romcomma_tpu.parallel import distributed as dist
+    from romcomma_tpu.gsa.calibrators import ClosedSobolWithError
+    from romcomma_tpu.ops.gram import rbf_gram
+    from romcomma_tpu.ops.linalg import add_diag, cholesky, cho_solve
+
+    rng = np.random.default_rng(6)
+    N, M = 100, 4
+    x = rng.normal(size=(N, M))
+    y = np.sin(x[:, :1]) + 0.3 * x[:, 1:2] ** 2 + 0.05 * rng.standard_normal((N, 1))
+    dgp = dist.DistributedGP(N, dist.make_n_mesh(), block=16)
+    x_dev, y_dev = dgp.stage(x, y)
+    ls, s2, nz = jnp.ones(M), jnp.asarray(1.0), jnp.asarray(0.05)
+    out = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, x,
+                            kind=('first_order', 'total'), error=True)
+    assert set(out) == {'S', 'T'}
+
+    # Direct oracle: exact f64 posterior, eager V, per-slice error path.
+    x64 = jnp.asarray(x, jnp.float64)
+    K = rbf_gram(x64, x64, jnp.ones(M, jnp.float64), jnp.asarray(1.0, jnp.float64))
+    K_cho = cholesky(add_diag(K, jnp.asarray(0.05, jnp.float64)))
+    alpha = cho_solve(K_cho, jnp.asarray(y, jnp.float64))
+    cal = ClosedSobolWithError.from_arrays(
+        F=jnp.asarray([[1.0]]), K_cho=K_cho,
+        K_inv_Y=alpha.T.reshape(1, 1, N), Lambda=jnp.ones((1, M)),
+        X=x64, is_F_diagonal=True, L=1, M=M, N=N, is_T_partial=True)
+    for i, m in enumerate(range(M)):
+        want = cal.marginalize((m, m + 1))
+        np.testing.assert_allclose(out['S']['first_order'][m],
+                                   float(np.asarray(want['S'])[0, 0]),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(out['T']['first_order'][m],
+                                   float(np.asarray(want['T'])[0, 0]),
+                                   rtol=1e-5, atol=1e-7)
+        want_suf = cal.marginalize((m + 1, M)) if m + 1 < M else None
+        if want_suf is not None:
+            np.testing.assert_allclose(out['T']['total'][m],
+                                       float(np.asarray(want_suf['T'])[0, 0]),
+                                       rtol=1e-5, atol=1e-7)
