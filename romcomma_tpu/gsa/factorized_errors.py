@@ -289,14 +289,48 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         psi = {k: jnp.moveaxis(psi_stack[k], 0, -2
                                ).reshape(M, L, L, Npad)[..., :N] for k in kinds}
 
-    # Determinants, then the K_cho solve of the psi factors.
+    # Determinants, then the K_cho solve of the psi factors.  In host-paced
+    # mode the solve runs on the host CPU in native f64: a (M,l,i)-batched
+    # f64 TRSM on the TPU broadcasts a full (N,N) K_cho copy PER BATCH
+    # ELEMENT (measured 16.9 GB HBM at N=8192, M=30 — an OOM), and the
+    # factors are tiny (M L^2 N) to move.
+    K_cho = cal.K_cho
+    if host_paced:
+        cpu = _host_cpu()
+        if cpu is not None:
+            move = lambda t: jax.device_put(t, cpu)
+            quads = {k: tuple(move(q) for q in quads[k]) for k in kinds}
+            psi = {k: move(psi[k]) for k in kinds}
+            invd = {k: [move(x) for x in invd[k]] for k in kinds}
+            invd_psi = {k: move(invd_psi[k]) for k in kinds}
+            K_cho = move(K_cho)
     quads = {k: tuple(q * (invd[k][r] if layout[r]['out'] == 'jk'
                            else invd[k][r][..., 0])
                       for r, q in enumerate(quads[k])) for k in kinds}
-    psi = {k: jnp.squeeze(tri_solve(cal.K_cho,
-                                    (psi[k] * invd_psi[k][..., None])[..., None]),
-                          axis=-1) for k in kinds}
+    psi = {k: _psi_solve(K_cho, psi[k] * invd_psi[k][..., None])
+           for k in kinds}
     return {'layout': layout, 'quads': quads, 'psi': psi}
+
+
+def _host_cpu():
+    try:
+        return jax.devices('cpu')[0]
+    except RuntimeError:
+        return None
+
+
+def _psi_solve(K_cho: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    """tri_solve(K_cho, factor (M, l, i, N)) with the original broadcast
+    semantics (_psi_contract: K_cho's batch axis aligns with ``i``), but
+    reshaped so each K_cho[i] sees ONE multi-RHS solve — the (M, l)-batched
+    form tiles a full (N, N) matrix copy per batch element on TPU."""
+    Mm, l, i, N = factor.shape
+    if K_cho.ndim == 2:
+        sol = tri_solve(K_cho, factor.reshape(Mm * l * i, N).T)   # (N, R)
+        return sol.T.reshape(Mm, l, i, N)
+    rhs = jnp.transpose(factor, (2, 3, 0, 1)).reshape(i, N, Mm * l)
+    sol = tri_solve(K_cho, rhs)                                    # batch i
+    return jnp.transpose(sol.reshape(i, N, Mm, l), (2, 3, 0, 1))
 
 
 # --------------------------------------------------------------------------- #

@@ -147,6 +147,7 @@ class GPR(Model):
         full noise covariance at calibration time, not the diagonalized
         reload (pinned by tests/test_gpr_model.py)."""
         self._posterior_cache = None
+        self._posterior_host_cache = None
         target_shape = (self._L, self._L) if is_covariant else (1, self._L)
         self._likelihood.data.variance.broadcast_value(target_shape=target_shape, is_diagonal=True)
         self._kernel.broadcast_parameters(variance_shape=target_shape,
@@ -182,10 +183,18 @@ class GPR(Model):
     #: test sets (e.g. the improper fold at N=o=20k) stream in fixed memory.
     PREDICT_CHUNK: int = 4096
 
-    def predict(self, x: np.ndarray, y_instead_of_f: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    def predict(self, x: np.ndarray, y_instead_of_f: bool = True,
+                exact_sd: bool = True) -> Tuple[np.ndarray, np.ndarray]:
         """Posterior (mean (o,L), std (o,L)) at x (reference gpr/models.py:375-384).
         Variant models reuse the cached posterior factorization and stream
-        test points in chunks; covariant models use the direct (LN,LN) path."""
+        test points in chunks; covariant models use the direct (LN,LN) path.
+
+        ``exact_sd`` (default): in the f32 fast mode the variance solve runs
+        against the f64 factors on the host CPU instead of the working-dtype
+        cast — at high condition numbers the f32 triangular solve loses up
+        to a few percent of SD, which flips Z^2 > 4 outlier classifications
+        in test() (measured |dZ| ~ 4 at N=4096, noise 1e-4). Pass
+        exact_sd=False for throughput when only the mean matters."""
         x_orig = np.asarray(x)
         x = jnp.asarray(np.asarray(x, dtype=FLOAT()))
         if self.is_covariant:
@@ -193,14 +202,18 @@ class GPR(Model):
                                              jnp.asarray(self._Y), x, y_instead_of_f)
             mean, var = jax.device_get((mean, var))
         else:
-            K_cho, K_inv_Y = self.posterior_factors
+            on_cpu = getattr(self, '_posterior_on_cpu', False)
+            host_f64 = on_cpu or (exact_sd and FLOAT().itemsize == 4)
+            if host_f64 and not on_cpu:
+                K_cho, K_inv_Y = self._host_posterior_factors()
+            else:
+                K_cho, K_inv_Y = self.posterior_factors
             raw = self._variant_raw()
             X = jnp.asarray(self._X)
-            if getattr(self, '_posterior_on_cpu', False):
-                # Factors were routed to the host CPU backend (small N): run
-                # the prediction there in f64 — Pallas (TPU-only) must not be
-                # traced into a CPU-placed program, and at this scale f64 on
-                # host is both free and more accurate.
+            if host_f64:
+                # f64 on the host CPU: exact mean AND SD — Pallas (TPU-only)
+                # must not be traced into a CPU-placed program, and f64 TRSM
+                # on the TPU is emulated (and memory-bound at large N).
                 raw = jax.tree_util.tree_map(
                     lambda a: jnp.asarray(np.asarray(a), jnp.float64), raw)
                 X = jnp.asarray(np.asarray(self._X), jnp.float64)
@@ -278,6 +291,25 @@ class GPR(Model):
             else:
                 self._posterior_cache = gp.posterior_factors_variant(raw, X, Y)
         return self._posterior_cache
+
+    def _host_posterior_factors(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """f64 posterior factors ON THE HOST CPU (cached) — the exact-SD
+        prediction route. When the fast-path factors live on a (possibly
+        tunnelled) accelerator, refactorizing on host costs less than
+        pulling an (L,N,N) f64 buffer across the link, and the solve then
+        runs in native f64 instead of the emulated/memory-bound TPU TRSM."""
+        if getattr(self, '_posterior_host_cache', None) is None:
+            cpu = jax.devices('cpu')[0]
+            raw = self._variant_raw()
+            raw = jax.tree_util.tree_map(
+                lambda a: jax.device_put(np.asarray(a, np.float64), cpu), raw)
+            X = jax.device_put(np.asarray(self._X, np.float64), cpu)
+            Y = jax.device_put(np.asarray(self._Y, np.float64), cpu)
+            if self._N >= 4096:
+                self._posterior_host_cache = gp.posterior_factors_variant_staged(raw, X, Y)
+            else:
+                self._posterior_host_cache = gp.posterior_factors_variant(raw, X, Y)
+        return self._posterior_host_cache
 
     @property
     def K_cho(self) -> jnp.ndarray:
@@ -405,6 +437,7 @@ class MOGP(GPR):
         by compile-fusion roundoff). Skipped on the large-N path where one
         fused LML program exceeds compile limits."""
         self._posterior_cache = None
+        self._posterior_host_cache = None
         self._likelihood.data.replace(variance=c['noise'][None, :],
                                       log_marginal=np.asarray(lml)[None, :])
         self._kernel.data.replace(variance=c['variance'][None, :],
@@ -425,6 +458,7 @@ class MOGP(GPR):
         """Maximize the LML on-device; write optimized parameters back to the
         kernel/likelihood CSV frames (reference gpr/models.py:345-373)."""
         self._posterior_cache = None
+        self._posterior_host_cache = None
         meta, kernel_options, likelihood_options = self._calibration_options(**kwargs)
         maxiter = int(meta.get('maxiter', 5000))
         gtol = float(meta.get('gtol', 1e-16))
