@@ -437,11 +437,79 @@ class DistributedGP:
                         out_specs=(P(), P(), P()))
         return jax.jit(fn)
 
+    #: identity-column strip width of the streaming gradient build.
+    GRAD_STRIP_COLS: int = 2048
+    #: bytes of simultaneously-live (Npad, Npad) gradient buffers above which
+    #: the single-device backward pass streams K^{-1} strips instead of
+    #: storing K, K^{-1} and L together (3 full buffers).
+    GRADS_MEMORY_BUDGET_BYTES: int = 12 * 2 ** 30
+
+    def _grads_streaming_fn(self):
+        """dLML/d{ls, s2, noise} WITHOUT materializing K or K^{-1}: strips of
+        K^{-1} come from identity-column solves against the saved factor and
+        the matching signal-gram rows are rebuilt on the fly (one small
+        matmul each).  Peak memory = the factor + O(Npad * strip) — the
+        difference between N <= 21k and N = 50k fitting one chip's HBM (the
+        stored path holds THREE (Npad, Npad) buffers through the backward
+        pass).  Single-device only; the sharded path keeps the stored form
+        (per-device slabs are Npad^2/S)."""
+        pl_ = self.plan
+        Npad = pl_.Npad
+        fwd, bwd = self._fwd, self._bwd
+        real = jnp.asarray(pl_.dtype_rows_mask)
+        strip = int(min(Npad, max(pl_.B, self.GRAD_STRIP_COLS)))
+        n_strips = -(-Npad // strip)
+        from romcomma_tpu.ops.gram import rbf_gram
+
+        @jax.jit
+        def grads(L, alpha, x, ls, s2, noise):
+            dt = L.dtype
+            col_real = real.astype(dt)
+            a_full = alpha[:, 0]
+            arangeN = jnp.arange(Npad, dtype=jnp.int32)
+
+            def body(t, acc):
+                dls, ds2, dnoise, col_sum = acc
+                r0 = jnp.minimum(t * strip, Npad - strip).astype(jnp.int32)
+                gidx = r0 + jnp.arange(strip, dtype=jnp.int32)
+                # the clamped last strip overlaps earlier rows: mask them out
+                fresh = (gidx >= t * strip).astype(dt)
+                cols = (arangeN[:, None] == gidx[None, :]).astype(dt)
+                kinv_cols = bwd(L, fwd(L, cols))            # (Npad, strip)
+                x_s = lax.dynamic_slice(x, _i32(r0, 0), (strip, x.shape[1]))
+                K_rows = rbf_gram(x_s, x, ls, s2)           # signal gram rows
+                a_s = lax.dynamic_slice(alpha, _i32(r0, 0), (strip, 1))
+                row_real = lax.dynamic_slice(col_real, _i32(r0), (strip,)) * fresh
+                mask2 = row_real[:, None] * col_real[None, :]
+                Bbar = 0.5 * (a_s * a_full[None, :] - kinv_cols.T) * mask2
+                eye = (gidx[:, None] == arangeN[None, :]).astype(dt)
+                W = Bbar * (K_rows * mask2)
+                ds2 = ds2 + jnp.sum(W)
+                dnoise = dnoise + jnp.sum(Bbar * eye)
+                rsum = jnp.sum(W, axis=1)
+                col_sum = col_sum + jnp.sum(W, axis=0)
+                Wx = jnp.matmul(W, x, precision=lax.Precision.HIGHEST)
+                dls = dls + (jnp.einsum('am,a->m', x_s * x_s, rsum)
+                             - 2.0 * jnp.einsum('am,am->m', x_s, Wx))
+                return dls, ds2, dnoise, col_sum
+
+            zero = (jnp.zeros((x.shape[1],), dt), jnp.zeros((), dt),
+                    jnp.zeros((), dt), jnp.zeros((Npad,), dt))
+            dls, ds2, dnoise, col_sum = lax.fori_loop(0, n_strips, body, zero)
+            dls = (dls + jnp.einsum('bm,b->m', x * x, col_sum)) / (ls ** 3)
+            return dls, ds2 / s2, dnoise
+
+        return grads
+
     def _build_lml(self):
         pl_ = self.plan
         Npad, B, NB, N = pl_.Npad, pl_.B, pl_.NB, pl_.N
         gram, chol, fwd, bwd, logdiag = (self._gram, self._chol, self._fwd,
                                          self._bwd, self._logdiag)
+        itemsize = np.dtype(self.dtype).itemsize if self.dtype is not None else 4
+        use_streaming = (pl_.S == 1 and
+                         3 * Npad * Npad * itemsize > self.GRADS_MEMORY_BUDGET_BYTES)
+        grads_stream = self._grads_streaming_fn() if use_streaming else None
         grads = self._grads_fn()
         mesh = self.mesh
 
@@ -505,9 +573,12 @@ class DistributedGP:
 
         def lml_bwd(res, gbar):
             ls, s2, noise, x, L, alpha = res
-            K = gram(x, ls, s2, noise)            # recomputed, not stored
-            Kinv = kinv_all(L)
-            dls, ds2, dnoise = grads(K, Kinv, alpha, x, ls, s2, noise)
+            if grads_stream is not None:
+                dls, ds2, dnoise = grads_stream(L, alpha, x, ls, s2, noise)
+            else:
+                K = gram(x, ls, s2, noise)        # recomputed, not stored
+                Kinv = kinv_all(L)
+                dls, ds2, dnoise = grads(K, Kinv, alpha, x, ls, s2, noise)
             return (gbar * dls, gbar * ds2, gbar * dnoise,
                     jnp.zeros_like(x), jnp.zeros_like(alpha))
 

@@ -210,3 +210,34 @@ def test_distributed_gp_dtype_override():
     assert x_dev.dtype == jnp.float64 and y_dev.dtype == jnp.float64
     lml = gp64.lml(jnp.ones(2), jnp.asarray(1.0), jnp.asarray(0.1), x_dev, y_dev)
     assert np.isfinite(float(lml))
+
+
+def test_streaming_grads_match_stored():
+    """The strip-streaming gradient build (the N=50k single-chip HBM route)
+    reproduces the stored-K^{-1} custom-VJP gradient."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    N, M = 150, 4
+    x = rng.normal(size=(N, M))
+    y = np.sin(x[:, :1]) + 0.05 * rng.standard_normal((N, 1))
+    dgp = dist.DistributedGP(N, dist.make_n_mesh(1), block=32)
+    x_dev, y_dev = dgp.stage(x, y)
+    ls = jnp.asarray(np.full(M, 1.5), x_dev.dtype)
+    s2 = jnp.asarray(1.2, x_dev.dtype)
+    nz = jnp.asarray(0.05, x_dev.dtype)
+
+    def value(p):
+        return dgp._lml(p[0], p[1], p[2], x_dev, y_dev)
+
+    v0, g_stored = jax.value_and_grad(value)((ls, s2, nz))
+
+    # Force the streaming route and rebuild the custom-VJP LML.
+    dgp.GRADS_MEMORY_BUDGET_BYTES = 0
+    dgp._lml = dgp._build_lml()
+    v1, g_stream = jax.value_and_grad(value)((ls, s2, nz))
+
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-12)
+    for a, b in zip(g_stream, g_stored):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
