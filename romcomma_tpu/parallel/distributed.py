@@ -756,11 +756,15 @@ class DistributedGP:
         # defer_V: V0 comes from the (0, M) interval below — no separate
         # full-interval V dispatch.
         cls = ClosedSobolWithError if error else ClosedSobol
+        # Hyperparameters may arrive mesh-replicated from calibrate(); pull
+        # them to host values so the calibrator's arrays are unsharded (the
+        # error engine commits its final solves to the host CPU device, and
+        # committed-vs-mesh-replicated operands cannot mix).
         cal = cls.from_arrays(
-            F=jnp.asarray([[1.0]], f64) * jnp.asarray(s2, f64),
+            F=jnp.asarray([[float(np.asarray(s2))]], f64),
             K_cho=K_cho,
             K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N), f64),
-            Lambda=jnp.asarray(ls, f64)[None, :],
+            Lambda=jnp.asarray(np.asarray(ls), f64)[None, :],
             X=jnp.asarray(np.asarray(X), f64),
             is_F_diagonal=True, L=1, M=M, N=N, defer_V=True, **meta)
         family = {'first_order': [(m, m + 1) for m in range(M)],

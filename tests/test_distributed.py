@@ -241,3 +241,29 @@ def test_streaming_grads_match_stored():
     for a, b in zip(g_stream, g_stored):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_multichip_end_to_end_stage_calibrate_sobol():
+    """The full multi-chip plan — stage -> calibrate -> sobol_indices
+    (no-error AND error kinds) — executes end-to-end on the 8-device mesh:
+    the validated route for N beyond one chip's HBM (BASELINE scale-up row).
+    Tiny shapes; the assertions are structural + oracle-free sanity."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12)
+    Nn, M = 192, 4
+    X = rng.normal(size=(Nn, M))
+    Y = np.sin(X[:, :1]) + 0.3 * X[:, 1:2] ** 2 + 0.05 * rng.standard_normal((Nn, 1))
+    mesh = dist.make_n_mesh()                      # all 8 virtual devices
+    assert mesh.devices.size == 8
+    dgp = dist.DistributedGP(Nn, mesh, block=16)
+    x_dev, y_dev = dgp.stage(X, Y)
+    (ls, s2, nz), lml, iters = dgp.calibrate(X, Y, ls0=np.full(M, 2.0),
+                                             s2_0=1.0, noise0=0.05, maxiter=40)
+    assert np.isfinite(float(np.asarray(lml)))
+    out = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, X,
+                            kind=('first_order', 'total'), error=True)
+    S, T = out['S'], out['T']
+    assert S['first_order'][0] > 0.2 and S['first_order'][1] > 0.1
+    assert S['first_order'][3] < 0.05
+    assert all(np.isfinite(v) for k in T for v in T[k].values())
