@@ -1,0 +1,67 @@
+"""DistributedGP LML val+grad per evaluation — the large-N calibration
+engine's hot step — comparing the block-cyclic shard_map kernels against the
+S==1 dense MXU-blocked kernels (ops/blocked.py), at tunable N.
+
+This is the route N > DENSE_DIRECT_MAX_N (21k) takes; at N=50000 it is the
+only single-chip option (the dense-direct objective needs 3 (N,N) buffers).
+
+Usage:  python benchmarks/engine_valgrad.py [N] [M] [reps] [engines]
+        engines: 'dense', 'cyclic' or 'both' (default 'dense')
+Prints one JSON line per engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('ROMCOMMA_X64', '0')
+
+import numpy as np
+
+
+def main(N: int = 20000, M: int = 30, reps: int = 3, engines: str = 'dense'):
+    import jax
+    import jax.numpy as jnp
+    from romcomma_tpu.parallel import distributed as dist
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((N, M))
+    Y = (np.sin(X[:, :1]) + 0.5 * X[:, 1:2] ** 2
+         + 0.1 * rng.standard_normal((N, 1)))
+    names = ('dense', 'cyclic') if engines == 'both' else (engines,)
+    out_all = {}
+    for name in names:
+        dgp = dist.DistributedGP(N, dist.make_n_mesh(1),
+                                 dense_kernels=(name == 'dense'))
+        x_dev, y_dev = dgp.stage(X, Y)
+        ls = jnp.asarray(np.full(M, 2.0), x_dev.dtype)
+        s2 = jnp.asarray(1.0, x_dev.dtype)
+        nz = jnp.asarray(0.05, x_dev.dtype)
+        vg = jax.jit(jax.value_and_grad(
+            lambda p: dgp._lml(p[0], p[1], p[2], x_dev, y_dev)))
+        t0 = time.time()
+        v, g = jax.block_until_ready(vg((ls, s2, nz)))
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            v, g = jax.block_until_ready(vg((ls, s2, nz)))
+            times.append(time.time() - t0)
+        out = {'engine': name, 'N': N, 'M': M,
+               'backend': jax.default_backend(),
+               'compile_plus_first_s': round(compile_s, 1),
+               's_per_eval': round(min(times), 3), 'value': float(v),
+               'streaming_grads': bool(
+                   3 * dgp.plan.Npad ** 2 * 4 > dgp.GRADS_MEMORY_BUDGET_BYTES)}
+        print(json.dumps(out), flush=True)
+        out_all[name] = out
+    return out_all
+
+
+if __name__ == '__main__':
+    a = sys.argv[1:]
+    main(*(int(x) for x in a[:3]), *(a[3:4] or []))

@@ -360,20 +360,36 @@ class DistributedGP:
     DENSE_DIRECT_MAX_N: int = 21000
 
     def __init__(self, N: int, mesh: Mesh | None = None, block: int = 256,
-                 dtype=None):
+                 dtype=None, dense_kernels: bool = False):
         """``dtype``: working dtype of staged arrays and therefore of the
         whole engine; None uses base.definitions.FLOAT(). Pass np.float64 to
         force a true-f64 engine (the escalation ladder relies on this — a
         FLOAT()-pinned stage would silently cast an intended f64 rescue back
-        to f32 under ROMCOMMA_X64=0)."""
+        to f32 under ROMCOMMA_X64=0).
+
+        ``dense_kernels`` (single-device meshes only): factorize/solve with
+        the MXU-blocked dense kernels (ops/blocked.py) instead of the
+        block-cyclic shard_map engine — same padding conventions (unit
+        diagonal on padding rows), far smaller HLO (measured 7 s vs 153 s
+        val+grad compile at N=8192), one large matmul per panel."""
         self.mesh = mesh if mesh is not None else make_n_mesh()
         self.dtype = dtype
         self.plan = plan(N, S=self.mesh.devices.size, B=block)
         self._gram = ring_gram(self.plan, self.mesh)
-        self._chol = cholesky(self.plan, self.mesh)
-        self._fwd = solve_forward(self.plan, self.mesh)
-        self._bwd = solve_backward(self.plan, self.mesh)
-        self._logdiag = log_diag_sum(self.plan, self.mesh)
+        if dense_kernels and self.plan.S == 1:
+            from romcomma_tpu.ops import blocked
+            bb = max(block, min(512, self.plan.Npad))
+            self._chol = jax.jit(functools.partial(blocked.cholesky_blocked, block=bb))
+            self._fwd = jax.jit(functools.partial(blocked.trsm_blocked, block=bb))
+            self._bwd = jax.jit(functools.partial(blocked.trsm_blocked,
+                                                  trans=True, block=bb))
+            self._logdiag = jax.jit(
+                lambda L: jnp.sum(jnp.log(jnp.diagonal(L))))   # pad diag == 1
+        else:
+            self._chol = cholesky(self.plan, self.mesh)
+            self._fwd = solve_forward(self.plan, self.mesh)
+            self._bwd = solve_backward(self.plan, self.mesh)
+            self._logdiag = log_diag_sum(self.plan, self.mesh)
         self._lml = self._build_lml()
 
     # -- host-side staging -------------------------------------------------- #

@@ -267,3 +267,29 @@ def test_multichip_end_to_end_stage_calibrate_sobol():
     assert S['first_order'][0] > 0.2 and S['first_order'][1] > 0.1
     assert S['first_order'][3] < 0.05
     assert all(np.isfinite(v) for k in T for v in T[k].values())
+
+
+def test_dense_kernels_engine_matches_block_cyclic():
+    """The S==1 dense-kernel engine (ops/blocked.py cholesky/TRSM swapped in)
+    reproduces the block-cyclic engine's LML value and gradient."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(13)
+    Nn, M = 180, 4
+    x = rng.normal(size=(Nn, M))
+    y = np.sin(x[:, :1]) + 0.05 * rng.standard_normal((Nn, 1))
+    ls = jnp.asarray(np.full(M, 1.4))
+    s2, nz = jnp.asarray(1.1), jnp.asarray(0.05)
+
+    outs = []
+    for dense in (False, True):
+        dgp = dist.DistributedGP(Nn, dist.make_n_mesh(1), block=32,
+                                 dense_kernels=dense)
+        x_dev, y_dev = dgp.stage(x, y)
+        v, g = jax.value_and_grad(
+            lambda p: dgp._lml(p[0], p[1], p[2], x_dev, y_dev))((ls, s2, nz))
+        outs.append((float(v), jax.device_get(g)))
+    np.testing.assert_allclose(outs[1][0], outs[0][0], rtol=1e-9)
+    for a, b in zip(outs[1][1], outs[0][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
