@@ -41,8 +41,12 @@ def main(N: int = 20000, M: int = 30, reps: int = 3, engines: str = 'dense'):
         ls = jnp.asarray(np.full(M, 2.0), x_dev.dtype)
         s2 = jnp.asarray(1.0, x_dev.dtype)
         nz = jnp.asarray(0.05, x_dev.dtype)
-        vg = jax.jit(jax.value_and_grad(
-            lambda p: dgp._lml(p[0], p[1], p[2], x_dev, y_dev)))
+        # NOT wrapped in an outer jit: production (lbfgs.minimize_host) calls
+        # the custom-VJP LML's individually-jitted pieces as bounded
+        # dispatches — fusing fwd+bwd into one program is both unrealistic
+        # and a compile hazard at this N.
+        vg = jax.value_and_grad(
+            lambda p: dgp._lml(p[0], p[1], p[2], x_dev, y_dev))
         t0 = time.time()
         v, g = jax.block_until_ready(vg((ls, s2, nz)))
         compile_s = time.time() - t0

@@ -6,7 +6,9 @@ Runs the large-N production path: DistributedGP host-paced L-BFGS training
 (bounded device dispatches for tunnelled runtimes) and the factorized
 O(N^2 M) all-kind Sobol' pass sharing one posterior solve.
 
-Usage:  python benchmarks/north_star.py [N] [M] [maxiter]
+Usage:  python benchmarks/north_star.py [N] [M] [maxiter] [dense_kernels]
+``dense_kernels=1`` swaps the single-device engine onto the MXU-blocked
+dense kernels (ops/blocked.py) — the N=50k route.
 Prints one JSON line with phase timings and the leading indices.
 """
 
@@ -23,7 +25,8 @@ os.environ.setdefault('ROMCOMMA_X64', '0')      # f32 TPU fast path
 import numpy as np
 
 
-def main(N: int = 20000, M: int = 30, maxiter: int = 10) -> dict:
+def main(N: int = 20000, M: int = 30, maxiter: int = 10,
+         dense_kernels: int = 0) -> dict:
     import jax
     from romcomma_tpu.parallel import distributed as dist
 
@@ -36,7 +39,8 @@ def main(N: int = 20000, M: int = 30, maxiter: int = 10) -> dict:
          + 0.1 * rng.standard_normal((N, 1)))
 
     t0 = time.time()
-    dgp = dist.DistributedGP(N, dist.make_n_mesh())
+    dgp = dist.DistributedGP(N, dist.make_n_mesh(),
+                             dense_kernels=bool(dense_kernels))
     x_dev, y_dev = dgp.stage(X, Y)
     jax.block_until_ready((x_dev, y_dev))
     t_stage = time.time() - t0
@@ -51,7 +55,8 @@ def main(N: int = 20000, M: int = 30, maxiter: int = 10) -> dict:
                           kind=('first_order', 'total'))
     t_gsa = time.time() - t0
 
-    out = {'N': N, 'M': M, 'iters': int(np.asarray(iters)),
+    out = {'N': N, 'M': M, 'dense_kernels': bool(dense_kernels),
+           'iters': int(np.asarray(iters)),
            'gsa_phases': getattr(dgp, 'last_gsa_timings', None),
            'lml': float(np.asarray(lml)),
            'stage_s': round(t_stage, 1), 'train_s': round(t_train, 1),
