@@ -237,7 +237,9 @@ def cholesky(pl_: Plan, mesh: Mesh):
         return (A * keep).reshape(c * B, Npad)
 
     fn = _shard_map(local, mesh=mesh, in_specs=(P('n'),), out_specs=P('n'))
-    return jax.jit(fn)
+    # Donate K: the factorization overwrites it panel-by-panel, and holding
+    # K and L together is 2 full (Npad, Npad) buffers — the N=50k HBM budget.
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 # --------------------------------------------------------------------------- #
@@ -379,7 +381,8 @@ class DistributedGP:
         if dense_kernels and self.plan.S == 1:
             from romcomma_tpu.ops import blocked
             bb = max(block, min(512, self.plan.Npad))
-            self._chol = jax.jit(functools.partial(blocked.cholesky_blocked, block=bb))
+            self._chol = jax.jit(functools.partial(blocked.cholesky_blocked, block=bb),
+                                 donate_argnums=(0,))
             self._fwd = jax.jit(functools.partial(blocked.trsm_blocked, block=bb))
             self._bwd = jax.jit(functools.partial(blocked.trsm_blocked,
                                                   trans=True, block=bb))

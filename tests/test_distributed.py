@@ -62,8 +62,9 @@ def test_distributed_cholesky_matches_oracle(problem):
     p = problem
     gp = p['gp']
     K = gp._gram(p['x_dev'], p['ls'], p['s2'], p['noise'])
+    K_np = np.asarray(K)          # snapshot: _chol donates (consumes) K
     L = np.asarray(gp._chol(K))
-    np.testing.assert_allclose(L @ L.T, np.asarray(K), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(L @ L.T, K_np, rtol=1e-8, atol=1e-10)
     # lower-triangular in global elimination order
     pl_ = gp.plan
     g_row = np.repeat(np.asarray(pl_.g_of_t), pl_.B)
@@ -76,12 +77,13 @@ def test_solves_and_logdet(problem):
     p = problem
     gp = p['gp']
     K = gp._gram(p['x_dev'], p['ls'], p['s2'], p['noise'])
+    K_np = np.asarray(K)          # snapshot: _chol donates (consumes) K
     L = gp._chol(K)
     z = gp._fwd(L, p['y_dev'])
     np.testing.assert_allclose(np.asarray(L) @ np.asarray(z), np.asarray(p['y_dev']),
                                rtol=1e-8, atol=1e-10)
     alpha = gp._bwd(L, z)
-    np.testing.assert_allclose(np.asarray(K) @ np.asarray(alpha),
+    np.testing.assert_allclose(K_np @ np.asarray(alpha),
                                np.asarray(p['y_dev']), rtol=1e-7, atol=1e-9)
     got_logdet = 2 * float(gp._logdiag(L))
     want_logdet = float(np.linalg.slogdet(p['K_oracle'])[1])
