@@ -52,6 +52,16 @@ def _pad_spd(a: jnp.ndarray, Npad: int) -> jnp.ndarray:
     return out.at[..., idx, idx].set(1.0)
 
 
+def _col_tile(NB: int, B: int, target: int = 4096) -> int:
+    """Widest column-tile (a multiple of B dividing NB*B) not exceeding
+    max(B, target) — exact tiling, no clamped/overlapping last tile."""
+    best = 1
+    for d in range(1, NB + 1):
+        if NB % d == 0 and d * B <= max(B, target):
+            best = d
+    return best * B
+
+
 def _cholesky_blocked_impl(a: jnp.ndarray, block: int) -> jnp.ndarray:
     N = a.shape[-1]
     Npad = _round_up(N, block)
@@ -59,8 +69,15 @@ def _cholesky_blocked_impl(a: jnp.ndarray, block: int) -> jnp.ndarray:
     NB = Npad // block
     B = block
     eye_b = jnp.eye(B, dtype=a.dtype)
-    col_idx = jnp.arange(Npad)
     row_idx = jnp.arange(Npad)
+    # Column-tiled trailing update: a full (Npad,Npad) rank-B update is a
+    # SECOND N^2 buffer live against the carry — 2x9.4 GB at N=50k, past the
+    # 15.75 GB v5e HBM — and computes the masked-out already-factored
+    # columns anyway. Tiling bounds the temp to (Npad, C) and the dynamic
+    # lower bound skips fully-factored tiles (~half the update FLOPs).
+    C = _col_tile(NB, B)
+    n_tiles = Npad // C
+    tile_idx = jnp.arange(C)
 
     def step(k, A):
         col0 = k * B
@@ -73,13 +90,147 @@ def _cholesky_blocked_impl(a: jnp.ndarray, block: int) -> jnp.ndarray:
         # the diagonal block itself comes out as Lkk exactly.
         Lpanel = jnp.where(row_idx[:, None] >= col0, Lpanel, 0.0)
         A = lax.dynamic_update_slice(A, Lpanel, _i32(0, col0))
-        # trailing rank-B update on columns right of the panel (one MXU matmul)
-        upd = jnp.matmul(Lpanel, Lpanel.T, precision=lax.Precision.HIGHEST)
-        A = A - jnp.where(col_idx[None, :] >= col0 + B, upd, 0.0)
-        return A
+
+        def upd_tile(t, A):
+            c0 = t * C
+            rows = lax.dynamic_slice(Lpanel, _i32(c0, 0), (C, B))
+            upd = jnp.matmul(Lpanel, rows.T,
+                             precision=lax.Precision.HIGHEST)          # (Npad,C)
+            keep = (c0 + tile_idx)[None, :] >= col0 + B
+            cur = lax.dynamic_slice(A, _i32(0, c0), (Npad, C))
+            return lax.dynamic_update_slice(
+                A, cur - jnp.where(keep, upd, 0.0), _i32(0, c0))
+
+        t0 = ((col0 + B) // C).astype(jnp.int32)   # first tile with trailing cols
+        return lax.fori_loop(t0, n_tiles, upd_tile, A)
 
     A = lax.fori_loop(0, NB, step, A)
     return jnp.tril(A)[..., :N, :N]
+
+
+def cholesky_blocked_upper(a: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """UPPER Cholesky factor U of SPD a (N,N): a = U^T U, U = L^T.
+
+    The row-major (layout-native) sibling of ``cholesky_blocked``: the panel
+    loop reads/writes (B, Npad) ROW slabs, which are contiguous in XLA's
+    default {1,0} layout — so the while-loop carry keeps the layout of the
+    donated input and no transposed (Npad,Npad) layout-conversion copy is
+    inserted. With the lower/column-panel variant at N=50k the carry chose
+    the {0,1} layout and XLA materialized a second 9.38 GB copy — past the
+    v5e 15.75 GB HBM. Use with ``solve_upper_t`` / ``solve_upper``.
+
+    NOT differentiable (dynamic-bound fori_loop); gradient paths go through
+    the custom-VJP LML wrappers, never through this factorization.
+    The strict lower triangle of the padded intermediate holds garbage that
+    is masked on every read and zeroed (jnp.triu) before returning."""
+    N = a.shape[-1]
+    Npad = _round_up(N, block)
+    A = _pad_spd(a, Npad)
+    NB = Npad // block
+    B = block
+    eye_b = jnp.eye(B, dtype=a.dtype)
+    col_idx = jnp.arange(Npad)
+    C = _col_tile(NB, B)
+    n_tiles = Npad // C
+    tile_idx = jnp.arange(C)
+
+    def step(k, A):
+        row0 = k * B
+        slab = lax.dynamic_slice(A, _i32(row0, 0), (B, Npad))         # (B,Npad)
+        diag = lax.dynamic_slice(slab, _i32(0, row0), (B, B))
+        Lkk = jnp.linalg.cholesky(diag)
+        inv = lax.linalg.triangular_solve(Lkk, eye_b, left_side=True, lower=True)
+        U_k = jnp.matmul(inv, slab, precision=lax.Precision.HIGHEST)  # (B,Npad)
+        # diag block comes out as Lkk^{-1} A_kk = Lkk^T = Ukk exactly;
+        # columns left of the diagonal are garbage -> zero.
+        U_k = jnp.where(col_idx[None, :] >= row0, U_k, 0.0)
+        A = lax.dynamic_update_slice(A, U_k, _i32(row0, 0))
+
+        def upd_tile(t, A):
+            r0 = t * C
+            cols = lax.dynamic_slice(U_k, _i32(0, r0), (B, C))
+            upd = jnp.matmul(cols.T, U_k,
+                             precision=lax.Precision.HIGHEST)          # (C,Npad)
+            keep = (r0 + tile_idx)[:, None] >= row0 + B
+            cur = lax.dynamic_slice(A, _i32(r0, 0), (C, Npad))
+            return lax.dynamic_update_slice(
+                A, cur - jnp.where(keep, upd, 0.0), _i32(r0, 0))
+
+        t0 = ((row0 + B) // C).astype(jnp.int32)   # first tile with trailing rows
+        return lax.fori_loop(t0, n_tiles, upd_tile, A)
+
+    A = lax.fori_loop(0, NB, step, A)
+    return jnp.triu(A)[..., :N, :N]
+
+
+def _pad_upper(U: jnp.ndarray, y: jnp.ndarray, Npad: int):
+    N, R = U.shape[-1], y.shape[-1]
+    if Npad == N:
+        return U, y
+    Up = jnp.zeros((Npad, Npad), dtype=U.dtype).at[:N, :N].set(U)
+    idx = jnp.arange(N, Npad)
+    Up = Up.at[idx, idx].set(1.0)
+    yp = jnp.zeros((Npad, R), dtype=y.dtype).at[:N, :].set(y)
+    return Up, yp
+
+
+def solve_upper_t(U: jnp.ndarray, y: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """Solve U^T z = y for UPPER-triangular U (N,N), y (N,R) — the forward
+    substitution of the row-major engine. Right-looking: once a block of z
+    is known its contribution is eliminated from the remaining rhs with one
+    (Npad,B)x(B,R) matmul against the CONTIGUOUS row slab of U (the
+    lower-engine trsm reads column slabs, strided in row-major layout)."""
+    N, R = U.shape[-1], y.shape[-1]
+    Npad = _round_up(N, block)
+    B = block
+    NB = Npad // B
+    Up, yp = _pad_upper(U, y, Npad)
+    col_idx = jnp.arange(Npad)
+
+    def step(k, w):
+        row0 = k * B
+        slab = lax.dynamic_slice(Up, _i32(row0, 0), (B, Npad))        # (B,Npad)
+        Ukk = lax.dynamic_slice(slab, _i32(0, row0), (B, B))
+        w_k = lax.dynamic_slice(w, _i32(row0, 0), (B, R))
+        z_k = lax.linalg.triangular_solve(Ukk, w_k, left_side=True,
+                                          lower=False, transpose_a=True)
+        w = lax.dynamic_update_slice(w, z_k, _i32(row0, 0))
+        # eliminate z_k from the unsolved rows (> row0+B); solved rows have
+        # the slab masked to zero so they stay untouched.
+        slab_m = jnp.where(col_idx[None, :] >= row0 + B, slab, 0.0)
+        return w - jnp.matmul(slab_m.T, z_k, precision=lax.Precision.HIGHEST)
+
+    z = lax.fori_loop(0, NB, step, yp)
+    return z[:N]
+
+
+def solve_upper(U: jnp.ndarray, z: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """Solve U alpha = z for UPPER-triangular U (N,N), z (N,R) — the backward
+    substitution of the row-major engine. Left-looking from the bottom: each
+    block solve consumes the already-solved suffix through one (B,Npad)x
+    (Npad,R) matmul against the contiguous row slab (suffix-masked: the
+    garbage strict-lower columns of a padded factor hit only zero rows but
+    masking keeps NaN-safety explicit)."""
+    N, R = U.shape[-1], z.shape[-1]
+    Npad = _round_up(N, block)
+    B = block
+    NB = Npad // B
+    Up, zp = _pad_upper(U, z, Npad)
+    col_idx = jnp.arange(Npad)
+
+    def step(i, w):
+        k = NB - 1 - i
+        row0 = k * B
+        slab = lax.dynamic_slice(Up, _i32(row0, 0), (B, Npad))        # (B,Npad)
+        Ukk = lax.dynamic_slice(slab, _i32(0, row0), (B, B))
+        z_k = lax.dynamic_slice(w, _i32(row0, 0), (B, R))
+        slab_m = jnp.where(col_idx[None, :] >= row0 + B, slab, 0.0)
+        rhs = z_k - jnp.matmul(slab_m, w, precision=lax.Precision.HIGHEST)
+        a_k = lax.linalg.triangular_solve(Ukk, rhs, left_side=True, lower=False)
+        return lax.dynamic_update_slice(w, a_k, _i32(row0, 0))
+
+    alpha = lax.fori_loop(0, NB, step, zp)
+    return alpha[:N]
 
 
 def trsm_blocked(L: jnp.ndarray, y: jnp.ndarray, trans: bool = False,

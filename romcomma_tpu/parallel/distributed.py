@@ -379,15 +379,21 @@ class DistributedGP:
         self.plan = plan(N, S=self.mesh.devices.size, B=block)
         self._gram = ring_gram(self.plan, self.mesh)
         if dense_kernels and self.plan.S == 1:
+            # Row-major (upper-factor) engine: K = U^T U with every hot
+            # access a contiguous (B, Npad) row slab, so the donated gram
+            # aliases the factorization carry with NO transposed
+            # (Npad,Npad) layout-conversion copy — the single-chip N=50k
+            # HBM budget (ops/blocked.py cholesky_blocked_upper).  The
+            # factor handle is opaque: only _fwd/_bwd/_logdiag consume it.
             from romcomma_tpu.ops import blocked
             bb = max(block, min(512, self.plan.Npad))
-            self._chol = jax.jit(functools.partial(blocked.cholesky_blocked, block=bb),
-                                 donate_argnums=(0,))
-            self._fwd = jax.jit(functools.partial(blocked.trsm_blocked, block=bb))
-            self._bwd = jax.jit(functools.partial(blocked.trsm_blocked,
-                                                  trans=True, block=bb))
+            self._chol = jax.jit(
+                functools.partial(blocked.cholesky_blocked_upper, block=bb),
+                donate_argnums=(0,))
+            self._fwd = jax.jit(functools.partial(blocked.solve_upper_t, block=bb))
+            self._bwd = jax.jit(functools.partial(blocked.solve_upper, block=bb))
             self._logdiag = jax.jit(
-                lambda L: jnp.sum(jnp.log(jnp.diagonal(L))))   # pad diag == 1
+                lambda U: jnp.sum(jnp.log(jnp.diagonal(U))))   # pad diag == 1
         else:
             self._chol = cholesky(self.plan, self.mesh)
             self._fwd = solve_forward(self.plan, self.mesh)

@@ -124,3 +124,39 @@ def test_mvn_lml_blocked_through_gram():
     np.testing.assert_allclose(float(gv), float(wv), rtol=1e-12)
     for a, b in zip(jax.tree_util.tree_leaves(gg), jax.tree_util.tree_leaves(wg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize('N,B', [(64, 16), (100, 32), (96, 32), (200, 64)])
+def test_cholesky_blocked_upper_matches_oracle(N, B):
+    """U = L^T to oracle precision, exactly upper-triangular (the padded
+    intermediate's garbage strict-lower region must be zeroed)."""
+    a = _spd(N, seed=3)
+    U = np.asarray(blocked.cholesky_blocked_upper(a, B))
+    want = np.asarray(jnp.linalg.cholesky(a)).T
+    np.testing.assert_allclose(U, want, rtol=1e-9, atol=1e-9)
+    assert np.abs(np.triu(U) - U).max() == 0.0
+
+
+@pytest.mark.parametrize('N,R,B', [(64, 7, 16), (90, 33, 32), (128, 1, 32)])
+def test_upper_solves_match_oracle(N, R, B):
+    """solve_upper_t (U^T z = y) then solve_upper (U a = z) reproduce the
+    full K a = y solve — the row-major engine's fwd/bwd contract."""
+    rng = np.random.default_rng(4)
+    a = _spd(N, seed=4)
+    y = jnp.asarray(rng.normal(size=(N, R)))
+    U = blocked.cholesky_blocked_upper(a, B)
+    z = blocked.solve_upper_t(U, y, B)
+    np.testing.assert_allclose(np.asarray(U).T @ np.asarray(z), np.asarray(y),
+                               rtol=1e-9, atol=1e-9)
+    alpha = blocked.solve_upper(U, z, B)
+    np.testing.assert_allclose(np.asarray(a) @ np.asarray(alpha), np.asarray(y),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_col_tile_exact_divisor():
+    """_col_tile returns a multiple of B that divides Npad exactly (no
+    clamped/overlapping last tile is ever generated)."""
+    for NB, B in ((98, 512), (40, 512), (97, 512), (13, 256), (1, 128)):
+        C = blocked._col_tile(NB, B)
+        assert C % B == 0 and (NB * B) % C == 0
+        assert C <= max(B, 4096)
