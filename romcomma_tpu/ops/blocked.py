@@ -83,7 +83,9 @@ def _cholesky_blocked_impl(a: jnp.ndarray, block: int) -> jnp.ndarray:
         col0 = k * B
         panel = lax.dynamic_slice(A, _i32(0, col0), (Npad, B))        # (Npad,B)
         diag = lax.dynamic_slice(panel, _i32(col0, 0), (B, B))
-        Lkk = jnp.linalg.cholesky(diag)
+        # symmetric diag: the transpose pins the TPU cholesky custom call's
+        # operand-layout demand locally (see cholesky_blocked_upper).
+        Lkk = jnp.linalg.cholesky(jnp.swapaxes(diag, -1, -2))
         inv = lax.linalg.triangular_solve(Lkk, eye_b, left_side=True, lower=True)
         Lpanel = jnp.matmul(panel, inv.T, precision=lax.Precision.HIGHEST)  # (Npad,B)
         # rows above the diagonal block are upper-triangle garbage -> zero;
@@ -138,7 +140,12 @@ def cholesky_blocked_upper(a: jnp.ndarray, block: int = 256) -> jnp.ndarray:
         row0 = k * B
         slab = lax.dynamic_slice(A, _i32(row0, 0), (B, Npad))         # (B,Npad)
         diag = lax.dynamic_slice(slab, _i32(0, row0), (B, B))
-        Lkk = jnp.linalg.cholesky(diag)
+        # diag is symmetric, so chol(diag^T) == chol(diag); the transpose
+        # absorbs the TPU cholesky custom call's column-major operand-layout
+        # demand locally — without it, XLA layout assignment propagates
+        # {0,1} back through the slices INTO THE (Npad,Npad) LOOP CARRY and
+        # materializes a full transposed copy (the N=50k OOM, measured).
+        Lkk = jnp.linalg.cholesky(jnp.swapaxes(diag, -1, -2))
         inv = lax.linalg.triangular_solve(Lkk, eye_b, left_side=True, lower=True)
         U_k = jnp.matmul(inv, slab, precision=lax.Precision.HIGHEST)  # (B,Npad)
         # diag block comes out as Lkk^{-1} A_kk = Lkk^T = Ukk exactly;
