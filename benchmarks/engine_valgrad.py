@@ -41,10 +41,11 @@ def main(N: int = 20000, M: int = 30, reps: int = 3, engines: str = 'dense'):
         ls = jnp.asarray(np.full(M, 2.0), x_dev.dtype)
         s2 = jnp.asarray(1.0, x_dev.dtype)
         nz = jnp.asarray(0.05, x_dev.dtype)
-        # NOT wrapped in an outer jit: production (lbfgs.minimize_host) calls
-        # the custom-VJP LML's individually-jitted pieces as bounded
-        # dispatches — fusing fwd+bwd into one program is both unrealistic
-        # and a compile hazard at this N.
+        # NOT wrapped in an outer jit: at streaming scale production drives
+        # scipy L-BFGS-B over this same EAGER chain (minimize_scipy
+        # fuse=False) — each custom-VJP piece is its own bounded dispatch
+        # and donation caps peak HBM at one (Npad,Npad) buffer; one fused
+        # program holds gram + factor carry together and OOMs at N=50k.
         vg = jax.value_and_grad(
             lambda p: dgp._lml(p[0], p[1], p[2], x_dev, y_dev))
         t0 = time.time()

@@ -536,13 +536,27 @@ class MOGP(GPR):
             np.asarray(self._kernel.data.lengthscales.np, dtype=FLOAT()),
             (self._L, self._M))
         noise = np.asarray(self._likelihood.data.variance.np[0], dtype=FLOAT())
+        if self._L > 1 and dgp.fits_multi(self._L):
+            # One joint vmapped descent for every output (L sequential
+            # descents otherwise — the documented round-1 limitation).
+            (ls_b, s2_b, nz_b), lml_b, iters_b = dgp.calibrate_multi(
+                self._X, self._Y, lengthscales, variance, noise,
+                maxiter=maxiter, gtol=gtol, mask=mask3)
+            batch = (np.asarray(ls_b), np.asarray(s2_b), np.asarray(nz_b),
+                     np.asarray(lml_b), int(iters_b))
+        else:
+            batch = None
         dgp64 = None
         out_ls, out_s2, out_noise, out_lml, out_iters = [], [], [], [], []
         for l in range(self._L):
             ls0, s20, nz0 = lengthscales[l], variance[l], noise[l]
-            (ls_l, s2_l, nz_l), lml_l, iters_l = dgp.calibrate(
-                self._X, self._Y[:, l:l + 1], ls0, s20, nz0,
-                maxiter=maxiter, gtol=gtol, mask=mask3)
+            if batch is not None:
+                ls_l, s2_l, nz_l = batch[0][l], batch[1][l], batch[2][l]
+                lml_l, iters_l = batch[3][l], batch[4]
+            else:
+                (ls_l, s2_l, nz_l), lml_l, iters_l = dgp.calibrate(
+                    self._X, self._Y[:, l:l + 1], ls0, s20, nz0,
+                    maxiter=maxiter, gtol=gtol, mask=mask3)
             if not np.isfinite(float(lml_l)):
                 # f32 breakdown: smooth RBF grams have exponentially decaying
                 # spectra, and at this N the f32 trailing-update rounding can

@@ -114,7 +114,8 @@ def minimize(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
 def minimize_scipy(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-16,
                    ftol: float = SCIPY_FTOL, memory_size: int = 30,
                    callback: Callable | None = None,
-                   max_linesearch_steps: int | None = None) -> MinimizeResult:
+                   max_linesearch_steps: int | None = None,
+                   fuse: bool = True) -> MinimizeResult:
     """scipy L-BFGS-B driving a single jitted value_and_grad program.
 
     The whole-descent (`minimize`) and fused-step (`minimize_host`) programs
@@ -126,12 +127,19 @@ def minimize_scipy(fun: Callable, params, maxiter: int = 5000, gtol: float = 1e-
     stopping-rule parity for free. Non-finite evaluations are reported to
     scipy as a large value with zero gradient so the linesearch backs off;
     the returned value is a fresh final evaluation, so callers' breakdown
-    checks (isfinite) still work."""
+    checks (isfinite) still work.
+
+    ``fuse=False`` leaves value_and_grad EAGER: each custom-VJP piece
+    (gram, factorization, solves, streamed gradients) dispatches separately
+    with inter-dispatch buffer donation. At N=50k one fused program holds
+    the gram and the factor carry live together (2 x 9.4 GB, an HBM OOM);
+    the eager chain peaks at one (Npad,Npad) buffer and is the measured
+    25 s/eval single-chip N=50k route."""
     import numpy as np
     from scipy.optimize import minimize as sp_minimize
 
     fun = _pin_dtypes(fun, params)
-    vg = jax.jit(jax.value_and_grad(fun))
+    vg = jax.jit(jax.value_and_grad(fun)) if fuse else jax.value_and_grad(fun)
     leaves, treedef = jax.tree_util.tree_flatten(params)
     shapes = [np.shape(np.asarray(l)) for l in leaves]
     sizes = [int(np.size(np.asarray(l))) for l in leaves]

@@ -889,10 +889,91 @@ class DistributedGP:
             return -self._lml(positive(rls, 0.0), positive(rs2, 0.0),
                               positive(rnoise, NOISE_LOWER_BOUND), x_dev, y_dev)
 
-        res = lbfgs.minimize_host(objective, raw0, maxiter=maxiter, gtol=gtol,
-                                  callback=callback,
-                                  max_linesearch_steps=max_linesearch_steps)
+        itemsize = np.dtype(dt).itemsize
+        if 3 * self.plan.Npad ** 2 * itemsize > self.GRADS_MEMORY_BUDGET_BYTES:
+            # Streaming-gradient scale (N~50k): minimize_host's optax step
+            # fuses value+grad into ONE program that holds the gram and the
+            # factor carry live together — 2 (Npad,Npad) buffers, an HBM
+            # OOM. Drive scipy L-BFGS-B over the EAGER custom-VJP chain
+            # instead: each piece is its own dispatch and donation caps the
+            # peak at one (Npad,Npad) buffer (measured 25 s/eval at N=50k).
+            res = lbfgs.minimize_scipy(objective, raw0, maxiter=maxiter,
+                                       gtol=gtol, callback=callback,
+                                       max_linesearch_steps=max_linesearch_steps,
+                                       fuse=False)
+        else:
+            res = lbfgs.minimize_host(objective, raw0, maxiter=maxiter, gtol=gtol,
+                                      callback=callback,
+                                      max_linesearch_steps=max_linesearch_steps)
         rls, rs2, rnoise = merge(res.params)
         return ((positive(rls, 0.0), positive(rs2, 0.0),
                  positive(rnoise, NOISE_LOWER_BOUND)),
                 -res.value, res.iterations)
+
+    #: simultaneously-live vmapped gradient bytes (3 L (Npad,Npad) buffers)
+    #: at/below which calibrate_multi batches all outputs into one descent.
+    MULTI_MEMORY_BUDGET_BYTES: int = 12 * 2 ** 30
+
+    def fits_multi(self, L: int) -> bool:
+        """Whether a joint L-output descent's gradient working set fits HBM."""
+        itemsize = np.dtype(self.dtype).itemsize if self.dtype is not None else 4
+        return 3 * L * self.plan.Npad ** 2 * itemsize <= self.MULTI_MEMORY_BUDGET_BYTES
+
+    def calibrate_multi(self, X: np.ndarray, Y: np.ndarray, ls0, s2_0, noise0,
+                        maxiter: int = 5000, gtol: float = 1e-16,
+                        callback=None, max_linesearch_steps: int | None = None,
+                        mask: tuple = (1.0, 1.0, 1.0)):
+        """Joint host-paced calibration of L independent outputs sharing X:
+        ONE vmapped custom-VJP LML evaluation per L-BFGS step instead of L
+        sequential descents — the large-N analog of the fused small-N path's
+        vmap over L (models/gp.py:63-101). The objective is the SUM of
+        per-output LMLs; it is separable, so the joint minimizer matches the
+        per-output minimizers (stopping couples outputs only through the
+        shared gradient norm). Working set per evaluation is L (Npad,Npad)
+        grams (plus 3L in the stored-gradient backward) — callers gate on
+        :meth:`fits_multi` and fall back to per-output descents.
+
+        ``ls0`` (L,M), ``s2_0`` (L,), ``noise0`` (L,), ``Y`` (N,L).
+        Returns ((ls (L,M), s2 (L,), noise (L,)), lml (L,), iterations)."""
+        from romcomma_tpu.ops import lbfgs
+        from romcomma_tpu.ops.transforms import positive, positive_inverse
+        from romcomma_tpu.models.params import NOISE_LOWER_BOUND
+
+        x_dev, y_dev = self.stage(X, Y)                    # y_dev (Npad, L)
+        dt = x_dev.dtype
+        L_out = y_dev.shape[1]
+        y_batch = jnp.moveaxis(y_dev, 1, 0)[:, :, None]    # (L, Npad, 1)
+        raw0 = (jnp.asarray(positive_inverse(
+                    np.broadcast_to(np.asarray(ls0, dtype=dt),
+                                    (L_out, X.shape[1])), 0.0)),
+                jnp.asarray(positive_inverse(
+                    np.asarray(s2_0, dtype=dt).reshape(L_out), 0.0)),
+                jnp.asarray(positive_inverse(
+                    np.asarray(noise0, dtype=dt).reshape(L_out),
+                    NOISE_LOWER_BOUND)))
+        frozen0 = raw0
+        mask_f = tuple(float(m) for m in mask)
+        if all(m == 1.0 for m in mask_f):
+            merge = lambda raw: raw
+        else:
+            def merge(raw):
+                return tuple(fv + m * (rv - fv)
+                             for rv, fv, m in zip(raw, frozen0, mask_f))
+
+        lml_one = lambda rls, rs2, rnoise, y: self._lml(
+            positive(rls, 0.0), positive(rs2, 0.0),
+            positive(rnoise, NOISE_LOWER_BOUND), x_dev, y)
+        lml_vmapped = jax.vmap(lml_one, in_axes=(0, 0, 0, 0))
+
+        def objective(raw):
+            rls, rs2, rnoise = merge(raw)
+            return -jnp.sum(lml_vmapped(rls, rs2, rnoise, y_batch))
+
+        res = lbfgs.minimize_host(objective, raw0, maxiter=maxiter, gtol=gtol,
+                                  callback=callback,
+                                  max_linesearch_steps=max_linesearch_steps)
+        rls, rs2, rnoise = merge(res.params)
+        lml = lml_vmapped(rls, rs2, rnoise, y_batch)       # per-output values
+        return ((positive(rls, 0.0), positive(rs2, 0.0),
+                 positive(rnoise, NOISE_LOWER_BOUND)),
+                lml, res.iterations)

@@ -295,3 +295,51 @@ def test_dense_kernels_engine_matches_block_cyclic():
     for a, b in zip(outs[1][1], outs[0][1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-9)
+
+
+def test_calibrate_multi_matches_per_output():
+    """Joint vmapped L-output descent (calibrate_multi) reaches the same
+    hyperparameters and LMLs as L independent descents — on the 8-device
+    block-cyclic engine (vmap over the shard_map kernels)."""
+    rng = np.random.default_rng(21)
+    Nn, M, L = 192, 3, 3
+    X = rng.uniform(size=(Nn, M))
+    Y = np.stack([np.sin((l + 1.0) * X[:, 0]) + 0.1 * X[:, 1] ** (l + 1)
+                  + 0.05 * rng.standard_normal(Nn) for l in range(L)], axis=1)
+    mesh = dist.make_n_mesh()
+    dgp = dist.DistributedGP(Nn, mesh, block=16)
+    assert dgp.fits_multi(L)
+    ls0 = np.full((L, M), 2.0)
+    (ls_b, s2_b, nz_b), lml_b, _ = dgp.calibrate_multi(
+        X, Y, ls0, np.ones(L), np.full(L, 0.05), maxiter=60)
+    for l in range(L):
+        (ls_l, s2_l, nz_l), lml_l, _ = dgp.calibrate(
+            X, Y[:, l:l + 1], ls0[l], 1.0, 0.05, maxiter=60)
+        assert abs(float(lml_b[l]) - float(lml_l)) < max(0.5, 0.02 * abs(float(lml_l)))
+        # inert inputs have unidentifiable (divergent) lengthscales — the
+        # identifiable quantity is the relevance 1/ls
+        np.testing.assert_allclose(1.0 / np.asarray(ls_b)[l], 1.0 / np.asarray(ls_l),
+                                   rtol=0.3, atol=0.15)
+        np.testing.assert_allclose(float(s2_b[l]), float(s2_l), rtol=0.3, atol=0.3)
+        np.testing.assert_allclose(float(nz_b[l]), float(nz_l), rtol=0.3, atol=0.02)
+
+
+def test_streaming_scale_calibrate_route(monkeypatch):
+    """At streaming-gradient scale the calibration must drive scipy L-BFGS-B
+    over the EAGER custom-VJP chain (one fused value+grad program holds two
+    (Npad,Npad) buffers — the N=50k HBM OOM). Forced here by zeroing the
+    budget; the result must match the fused-step route."""
+    rng = np.random.default_rng(23)
+    Nn, M = 300, 3
+    X = rng.uniform(size=(Nn, M))
+    Y = np.sin(3 * X[:, :1]) + 0.05 * rng.standard_normal((Nn, 1))
+    ref = dist.DistributedGP(Nn, dist.make_n_mesh(1), block=32)
+    (_, _, _), lml_a, _ = ref.calibrate(X, Y, np.full(M, 2.0), 1.0, 0.05,
+                                        maxiter=50)
+    monkeypatch.setattr(dist.DistributedGP, 'GRADS_MEMORY_BUDGET_BYTES', 0)
+    monkeypatch.setattr(dist.DistributedGP, 'DENSE_DIRECT_MAX_N', 0)
+    dgp = dist.DistributedGP(Nn, dist.make_n_mesh(1), block=32,
+                             dense_kernels=True)
+    (_, _, _), lml_b, _ = dgp.calibrate(X, Y, np.full(M, 2.0), 1.0, 0.05,
+                                        maxiter=50)
+    assert abs(float(lml_a) - float(lml_b)) < max(0.5, 0.01 * abs(float(lml_a)))
