@@ -530,7 +530,16 @@ class MOGP(GPR):
         from romcomma_tpu.parallel import distributed as dist
         mask3 = ((float(mask.raw_lengthscales), float(mask.raw_variance),
                   float(mask.raw_noise)) if mask is not None else (1.0, 1.0, 1.0))
-        dgp = dist.DistributedGP(self._N, dist.make_n_mesh(), block=block)
+        mesh = dist.make_n_mesh()
+        # Beyond the dense direct route's N ceiling on one chip, the
+        # row-major upper-factor engine (ops/blocked.py) is the production
+        # engine: donated in-place factorization + the streaming-v2 V V^T
+        # gradient keep peak HBM at ONE (Npad,Npad) buffer — the N=50k
+        # single-chip envelope (docs/scaling.md).
+        dense = (mesh.devices.size == 1
+                 and self._N > dist.DistributedGP.DENSE_DIRECT_MAX_N)
+        dgp = dist.DistributedGP(self._N, mesh, block=block,
+                                 dense_kernels=dense)
         variance = np.asarray(self._kernel.data.variance.np[0], dtype=FLOAT())
         lengthscales = np.broadcast_to(
             np.asarray(self._kernel.data.lengthscales.np, dtype=FLOAT()),

@@ -240,6 +240,77 @@ def solve_upper(U: jnp.ndarray, z: jnp.ndarray, block: int = 256) -> jnp.ndarray
     return alpha[:N]
 
 
+def invert_upper_blocked(U: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """V = U^{-1} for UPPER-triangular U (N,N), MXU-blocked and row-major
+    layout-native (contiguous (B, Npad) row slabs, same carry discipline as
+    ``cholesky_blocked_upper`` — donate U and the inversion is in place).
+
+    Bottom-up row recursion: with rows > k already inverted,
+    V[k,:] = Vkk [e_k | -U[k, k+B:] V[k+B:, :]] — one (B,Npad)x(Npad,C)
+    matmul per (panel, column-tile), the tile loop skipping columns left of
+    the diagonal block. Turns K^{-1} strip builds into single full-rate
+    matmuls K^{-1}[:,c] = V V[c,:]^T (K = U^T U => K^{-1} = V V^T), replacing
+    per-strip sequential substitution sweeps in the streamed LML gradient.
+
+    Numerical note: an explicit triangular inverse squares the factor's
+    condition contribution vs substitution; it feeds GRADIENT reductions
+    (and the existing Linv fast path of kinv_all), never the posterior
+    solve. NOT differentiable (dynamic-bound fori_loop)."""
+    N = U.shape[-1]
+    Npad = _round_up(N, block)
+    B = block
+    NB = Npad // B
+    if Npad != N:
+        A = jnp.zeros((Npad, Npad), dtype=U.dtype).at[:N, :N].set(U)
+        idx = jnp.arange(N, Npad)
+        A = A.at[idx, idx].set(1.0)
+    else:
+        A = U
+    eye_b = jnp.eye(B, dtype=U.dtype)
+    col_idx = jnp.arange(Npad)
+    C = _col_tile(NB, B)
+    n_tiles = Npad // C
+    tile_idx = jnp.arange(C)
+
+    def step(i, A):
+        k = NB - 1 - i
+        row0 = k * B
+        slab = lax.dynamic_slice(A, _i32(row0, 0), (B, Npad))         # U row k
+        Ukk = lax.dynamic_slice(slab, _i32(0, row0), (B, B))
+        Vkk = lax.linalg.triangular_solve(Ukk, eye_b, left_side=True,
+                                          lower=False)
+        # suffix-masked: columns < row0+B of the slab are the diagonal block
+        # and garbage — only already-inverted rows (>= row0+B) may contribute
+        slab_m = jnp.where(col_idx[None, :] >= row0 + B, slab, 0.0)
+        # zero the strict-lower garbage of this row NOW: later (upper) panels
+        # read this row through their suffix masks, which do NOT cover the
+        # region between their diagonal and row0. The suffix tiles below
+        # overwrite cols >= row0 with the inverted values.
+        A = lax.dynamic_update_slice(
+            A, jnp.where(col_idx[None, :] >= row0, slab, 0.0), _i32(row0, 0))
+
+        def row_tile(t, A):
+            c0 = t * C
+            Vt = lax.dynamic_slice(A, _i32(0, c0), (Npad, C))  # rows<row0+B masked via slab_m
+            T = jnp.matmul(slab_m, Vt, precision=lax.Precision.HIGHEST)   # (B,C)
+            newt = -jnp.matmul(Vkk, T, precision=lax.Precision.HIGHEST)
+            cols_g = c0 + tile_idx
+            # diagonal-block columns carry Vkk; left of them zero
+            diag_embed = jnp.matmul(
+                Vkk, (cols_g[None, :] == row0 + jnp.arange(B)[:, None]
+                      ).astype(A.dtype),
+                precision=lax.Precision.HIGHEST)
+            newt = jnp.where(cols_g[None, :] >= row0 + B, newt,
+                             jnp.where(cols_g[None, :] >= row0, diag_embed, 0.0))
+            return lax.dynamic_update_slice(A, newt, _i32(row0, c0))
+
+        t0 = (row0 // C).astype(jnp.int32)     # first tile containing col row0
+        return lax.fori_loop(t0, n_tiles, row_tile, A)
+
+    A = lax.fori_loop(0, NB, step, A)
+    return jnp.triu(A)[..., :N, :N]
+
+
 def trsm_blocked(L: jnp.ndarray, y: jnp.ndarray, trans: bool = False,
                  block: int = 256) -> jnp.ndarray:
     """Solve L z = y (or L^T z = y with trans=True) for lower-triangular L

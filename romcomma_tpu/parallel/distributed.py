@@ -394,11 +394,17 @@ class DistributedGP:
             self._bwd = jax.jit(functools.partial(blocked.solve_upper, block=bb))
             self._logdiag = jax.jit(
                 lambda U: jnp.sum(jnp.log(jnp.diagonal(U))))   # pad diag == 1
+            self._inv = jax.jit(
+                functools.partial(blocked.invert_upper_blocked, block=bb),
+                donate_argnums=(0,))
+            self._engine = 'upper'
         else:
             self._chol = cholesky(self.plan, self.mesh)
             self._fwd = solve_forward(self.plan, self.mesh)
             self._bwd = solve_backward(self.plan, self.mesh)
             self._logdiag = log_diag_sum(self.plan, self.mesh)
+            self._inv = None
+            self._engine = 'cyclic'
         self._lml = self._build_lml()
 
     # -- host-side staging -------------------------------------------------- #
@@ -469,15 +475,20 @@ class DistributedGP:
     #: storing K, K^{-1} and L together (3 full buffers).
     GRADS_MEMORY_BUDGET_BYTES: int = 12 * 2 ** 30
 
-    def _grads_streaming_fn(self):
+    def _grads_streaming_fn(self, kinv_source: str = 'solves'):
         """dLML/d{ls, s2, noise} WITHOUT materializing K or K^{-1}: strips of
-        K^{-1} come from identity-column solves against the saved factor and
-        the matching signal-gram rows are rebuilt on the fly (one small
-        matmul each).  Peak memory = the factor + O(Npad * strip) — the
+        K^{-1} and the matching signal-gram rows are rebuilt on the fly.
+        Peak memory = one (Npad,Npad) operand + O(Npad * strip) — the
         difference between N <= 21k and N = 50k fitting one chip's HBM (the
         stored path holds THREE (Npad, Npad) buffers through the backward
         pass).  Single-device only; the sharded path keeps the stored form
-        (per-device slabs are Npad^2/S)."""
+        (per-device slabs are Npad^2/S).
+
+        ``kinv_source``: 'solves' takes identity-column substitution sweeps
+        against the saved factor (2 sequential NB-step sweeps per strip);
+        'vvt' takes ONE full-rate MXU matmul per strip against the explicit
+        triangular inverse V = U^{-1} (K^{-1} = V V^T) — the operand is then
+        V, produced by ops/blocked.invert_upper_blocked."""
         pl_ = self.plan
         Npad = pl_.Npad
         fwd, bwd = self._fwd, self._bwd
@@ -499,8 +510,13 @@ class DistributedGP:
                 gidx = r0 + jnp.arange(strip, dtype=jnp.int32)
                 # the clamped last strip overlaps earlier rows: mask them out
                 fresh = (gidx >= t * strip).astype(dt)
-                cols = (arangeN[:, None] == gidx[None, :]).astype(dt)
-                kinv_cols = bwd(L, fwd(L, cols))            # (Npad, strip)
+                if kinv_source == 'vvt':
+                    V_rows = lax.dynamic_slice(L, _i32(r0, 0), (strip, Npad))
+                    kinv_cols = jnp.matmul(L, V_rows.T,
+                                           precision=lax.Precision.HIGHEST)
+                else:
+                    cols = (arangeN[:, None] == gidx[None, :]).astype(dt)
+                    kinv_cols = bwd(L, fwd(L, cols))        # (Npad, strip)
                 x_s = lax.dynamic_slice(x, _i32(r0, 0), (strip, x.shape[1]))
                 K_rows = rbf_gram(x_s, x, ls, s2)           # signal gram rows
                 a_s = lax.dynamic_slice(alpha, _i32(r0, 0), (strip, 1))
@@ -534,8 +550,20 @@ class DistributedGP:
         itemsize = np.dtype(self.dtype).itemsize if self.dtype is not None else 4
         use_streaming = (pl_.S == 1 and
                          3 * Npad * Npad * itemsize > self.GRADS_MEMORY_BUDGET_BYTES)
-        grads_stream = self._grads_streaming_fn() if use_streaming else None
+        # v2 (upper engine only): the backward refactorizes K with donated
+        # buffers and builds K^{-1} strips as V V^T matmuls — the saved
+        # factor would otherwise pin a second (Npad,Npad) buffer across the
+        # backward, and per-strip substitution sweeps are latency-bound
+        # (measured 25 s/eval at N=50k vs the sweep count suggesting ~2x).
+        use_streaming_v2 = use_streaming and self._engine == 'upper'
+        if use_streaming_v2:
+            grads_stream = self._grads_streaming_fn(kinv_source='vvt')
+        elif use_streaming:
+            grads_stream = self._grads_streaming_fn()
+        else:
+            grads_stream = None
         grads = self._grads_fn()
+        inv = self._inv
         mesh = self.mesh
 
         @jax.custom_vjp
@@ -560,8 +588,13 @@ class DistributedGP:
             value = jnp.where(jnp.isfinite(value), value, -jnp.inf)
             # K is NOT saved as a residual: the gram is cheap to rebuild and
             # holding a second (Npad,Npad) slab through the whole linesearch
-            # breaches HBM at large-N f64.
-            return value, (ls, s2, noise, x, L, alpha)
+            # breaches HBM at large-N f64.  In streaming-v2 mode the FACTOR
+            # is dropped too (the backward refactorizes with donated
+            # buffers) — at N=50k f32 one (Npad,Npad) buffer is ~10 GB, so
+            # pinning the factor across the backward's gram+chol+inv chain
+            # would hold two and breach the 16 GB chip.
+            res_L = None if use_streaming_v2 else L
+            return value, (ls, s2, noise, x, res_L, alpha)
 
         row_shard = _row_sharding(mesh)
 
@@ -598,7 +631,16 @@ class DistributedGP:
 
         def lml_bwd(res, gbar):
             ls, s2, noise, x, L, alpha = res
-            if grads_stream is not None:
+            if use_streaming_v2:
+                # Refactorize end-to-end with donated buffers: K -> U (in
+                # place) -> V = U^{-1} (in place); K^{-1} strips then come
+                # from single full-rate V V^T matmuls instead of per-strip
+                # substitution sweeps (which are latency-bound: 2 x NB
+                # sequential block steps per strip).
+                U = chol(gram(x, ls, s2, noise))
+                V = inv(U)
+                dls, ds2, dnoise = grads_stream(V, alpha, x, ls, s2, noise)
+            elif grads_stream is not None:
                 dls, ds2, dnoise = grads_stream(L, alpha, x, ls, s2, noise)
             else:
                 K = gram(x, ls, s2, noise)        # recomputed, not stored

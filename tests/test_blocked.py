@@ -153,6 +153,20 @@ def test_upper_solves_match_oracle(N, R, B):
                                rtol=1e-7, atol=1e-8)
 
 
+@pytest.mark.parametrize('N,B', [(64, 16), (100, 32), (96, 32), (200, 64)])
+def test_invert_upper_blocked_matches_oracle(N, B):
+    """V = U^{-1} (upper) to oracle precision, exactly upper-triangular, and
+    V V^T = K^{-1} — the streaming-v2 gradient's strip operand contract."""
+    a = _spd(N, seed=5)
+    U = blocked.cholesky_blocked_upper(a, B)
+    V = np.asarray(blocked.invert_upper_blocked(U, B))
+    want = np.asarray(jnp.linalg.inv(np.asarray(U)))
+    np.testing.assert_allclose(V, want, rtol=1e-8, atol=1e-9)
+    assert np.abs(np.triu(V) - V).max() == 0.0
+    np.testing.assert_allclose(V @ V.T, np.linalg.inv(np.asarray(a)),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_col_tile_exact_divisor():
     """_col_tile returns a multiple of B that divides Npad exactly (no
     clamped/overlapping last tile is ever generated)."""

@@ -245,6 +245,38 @@ def test_streaming_grads_match_stored():
                                    rtol=1e-8, atol=1e-10)
 
 
+def test_streaming_v2_vvt_grads_match_stored():
+    """The streaming-v2 backward (dense upper engine: refactorize + explicit
+    triangular inverse, K^{-1} strips as V V^T matmuls) reproduces the
+    stored-K^{-1} gradient — the N=50k single-chip route."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(17)
+    N, M = 150, 4
+    x = rng.normal(size=(N, M))
+    y = np.sin(x[:, :1]) + 0.05 * rng.standard_normal((N, 1))
+    dgp = dist.DistributedGP(N, dist.make_n_mesh(1), block=32,
+                             dense_kernels=True)
+    assert dgp._engine == 'upper'
+    x_dev, y_dev = dgp.stage(x, y)
+    ls = jnp.asarray(np.full(M, 1.5), x_dev.dtype)
+    s2 = jnp.asarray(1.2, x_dev.dtype)
+    nz = jnp.asarray(0.05, x_dev.dtype)
+
+    def value(p):
+        return dgp._lml(p[0], p[1], p[2], x_dev, y_dev)
+
+    v0, g_stored = jax.value_and_grad(value)((ls, s2, nz))
+    dgp.GRADS_MEMORY_BUDGET_BYTES = 0          # force streaming; engine is
+    dgp._lml = dgp._build_lml()                # 'upper' => v2 (vvt) route
+    v1, g_vvt = jax.value_and_grad(value)((ls, s2, nz))
+
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-12)
+    for a, b in zip(g_vvt, g_stored):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9)
+
+
 def test_multichip_end_to_end_stage_calibrate_sobol():
     """The full multi-chip plan — stage -> calibrate -> sobol_indices
     (no-error AND error kinds) — executes end-to-end on the 8-device mesh:
