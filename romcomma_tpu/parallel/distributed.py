@@ -588,12 +588,14 @@ class DistributedGP:
             value = jnp.where(jnp.isfinite(value), value, -jnp.inf)
             # K is NOT saved as a residual: the gram is cheap to rebuild and
             # holding a second (Npad,Npad) slab through the whole linesearch
-            # breaches HBM at large-N f64.  In streaming-v2 mode the FACTOR
-            # is dropped too (the backward refactorizes with donated
-            # buffers) — at N=50k f32 one (Npad,Npad) buffer is ~10 GB, so
-            # pinning the factor across the backward's gram+chol+inv chain
-            # would hold two and breach the 16 GB chip.
-            res_L = None if use_streaming_v2 else L
+            # breaches HBM at large-N f64.  In streaming-v2 mode the residual
+            # is the explicit triangular INVERSE V = U^{-1} instead of the
+            # factor: U is donated into the in-place inversion right after
+            # the solves, so the fwd+bwd chain still peaks at ONE
+            # (Npad,Npad) buffer (~10 GB at N=50k f32 on a 16 GB chip) and
+            # the backward needs no gram/factorization at all — only the
+            # full-rate V V^T strip matmuls.
+            res_L = inv(L) if use_streaming_v2 else L
             return value, (ls, s2, noise, x, res_L, alpha)
 
         row_shard = _row_sharding(mesh)
@@ -632,14 +634,11 @@ class DistributedGP:
         def lml_bwd(res, gbar):
             ls, s2, noise, x, L, alpha = res
             if use_streaming_v2:
-                # Refactorize end-to-end with donated buffers: K -> U (in
-                # place) -> V = U^{-1} (in place); K^{-1} strips then come
-                # from single full-rate V V^T matmuls instead of per-strip
-                # substitution sweeps (which are latency-bound: 2 x NB
-                # sequential block steps per strip).
-                U = chol(gram(x, ls, s2, noise))
-                V = inv(U)
-                dls, ds2, dnoise = grads_stream(V, alpha, x, ls, s2, noise)
+                # res carries V = U^{-1} (inverted in place during the
+                # forward); K^{-1} strips are single full-rate V V^T matmuls
+                # instead of per-strip substitution sweeps (which are
+                # latency-bound: 2 x NB sequential block steps per strip).
+                dls, ds2, dnoise = grads_stream(L, alpha, x, ls, s2, noise)
             elif grads_stream is not None:
                 dls, ds2, dnoise = grads_stream(L, alpha, x, ls, s2, noise)
             else:
