@@ -23,11 +23,17 @@ os.environ.setdefault('ROMCOMMA_X64', '0')
 import numpy as np
 
 
-def main(N: int = 20000, M: int = 30, reps: int = 3, engines: str = 'dense'):
+def main(N: int = 20000, M: int = 30, reps: int = 3, engines: str = 'dense',
+         grad_precision: str = ''):
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from romcomma_tpu.parallel import distributed as dist
 
+    if grad_precision:
+        dist.DistributedGP.GRAD_PRECISION = {
+            'high': lax.Precision.HIGH,
+            'highest': lax.Precision.HIGHEST}[grad_precision]
     rng = np.random.default_rng(0)
     X = rng.standard_normal((N, M))
     Y = (np.sin(X[:, :1]) + 0.5 * X[:, 1:2] ** 2
@@ -57,6 +63,8 @@ def main(N: int = 20000, M: int = 30, reps: int = 3, engines: str = 'dense'):
             v, g = jax.block_until_ready(vg((ls, s2, nz)))
             times.append(time.time() - t0)
         out = {'engine': name, 'N': N, 'M': M,
+               'grad_precision': str(dist.DistributedGP.GRAD_PRECISION),
+               'grad_l2': [float(jnp.linalg.norm(t)) for t in g],
                'backend': jax.default_backend(),
                'compile_plus_first_s': round(compile_s, 1),
                's_per_eval': round(min(times), 3), 'value': float(v),
@@ -69,4 +77,4 @@ def main(N: int = 20000, M: int = 30, reps: int = 3, engines: str = 'dense'):
 
 if __name__ == '__main__':
     a = sys.argv[1:]
-    main(*(int(x) for x in a[:3]), *(a[3:4] or []))
+    main(*(int(x) for x in a[:3]), *a[3:5])

@@ -62,6 +62,23 @@ def _col_tile(NB: int, B: int, target: int = 4096) -> int:
     return best * B
 
 
+def _width_segments(n_tiles: int, C: int, n_seg: int = 4):
+    """Static start offsets (multiples of the tile width C) partitioning
+    [0, n_tiles*C) into ~n_seg width classes for lax.switch-narrowed
+    trailing updates: a full-width (Npad) rank-B update wastes the flops
+    left of the current panel (~2/3 of the total over a whole
+    factorization); selecting the widest segment whose start is <= the
+    panel offset bounds the waste to ~1/(2*n_seg) instead."""
+    return sorted({(n_tiles * b // n_seg) * C for b in range(n_seg)})
+
+
+def _segment_index(seg_starts, offset):
+    """Traced index of the last segment start <= offset."""
+    starts = jnp.asarray(seg_starts, dtype=jnp.int32)
+    return (jnp.sum(starts <= jnp.asarray(offset).astype(jnp.int32)) - 1
+            ).astype(jnp.int32)
+
+
 def _cholesky_blocked_impl(a: jnp.ndarray, block: int) -> jnp.ndarray:
     N = a.shape[-1]
     Npad = _round_up(N, block)
@@ -136,6 +153,8 @@ def cholesky_blocked_upper(a: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     n_tiles = Npad // C
     tile_idx = jnp.arange(C)
 
+    seg_starts = _width_segments(n_tiles, C)
+
     def step(k, A):
         row0 = k * B
         slab = lax.dynamic_slice(A, _i32(row0, 0), (B, Npad))         # (B,Npad)
@@ -152,16 +171,28 @@ def cholesky_blocked_upper(a: jnp.ndarray, block: int = 256) -> jnp.ndarray:
         # columns left of the diagonal are garbage -> zero.
         U_k = jnp.where(col_idx[None, :] >= row0, U_k, 0.0)
         A = lax.dynamic_update_slice(A, U_k, _i32(row0, 0))
+        seg = _segment_index(seg_starts, row0)    # widest start <= row0
 
         def upd_tile(t, A):
             r0 = t * C
             cols = lax.dynamic_slice(U_k, _i32(0, r0), (B, C))
-            upd = jnp.matmul(cols.T, U_k,
-                             precision=lax.Precision.HIGHEST)          # (C,Npad)
             keep = (r0 + tile_idx)[:, None] >= row0 + B
-            cur = lax.dynamic_slice(A, _i32(r0, 0), (C, Npad))
-            return lax.dynamic_update_slice(
-                A, cur - jnp.where(keep, upd, 0.0), _i32(r0, 0))
+
+            def branch(S):
+                W = Npad - S
+                def br(A):
+                    # columns [S, Npad): everything left of S (<= row0) is
+                    # either already factored or strict-lower garbage — the
+                    # narrowed matmul skips it (the dominant flop waste).
+                    upd = jnp.matmul(
+                        cols.T, lax.dynamic_slice(U_k, _i32(0, S), (B, W)),
+                        precision=lax.Precision.HIGHEST)              # (C,W)
+                    cur = lax.dynamic_slice(A, _i32(r0, S), (C, W))
+                    return lax.dynamic_update_slice(
+                        A, cur - jnp.where(keep, upd, 0.0), _i32(r0, S))
+                return br
+
+            return lax.switch(seg, [branch(S) for S in seg_starts], A)
 
         t0 = ((row0 + B) // C).astype(jnp.int32)   # first tile with trailing rows
         return lax.fori_loop(t0, n_tiles, upd_tile, A)
@@ -240,7 +271,8 @@ def solve_upper(U: jnp.ndarray, z: jnp.ndarray, block: int = 256) -> jnp.ndarray
     return alpha[:N]
 
 
-def invert_upper_blocked(U: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+def invert_upper_blocked(U: jnp.ndarray, block: int = 256,
+                         precision=lax.Precision.HIGHEST) -> jnp.ndarray:
     """V = U^{-1} for UPPER-triangular U (N,N), MXU-blocked and row-major
     layout-native (contiguous (B, Npad) row slabs, same carry discipline as
     ``cholesky_blocked_upper`` — donate U and the inversion is in place).
@@ -272,6 +304,8 @@ def invert_upper_blocked(U: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     n_tiles = Npad // C
     tile_idx = jnp.arange(C)
 
+    seg_starts = _width_segments(n_tiles, C)
+
     def step(i, A):
         k = NB - 1 - i
         row0 = k * B
@@ -288,13 +322,25 @@ def invert_upper_blocked(U: jnp.ndarray, block: int = 256) -> jnp.ndarray:
         # overwrite cols >= row0 with the inverted values.
         A = lax.dynamic_update_slice(
             A, jnp.where(col_idx[None, :] >= row0, slab, 0.0), _i32(row0, 0))
+        seg = _segment_index(seg_starts, row0)    # widest start <= row0
 
         def row_tile(t, A):
             c0 = t * C
-            Vt = lax.dynamic_slice(A, _i32(0, c0), (Npad, C))  # rows<row0+B masked via slab_m
-            T = jnp.matmul(slab_m, Vt, precision=lax.Precision.HIGHEST)   # (B,C)
-            newt = -jnp.matmul(Vkk, T, precision=lax.Precision.HIGHEST)
             cols_g = c0 + tile_idx
+
+            def branch(S):
+                W = Npad - S
+                def br(A):
+                    # contraction rows [S, Npad): slab_m zeroes everything
+                    # below row0+B > S, so the narrowed product is EXACT.
+                    Vt = lax.dynamic_slice(A, _i32(S, c0), (W, C))
+                    return jnp.matmul(
+                        lax.dynamic_slice(slab_m, _i32(0, S), (B, W)), Vt,
+                        precision=precision)                          # (B,C)
+                return br
+
+            T = lax.switch(seg, [branch(S) for S in seg_starts], A)
+            newt = -jnp.matmul(Vkk, T, precision=precision)
             # diagonal-block columns carry Vkk; left of them zero
             diag_embed = jnp.matmul(
                 Vkk, (cols_g[None, :] == row0 + jnp.arange(B)[:, None]

@@ -395,7 +395,8 @@ class DistributedGP:
             self._logdiag = jax.jit(
                 lambda U: jnp.sum(jnp.log(jnp.diagonal(U))))   # pad diag == 1
             self._inv = jax.jit(
-                functools.partial(blocked.invert_upper_blocked, block=bb),
+                functools.partial(blocked.invert_upper_blocked, block=bb,
+                                  precision=self.GRAD_PRECISION),
                 donate_argnums=(0,))
             self._engine = 'upper'
         else:
@@ -470,6 +471,12 @@ class DistributedGP:
 
     #: identity-column strip width of the streaming gradient build.
     GRAD_STRIP_COLS: int = 2048
+    #: matmul precision of the GRADIENT-ONLY large matmuls (the triangular
+    #: inverse and the V V^T strips). These feed dLML/dtheta reductions,
+    #: never the value, factor, or posterior — HIGHEST (bf16_6x) is the
+    #: framework default everywhere else; HIGH (bf16_3x, ~2x MXU rate)
+    #: is a candidate here if measured gradient agreement holds.
+    GRAD_PRECISION = lax.Precision.HIGHEST
     #: bytes of simultaneously-live (Npad, Npad) gradient buffers above which
     #: the single-device backward pass streams K^{-1} strips instead of
     #: storing K, K^{-1} and L together (3 full buffers).
@@ -513,7 +520,7 @@ class DistributedGP:
                 if kinv_source == 'vvt':
                     V_rows = lax.dynamic_slice(L, _i32(r0, 0), (strip, Npad))
                     kinv_cols = jnp.matmul(L, V_rows.T,
-                                           precision=lax.Precision.HIGHEST)
+                                           precision=self.GRAD_PRECISION)
                 else:
                     cols = (arangeN[:, None] == gidx[None, :]).astype(dt)
                     kinv_cols = bwd(L, fwd(L, cols))        # (Npad, strip)

@@ -356,6 +356,29 @@ def test_calibrate_multi_matches_per_output():
         np.testing.assert_allclose(float(nz_b[l]), float(nz_l), rtol=0.3, atol=0.02)
 
 
+def test_calibrate_multi_dense_engine_matches_per_output():
+    """calibrate_multi vmaps the custom-VJP LML over L outputs; with the
+    dense upper engine (the production engine beyond the dense-direct N
+    ceiling) the blocked kernels must batch correctly under vmap."""
+    rng = np.random.default_rng(29)
+    Nn, M, L = 160, 3, 2
+    X = rng.uniform(size=(Nn, M))
+    Y = np.stack([np.sin((l + 1.0) * X[:, 0]) + 0.05 * rng.standard_normal(Nn)
+                  for l in range(L)], axis=1)
+    dgp = dist.DistributedGP(Nn, dist.make_n_mesh(1), block=32,
+                             dense_kernels=True)
+    assert dgp._engine == 'upper'
+    ls0 = np.full((L, M), 2.0)
+    (ls_b, s2_b, nz_b), lml_b, _ = dgp.calibrate_multi(
+        X, Y, ls0, np.ones(L), np.full(L, 0.05), maxiter=60)
+    for l in range(L):
+        (ls_l, s2_l, nz_l), lml_l, _ = dgp.calibrate(
+            X, Y[:, l:l + 1], ls0[l], 1.0, 0.05, maxiter=60)
+        assert abs(float(lml_b[l]) - float(lml_l)) < max(0.5, 0.02 * abs(float(lml_l)))
+        np.testing.assert_allclose(1.0 / np.asarray(ls_b)[l], 1.0 / np.asarray(ls_l),
+                                   rtol=0.3, atol=0.15)
+
+
 def test_streaming_scale_calibrate_route(monkeypatch):
     """At streaming-gradient scale the calibration must drive scipy L-BFGS-B
     over the EAGER custom-VJP chain (one fused value+grad program holds two
