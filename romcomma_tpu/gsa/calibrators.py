@@ -337,6 +337,24 @@ class ClosedSobol(Calibrator):
             e = -0.5 * diff * diff / PsiPhi1[:, :, None, :, :, None]
             return e + 0.5 * (Gp1 * Gp1 / Phi1[..., None])[:, :, :, None, None, None]
 
+        # 'mixed' interval precision: keep the exponent accumulation and the
+        # quadform REDUCTIONS in float64 (the N^2-cancellation-sensitive
+        # parts), but take the pointwise exp in float32 through a two-float
+        # split exp(E) = exp(hi) * (1 + lo), |lo| <= eps_f32 * |E|. On TPU
+        # f64 is emulated and the transcendental is the dominant cost of
+        # this pass (measured: see BASELINE.md N=50k GSA row); the split
+        # keeps the plane's relative error at ~1e-7 with no cancellation
+        # amplification (plane values are positive).
+        mixed = bool(self.meta.get('intervals_mixed', False)) \
+            and self.G.dtype == jnp.float64
+
+        def expE(E):
+            if not mixed:
+                return jnp.exp(E)
+            hi = E.astype(jnp.float32)
+            lo = (E - hi.astype(E.dtype)).astype(jnp.float32)
+            return (jnp.exp(hi) * (1.0 + lo)).astype(E.dtype)
+
         def chunk_body(acc, xs):
             Gq_c, gq_c = xs                                        # (j,J,c,M), (j,J,c)
             acc_s, acc_p, acc_f = acc
@@ -351,8 +369,8 @@ class ClosedSobol(Calibrator):
                 def fwd(E, xs_m):
                     e = e_step(*xs_m)
                     E = E + e
-                    ys = (qf(jnp.exp(e)) if need['single'] else zero,
-                          qf(jnp.exp(E)) if need['prefix'] else zero)
+                    ys = (qf(expE(e)) if need['single'] else zero,
+                          qf(expE(E)) if need['prefix'] else zero)
                     return E, ys
                 E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=self.G.dtype)
                 _, (ys_s, ys_p) = lax.scan(fwd, E0, (Gp_m, Phi_m, PsiPhi_m, Gq_cm))
@@ -363,7 +381,7 @@ class ClosedSobol(Calibrator):
             if need['suffix']:
                 def bwd(E, xs_m):
                     E = E + e_step(*xs_m)
-                    return E, qf(jnp.exp(E))
+                    return E, qf(expE(E))
                 E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=self.G.dtype)
                 _, ys_f = lax.scan(bwd, E0, (Gp_m, Phi_m, PsiPhi_m, Gq_cm),
                                    reverse=True)

@@ -153,8 +153,6 @@ def cholesky_blocked_upper(a: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     n_tiles = Npad // C
     tile_idx = jnp.arange(C)
 
-    seg_starts = _width_segments(n_tiles, C)
-
     def step(k, A):
         row0 = k * B
         slab = lax.dynamic_slice(A, _i32(row0, 0), (B, Npad))         # (B,Npad)
@@ -171,28 +169,20 @@ def cholesky_blocked_upper(a: jnp.ndarray, block: int = 256) -> jnp.ndarray:
         # columns left of the diagonal are garbage -> zero.
         U_k = jnp.where(col_idx[None, :] >= row0, U_k, 0.0)
         A = lax.dynamic_update_slice(A, U_k, _i32(row0, 0))
-        seg = _segment_index(seg_starts, row0)    # widest start <= row0
 
+        # NOTE full-width trailing update on purpose: a lax.switch-narrowed
+        # matmul over 4 static width classes was measured SLOWER at N=50k
+        # (chol 7.8 s -> 9.6 s) — the kernel is tile-overhead-bound, not
+        # flop-bound, and the switch blocks fusion of matmul/where/update.
         def upd_tile(t, A):
             r0 = t * C
             cols = lax.dynamic_slice(U_k, _i32(0, r0), (B, C))
+            upd = jnp.matmul(cols.T, U_k,
+                             precision=lax.Precision.HIGHEST)          # (C,Npad)
             keep = (r0 + tile_idx)[:, None] >= row0 + B
-
-            def branch(S):
-                W = Npad - S
-                def br(A):
-                    # columns [S, Npad): everything left of S (<= row0) is
-                    # either already factored or strict-lower garbage — the
-                    # narrowed matmul skips it (the dominant flop waste).
-                    upd = jnp.matmul(
-                        cols.T, lax.dynamic_slice(U_k, _i32(0, S), (B, W)),
-                        precision=lax.Precision.HIGHEST)              # (C,W)
-                    cur = lax.dynamic_slice(A, _i32(r0, S), (C, W))
-                    return lax.dynamic_update_slice(
-                        A, cur - jnp.where(keep, upd, 0.0), _i32(r0, S))
-                return br
-
-            return lax.switch(seg, [branch(S) for S in seg_starts], A)
+            cur = lax.dynamic_slice(A, _i32(r0, 0), (C, Npad))
+            return lax.dynamic_update_slice(
+                A, cur - jnp.where(keep, upd, 0.0), _i32(r0, 0))
 
         t0 = ((row0 + B) // C).astype(jnp.int32)   # first tile with trailing rows
         return lax.fori_loop(t0, n_tiles, upd_tile, A)

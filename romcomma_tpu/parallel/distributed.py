@@ -474,9 +474,12 @@ class DistributedGP:
     #: matmul precision of the GRADIENT-ONLY large matmuls (the triangular
     #: inverse and the V V^T strips). These feed dLML/dtheta reductions,
     #: never the value, factor, or posterior — HIGHEST (bf16_6x) is the
-    #: framework default everywhere else; HIGH (bf16_3x, ~2x MXU rate)
-    #: is a candidate here if measured gradient agreement holds.
-    GRAD_PRECISION = lax.Precision.HIGHEST
+    #: framework default everywhere else; HIGH (bf16_3x, ~2x MXU rate) is
+    #: the default HERE: measured at N=50000/M=30 the gradient l2 agrees
+    #: with HIGHEST to ~2e-5 relative while saving ~6 s of the ~21 s
+    #: val+grad (scipy L-BFGS-B's descent is insensitive at that level;
+    #: the stopping rule uses the f64 host-projected gradient norm).
+    GRAD_PRECISION = lax.Precision.HIGH
     #: bytes of simultaneously-live (Npad, Npad) gradient buffers above which
     #: the single-device backward pass streams K^{-1} strips instead of
     #: storing K, K^{-1} and L together (3 full buffers).
@@ -768,7 +771,8 @@ class DistributedGP:
     def sobol_indices(self, ls, s2, noise, x_dev, y_dev, X: np.ndarray,
                       kind='first_order', n_chunk: int | None = None,
                       gsa_dtype=None, error: bool = False,
-                      is_T_partial: bool = True):
+                      is_T_partial: bool = True,
+                      intervals_mixed: bool | None = None):
         """Closed-form Sobol' indices of the trained distributed GP.
 
         The plain (no-error) ClosedSobol needs only K^{-1}y from the posterior
@@ -807,9 +811,19 @@ class DistributedGP:
         N, M = self.plan.N, X.shape[1]
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
         f64 = jnp.float64 if (gsa_dtype is None or error) else jnp.dtype(gsa_dtype)
+        # Mixed interval precision (f64 exponents/reductions, f32 exp):
+        # default ON for f64 interval passes on accelerator backends, where
+        # the emulated-f64 transcendental dominates the pass. Measured
+        # N=20000/M=30 TPU: 133 s vs 221 s pure-f64 intervals, |dS| 5.3e-6
+        # absolute; gsa_dtype=float32 is the max-speed opt-in (49 s,
+        # |dS| 4.9e-6 same config, but with f32 exponent accumulation and
+        # reductions — less headroom in extreme-lengthscale regimes).
+        if intervals_mixed is None:
+            intervals_mixed = (f64 == jnp.float64
+                               and jax.default_backend() != 'cpu')
+        meta['intervals_mixed'] = bool(intervals_mixed)
         t0 = time.time()
         if error:
-            import jax
             from romcomma_tpu.ops.gram import rbf_gram
             from romcomma_tpu.ops.linalg import add_diag
             from romcomma_tpu.ops.linalg import cholesky as dense_cholesky

@@ -183,6 +183,30 @@ def test_marginalize_intervals_full_F():
                                    rtol=1e-9, atol=1e-11, err_msg=str(s))
 
 
+def test_marginalize_intervals_mixed_precision():
+    """intervals_mixed (f64 exponents/reductions, f32 two-float-split exp)
+    agrees with the pure-f64 pass to ~f32-plane accuracy — the TPU fast
+    mode where emulated-f64 exp dominates the pass."""
+    cal = _calibrator(n_chunk=32, N=300, M=4)
+    slices = tuple([(m, m + 1) for m in range(4)]
+                   + [(0, m + 1) for m in range(4)] + [(1, 4), (0, 4)])
+    exact = cal.marginalize_intervals(slices)
+    cal.meta['intervals_mixed'] = True
+    mixed = cal.marginalize_intervals(slices)
+    # S is dimensionless (V/V_total, O(1)): absolute tolerance is the
+    # meaningful bound (near-zero inert-dim entries make rtol vacuous).
+    # Measured |dS| ~ 8e-7 here and ~4-5e-6 at N=200-20000 on other
+    # posteriors — the f32 exp plane's ~1e-7 relative error times the
+    # quadform's cancellation conditioning; well inside the fast-mode
+    # budget (the plain gsa_dtype=float32 mode pins 1e-4 below).
+    np.testing.assert_allclose(np.asarray(mixed['S']), np.asarray(exact['S']),
+                               rtol=0.0, atol=1e-5)
+    # and host-paced chunking composes with the mixed mode
+    paced = cal.marginalize_intervals(slices, host_paced=True)
+    np.testing.assert_allclose(np.asarray(paced['S']), np.asarray(mixed['S']),
+                               rtol=1e-12, atol=1e-15)
+
+
 def test_marginalize_intervals_host_paced():
     """Host-paced chunk loop (bounded dispatches for tunnelled runtimes)
     matches the fused lax.scan path bit-for-bit-ish."""
