@@ -159,6 +159,19 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     chunk = _chunk_size(cal, R)
     nc = -(-N // chunk)
     Npad = nc * chunk
+    # Same mixed-precision policy as ClosedSobol.marginalize_intervals:
+    # exponent accumulation and reductions stay f64, the pointwise exp of
+    # the big sweep planes goes through a two-float split in f32 — the
+    # emulated-f64 transcendental dominates this pass on TPU.
+    mixed = bool(getattr(cal, 'meta', {}).get('intervals_mixed', False)) \
+        and dt == jnp.float64
+
+    def expE(E):
+        if not mixed:
+            return jnp.exp(E)
+        hi = E.astype(jnp.float32)
+        lo = (E - hi.astype(E.dtype)).astype(jnp.float32)
+        return (jnp.exp(hi) * (1.0 + lo)).astype(E.dtype)
 
     def prep():
         """Every per-dim array the sweeps consume — member params, per-kind
@@ -244,10 +257,10 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
                 oms = E_oms if accumulated[k] else e_oms
                 psi = E_psi if accumulated[k] else e_psi
                 ys[k] = (tuple(member_quad(r,
-                                           jnp.exp(oms[r] + eup_s[k][r][..., None]),
+                                           expE(oms[r] + eup_s[k][r][..., None]),
                                            gq_s[k]) for r in range(R)),
                          jnp.einsum('lN, iC, lNiC -> liC', pw_s[k], g0q_i,
-                                    jnp.exp(psi)))
+                                    expE(psi)))
             return (E_oms, E_psi), ys
 
         _, out = lax.scan(lambda c, x: step(c, x, fwd_kinds,

@@ -256,6 +256,26 @@ def test_error_intervals_match_per_slice(is_T_partial):
                 rtol=1e-9, atol=atol, err_msg=f'{key} {s} partial={is_T_partial}')
 
 
+def test_error_intervals_mixed_precision():
+    """The W/T error sweep under intervals_mixed (f32 split-exp planes)
+    agrees with pure f64 to fast-mode tolerance on S, W and T."""
+    M = 4
+    cal = _error_calibrator(M=M, N=120)
+    slices = tuple([(m, m + 1) for m in range(M)] + [(0, M), (1, M)])
+    exact = cal.marginalize_intervals(slices)
+    cal.meta['intervals_mixed'] = True
+    mixed = cal.marginalize_intervals(slices)
+    np.testing.assert_allclose(np.asarray(mixed['S']), np.asarray(exact['S']),
+                               rtol=0.0, atol=1e-5)
+    # T = sqrt(quadform difference): near-zero entries amplify the f32
+    # plane noise; T is itself a standard error, so ~1e-5 absolute is
+    # far inside its own statistical meaning.
+    np.testing.assert_allclose(np.asarray(mixed['T']), np.asarray(exact['T']),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mixed['W']), np.asarray(exact['W']),
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_distributed_sobol_f32_fast_mode():
     """The f32 factorized interval pass (fed by the f64-refined posterior)
     agrees with f64 to 1e-4 — the TPU fast mode for sobol_indices."""
