@@ -19,6 +19,28 @@ import jax.numpy as jnp
 from romcomma_tpu.ops.linalg import tri_solve
 
 
+def split_exp(E: jnp.ndarray) -> jnp.ndarray:
+    """exp(E) for float64 E through a float32 transcendental — the TPU fast
+    path where emulated-f64 exp dominates the GSA sweeps.
+
+    Range-reduced: E = n ln2 + r with |r| <= ln2/2, exp(r) evaluated in f32
+    on a two-float split of r (relative error ~1e-7), and the exact 2^n
+    rescale applied IN FLOAT64 via ldexp. Unlike a naive f32 exp of the
+    full argument this cannot overflow/underflow at |E| > 88 — exponents
+    beyond the f32 exp range occur routinely in the Gaussian-ratio sweeps
+    at large N with tight trained lengthscales (observed: negative suffix
+    variances at N=50k from inf planes)."""
+    if E.dtype != jnp.float64:
+        return jnp.exp(E)
+    ln2 = 0.6931471805599453
+    n = jnp.round(E * (1.0 / ln2))
+    r = E - n * ln2
+    rhi = r.astype(jnp.float32)
+    rlo = (r - rhi.astype(E.dtype)).astype(jnp.float32)
+    frac = (jnp.exp(rhi) * (1.0 + rlo)).astype(E.dtype)
+    return jnp.ldexp(frac, n.astype(jnp.int32))
+
+
 def diag_det(tensor: jnp.ndarray) -> jnp.ndarray:
     """Determinant of a diagonal tensor stored as its last axis."""
     return jnp.prod(tensor, axis=-1)

@@ -339,21 +339,15 @@ class ClosedSobol(Calibrator):
 
         # 'mixed' interval precision: keep the exponent accumulation and the
         # quadform REDUCTIONS in float64 (the N^2-cancellation-sensitive
-        # parts), but take the pointwise exp in float32 through a two-float
-        # split exp(E) = exp(hi) * (1 + lo), |lo| <= eps_f32 * |E|. On TPU
-        # f64 is emulated and the transcendental is the dominant cost of
-        # this pass (measured: see BASELINE.md N=50k GSA row); the split
-        # keeps the plane's relative error at ~1e-7 with no cancellation
-        # amplification (plane values are positive).
+        # parts), but take the pointwise exp through gsa.base.split_exp —
+        # an overflow-safe f32 transcendental with exact f64 2^n rescale
+        # (relative error ~1e-7, full f64 exponent range). On TPU f64 is
+        # emulated and the transcendental dominates this pass (measured:
+        # see BASELINE.md N=50k GSA row).
         mixed = bool(self.meta.get('intervals_mixed', False)) \
             and self.G.dtype == jnp.float64
-
-        def expE(E):
-            if not mixed:
-                return jnp.exp(E)
-            hi = E.astype(jnp.float32)
-            lo = (E - hi.astype(E.dtype)).astype(jnp.float32)
-            return (jnp.exp(hi) * (1.0 + lo)).astype(E.dtype)
+        from romcomma_tpu.gsa.base import split_exp
+        expE = split_exp if mixed else jnp.exp
 
         def chunk_body(acc, xs):
             Gq_c, gq_c = xs                                        # (j,J,c,M), (j,J,c)

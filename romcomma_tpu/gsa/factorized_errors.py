@@ -161,17 +161,13 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     Npad = nc * chunk
     # Same mixed-precision policy as ClosedSobol.marginalize_intervals:
     # exponent accumulation and reductions stay f64, the pointwise exp of
-    # the big sweep planes goes through a two-float split in f32 — the
-    # emulated-f64 transcendental dominates this pass on TPU.
+    # the big sweep planes goes through the overflow-safe f32 split-exp
+    # (gsa.base.split_exp) — the emulated-f64 transcendental dominates
+    # this pass on TPU.
+    from romcomma_tpu.gsa.base import split_exp
     mixed = bool(getattr(cal, 'meta', {}).get('intervals_mixed', False)) \
         and dt == jnp.float64
-
-    def expE(E):
-        if not mixed:
-            return jnp.exp(E)
-        hi = E.astype(jnp.float32)
-        lo = (E - hi.astype(E.dtype)).astype(jnp.float32)
-        return (jnp.exp(hi) * (1.0 + lo)).astype(E.dtype)
+    expE = split_exp if mixed else jnp.exp
 
     def prep():
         """Every per-dim array the sweeps consume — member params, per-kind

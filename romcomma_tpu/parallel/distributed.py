@@ -811,15 +811,19 @@ class DistributedGP:
         N, M = self.plan.N, X.shape[1]
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
         f64 = jnp.float64 if (gsa_dtype is None or error) else jnp.dtype(gsa_dtype)
-        # Mixed interval precision (f64 exponents/reductions, f32 exp):
-        # default ON for f64 interval passes on accelerator backends, where
-        # the emulated-f64 transcendental dominates the pass. Measured
-        # N=20000/M=30 TPU: 133 s vs 221 s pure-f64 intervals, |dS| 5.3e-6
-        # absolute; gsa_dtype=float32 is the max-speed opt-in (49 s,
-        # |dS| 4.9e-6 same config, but with f32 exponent accumulation and
-        # reductions — less headroom in extreme-lengthscale regimes).
+        # Mixed interval precision (f64 exponents/reductions, overflow-safe
+        # f32 split-exp — gsa.base.split_exp): default ON for NO-ERROR f64
+        # interval passes on accelerator backends, where the emulated-f64
+        # transcendental dominates the pass. Measured N=20000/M=30 TPU:
+        # intervals 133 s vs 221 s pure f64, |dS| 5.3e-6 absolute
+        # (gsa_dtype=float32 is the max-speed opt-in: 49 s, |dS| 4.9e-6,
+        # but f32 exponent accumulation/reductions — less headroom in
+        # extreme-lengthscale regimes). The ERROR path defaults to pure
+        # f64: T = sqrt of a near-cancelling quadform difference, so the
+        # ~1e-7 plane noise floors T at ~3e-3 absolute — explicit
+        # intervals_mixed=True opts in where rough error bars suffice.
         if intervals_mixed is None:
-            intervals_mixed = (f64 == jnp.float64
+            intervals_mixed = (not error and f64 == jnp.float64
                                and jax.default_backend() != 'cpu')
         meta['intervals_mixed'] = bool(intervals_mixed)
         t0 = time.time()

@@ -183,6 +183,22 @@ def test_marginalize_intervals_full_F():
                                    rtol=1e-9, atol=1e-11, err_msg=str(s))
 
 
+def test_split_exp_full_range():
+    """gsa.base.split_exp (the mixed-mode transcendental) matches f64 exp
+    to ~1e-7 relative over the FULL f64 exponent range — a naive f32 exp
+    overflows at |E| > 88, which the N=50k sweeps reach (observed as
+    negative suffix variances)."""
+    from romcomma_tpu.gsa.base import split_exp
+    E = jnp.asarray(np.concatenate([np.linspace(-700.0, 700.0, 4001),
+                                    [0.0, -88.9, 88.9, -745.0, 709.0]]),
+                    jnp.float64)
+    got = np.asarray(split_exp(E))
+    want = np.exp(np.asarray(E))
+    assert np.isfinite(got).all()
+    rel = np.abs(got - want) / np.maximum(want, 1e-300)
+    assert rel.max() < 3e-7
+
+
 def test_marginalize_intervals_mixed_precision():
     """intervals_mixed (f64 exponents/reductions, f32 two-float-split exp)
     agrees with the pure-f64 pass to ~f32-plane accuracy — the TPU fast
@@ -258,7 +274,11 @@ def test_error_intervals_match_per_slice(is_T_partial):
 
 def test_error_intervals_mixed_precision():
     """The W/T error sweep under intervals_mixed (f32 split-exp planes)
-    agrees with pure f64 to fast-mode tolerance on S, W and T."""
+    agrees with pure f64 to fast-mode tolerance on S, W and T. NOTE this
+    mode is OPT-IN for the error path (not the accelerator default): T is
+    the sqrt of a near-cancelling quadform difference, so the ~1e-7 plane
+    noise floors near-zero T entries at ~3e-3 absolute on unlucky
+    posteriors (this fixture is tame)."""
     M = 4
     cal = _error_calibrator(M=M, N=120)
     slices = tuple([(m, m + 1) for m in range(M)] + [(0, M), (1, M)])
