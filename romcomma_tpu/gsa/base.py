@@ -19,26 +19,33 @@ import jax.numpy as jnp
 from romcomma_tpu.ops.linalg import tri_solve
 
 
-def split_exp(E: jnp.ndarray) -> jnp.ndarray:
-    """exp(E) for float64 E through a float32 transcendental — the TPU fast
-    path where emulated-f64 exp dominates the GSA sweeps.
+def shifted_exp(E: jnp.ndarray, axes) -> tuple:
+    """(exp(E - c), c) with c = max(E) over ``axes`` (keepdims) — the
+    mixed-precision GSA transcendental.
 
-    Range-reduced: E = n ln2 + r with |r| <= ln2/2, exp(r) evaluated in f32
-    on a two-float split of r (relative error ~1e-7), and the exact 2^n
-    rescale applied IN FLOAT64 via ldexp. Unlike a naive f32 exp of the
-    full argument this cannot overflow/underflow at |E| > 88 — exponents
-    beyond the f32 exp range occur routinely in the Gaussian-ratio sweeps
-    at large N with tight trained lengthscales (observed: negative suffix
-    variances at N=50k from inf planes)."""
+    The shifted exp is evaluated in float32 on a two-float split of the
+    argument (relative error ~1e-7) — the TPU fast path where emulated-f64
+    exp dominates the sweeps. Shifting by the per-plane max is exact
+    log-sum-exp stabilization: the argument is <= 0, so the f32 exp can
+    never overflow (a naive f32 exp of the raw exponent goes inf at
+    E > 88 — reached at N=50k with trained tight lengthscales, observed
+    as negative suffix variances), and entries more than ~87 below the
+    max underflow to 0 in f32 where f64 keeps < 1e-38 relative dust —
+    negligible in any reduction against the dominant terms. Callers
+    contract the plane over ``axes`` and multiply the reduced result by
+    exp(c) (an f64 exp over the tiny remaining dims).
+
+    For non-f64 inputs this is plain exp with c = 0 (no shift needed —
+    the working dtype IS f32)."""
     if E.dtype != jnp.float64:
-        return jnp.exp(E)
-    ln2 = 0.6931471805599453
-    n = jnp.round(E * (1.0 / ln2))
-    r = E - n * ln2
+        return jnp.exp(E), jnp.zeros(
+            tuple(1 if (a % E.ndim) in {x % E.ndim for x in axes} else s
+                  for a, s in enumerate(E.shape)), E.dtype)
+    c = jnp.max(E, axis=tuple(axes), keepdims=True)
+    r = E - c
     rhi = r.astype(jnp.float32)
     rlo = (r - rhi.astype(E.dtype)).astype(jnp.float32)
-    frac = (jnp.exp(rhi) * (1.0 + rlo)).astype(E.dtype)
-    return jnp.ldexp(frac, n.astype(jnp.int32))
+    return (jnp.exp(rhi) * (1.0 + rlo)).astype(E.dtype), c
 
 
 def diag_det(tensor: jnp.ndarray) -> jnp.ndarray:

@@ -339,23 +339,29 @@ class ClosedSobol(Calibrator):
 
         # 'mixed' interval precision: keep the exponent accumulation and the
         # quadform REDUCTIONS in float64 (the N^2-cancellation-sensitive
-        # parts), but take the pointwise exp through gsa.base.split_exp —
-        # an overflow-safe f32 transcendental with exact f64 2^n rescale
-        # (relative error ~1e-7, full f64 exponent range). On TPU f64 is
-        # emulated and the transcendental dominates this pass (measured:
+        # parts), but take the pointwise exp of each plane through
+        # gsa.base.shifted_exp — a log-sum-exp-stabilized f32 transcendental
+        # (relative error ~1e-7, cannot overflow) whose per-plane max shift
+        # is undone on the REDUCED quadform by a tiny f64 exp. On TPU f64
+        # is emulated and the transcendental dominates this pass (measured:
         # see BASELINE.md N=50k GSA row).
         mixed = bool(self.meta.get('intervals_mixed', False)) \
             and self.G.dtype == jnp.float64
-        from romcomma_tpu.gsa.base import split_exp
-        expE = split_exp if mixed else jnp.exp
+        from romcomma_tpu.gsa.base import shifted_exp
 
         def chunk_body(acc, xs):
             Gq_c, gq_c = xs                                        # (j,J,c,M), (j,J,c)
             acc_s, acc_p, acc_f = acc
             Gq_cm = jnp.moveaxis(Gq_c, -1, 0)                      # (M,j,J,c)
 
-            def qf(plane):
-                return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ', g, plane, gq_c)
+            def qf(E):
+                """Quadform of exp(E) over (N, c) — plane axes 2 and 5."""
+                if not mixed:
+                    return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ',
+                                      g, jnp.exp(E), gq_c)
+                plane, c_max = shifted_exp(E, (2, 5))
+                q = jnp.einsum('lLN, lLNjJc, jJc -> lLjJ', g, plane, gq_c)
+                return q * jnp.exp(c_max[:, :, 0, :, :, 0])
 
             if need['single'] or need['prefix']:
                 zero = jnp.zeros((l, L, l, L), dtype=self.G.dtype)
@@ -363,8 +369,8 @@ class ClosedSobol(Calibrator):
                 def fwd(E, xs_m):
                     e = e_step(*xs_m)
                     E = E + e
-                    ys = (qf(expE(e)) if need['single'] else zero,
-                          qf(expE(E)) if need['prefix'] else zero)
+                    ys = (qf(e) if need['single'] else zero,
+                          qf(E) if need['prefix'] else zero)
                     return E, ys
                 E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=self.G.dtype)
                 _, (ys_s, ys_p) = lax.scan(fwd, E0, (Gp_m, Phi_m, PsiPhi_m, Gq_cm))
@@ -375,7 +381,7 @@ class ClosedSobol(Calibrator):
             if need['suffix']:
                 def bwd(E, xs_m):
                     E = E + e_step(*xs_m)
-                    return E, qf(expE(E))
+                    return E, qf(E)
                 E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=self.G.dtype)
                 _, ys_f = lax.scan(bwd, E0, (Gp_m, Phi_m, PsiPhi_m, Gq_cm),
                                    reverse=True)

@@ -161,13 +161,14 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     Npad = nc * chunk
     # Same mixed-precision policy as ClosedSobol.marginalize_intervals:
     # exponent accumulation and reductions stay f64, the pointwise exp of
-    # the big sweep planes goes through the overflow-safe f32 split-exp
-    # (gsa.base.split_exp) — the emulated-f64 transcendental dominates
-    # this pass on TPU.
-    from romcomma_tpu.gsa.base import split_exp
+    # the big sweep planes goes through the log-sum-exp-shifted f32
+    # transcendental (gsa.base.shifted_exp), the per-plane max undone on
+    # the reduced output by a tiny f64 exp — the emulated-f64
+    # transcendental dominates this pass on TPU. OPT-IN for the error
+    # path (near-zero T entries floor at ~3e-3 under f32 plane noise).
+    from romcomma_tpu.gsa.base import shifted_exp
     mixed = bool(getattr(cal, 'meta', {}).get('intervals_mixed', False)) \
         and dt == jnp.float64
-    expE = split_exp if mixed else jnp.exp
 
     def prep():
         """Every per-dim array the sweeps consume — member params, per-kind
@@ -218,9 +219,29 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     fwd_kinds = tuple(k for k in ('single', 'prefix') if k in kinds)
     do_bwd = 'suffix' in kinds
 
-    def member_quad(r, plane, gq_m):
-        return jnp.einsum(f"{layout[r]['p']}N, NjkC, jC -> {layout[r]['out']}",
-                          g, plane, gq_m)
+    def member_quad(r, Eplane, gq_m):
+        """Quadform of exp(Eplane) — Eplane (N, j, k, C); contraction covers
+        N and C always, plus k when the member reduces to 'j'."""
+        eq = f"{layout[r]['p']}N, NjkC, jC -> {layout[r]['out']}"
+        if not mixed:
+            return jnp.einsum(eq, g, jnp.exp(Eplane), gq_m)
+        out_jk = layout[r]['out'] == 'jk'
+        # the shift must be constant over every CONTRACTED axis of the
+        # output (a per-k scale cannot be factored out of a k-sum)
+        plane, c_max = shifted_exp(Eplane, (0, 3) if out_jk else (0, 2, 3))
+        q = jnp.einsum(eq, g, plane, gq_m)
+        return q * (jnp.exp(c_max[0, :, :, 0]) if out_jk
+                    else jnp.exp(c_max[0, :, 0, 0]))
+
+    def psi_quad(pw, g0q_i, E_psi):
+        """liC psi contribution — only the N axis (1) of E_psi (l,N,i,C) is
+        contracted; the C axis survives, so the shift keeps it."""
+        if not mixed:
+            return jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i,
+                              jnp.exp(E_psi))
+        plane, c_max = shifted_exp(E_psi, (1,))
+        t = jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i, plane)
+        return t * jnp.exp(c_max[:, 0, :, :])
 
     def run_chunk(Gq_i, gw_i, g0q_i):
         """All sweeps for one q chunk.  Returns
@@ -253,10 +274,9 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
                 oms = E_oms if accumulated[k] else e_oms
                 psi = E_psi if accumulated[k] else e_psi
                 ys[k] = (tuple(member_quad(r,
-                                           expE(oms[r] + eup_s[k][r][..., None]),
+                                           oms[r] + eup_s[k][r][..., None],
                                            gq_s[k]) for r in range(R)),
-                         jnp.einsum('lN, iC, lNiC -> liC', pw_s[k], g0q_i,
-                                    expE(psi)))
+                         psi_quad(pw_s[k], g0q_i, psi))
             return (E_oms, E_psi), ys
 
         _, out = lax.scan(lambda c, x: step(c, x, fwd_kinds,
