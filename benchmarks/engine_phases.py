@@ -37,12 +37,15 @@ def _t(fn, *a, reps=2):
     return best, out
 
 
-def main(N: int = 50000, M: int = 30, reps: int = 2):
+def main(N: int = 50000, M: int = 30, reps: int = 2, dense_block: int = 0):
     import jax
     import jax.numpy as jnp
     from jax import lax
     from romcomma_tpu.parallel import distributed as dist
     from romcomma_tpu.ops.gram import rbf_gram
+
+    if dense_block:
+        dist.DistributedGP.DENSE_BLOCK = int(dense_block)
 
     rng = np.random.default_rng(0)
     X = rng.standard_normal((N, M))
@@ -56,6 +59,7 @@ def main(N: int = 50000, M: int = 30, reps: int = 2):
     nz = jnp.asarray(0.05, dt)
     Npad = dgp.plan.Npad
     out = {'N': N, 'M': M, 'Npad': int(Npad),
+           'block': int(dist.DistributedGP.DENSE_BLOCK),
            'backend': jax.default_backend()}
 
     t_gram, K = _t(lambda: dgp._gram(x_dev, ls, s2, nz), reps=reps)

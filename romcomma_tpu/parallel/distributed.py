@@ -360,6 +360,12 @@ class DistributedGP:
     #: step program with XLA's builtin gram/cholesky instead of the blocked
     #: engine (~6 live (N,N) f32 buffers bound a 16 GB HBM near N~22k).
     DENSE_DIRECT_MAX_N: int = 21000
+    #: panel width of the dense upper-factor engine's blocked kernels
+    #: (ops/blocked.py). Measured N=50k/M=30 f32: B=1024 is ~4% faster per
+    #: val+grad (chol 7.1 vs 7.8 s, inverse 1.9 vs 3.7 s) but widens the
+    #: per-panel triangular inverse to 1024x1024 — more f32 conditioning
+    #: exposure on near-breakdown grams — so 512 stays the default.
+    DENSE_BLOCK: int = 512
 
     def __init__(self, N: int, mesh: Mesh | None = None, block: int = 256,
                  dtype=None, dense_kernels: bool = False):
@@ -386,7 +392,7 @@ class DistributedGP:
             # HBM budget (ops/blocked.py cholesky_blocked_upper).  The
             # factor handle is opaque: only _fwd/_bwd/_logdiag consume it.
             from romcomma_tpu.ops import blocked
-            bb = max(block, min(512, self.plan.Npad))
+            bb = max(block, min(self.DENSE_BLOCK, self.plan.Npad))
             self._chol = jax.jit(
                 functools.partial(blocked.cholesky_blocked_upper, block=bb),
                 donate_argnums=(0,))
