@@ -83,11 +83,10 @@ def main(N: int = 50000, M: int = 30, reps: int = 2, dense_block: int = 0):
     t_gci, V = _t(inv_fresh, reps=reps)
     out['inv_s'] = round(t_gci - t_gc, 2)
 
-    strip = int(min(Npad, max(dgp.plan.B, dgp.GRAD_STRIP_COLS)))
-    n_strips = -(-Npad // strip)
+    strip, n_strips = dgp.grad_strip()
     vvt = jax.jit(lambda V: jnp.matmul(
         V, lax.dynamic_slice(V, (0, 0), (strip, Npad)).T,
-        precision=lax.Precision.HIGHEST))
+        precision=dgp._grad_precision))
     t_vvt, kc = _t(vvt, V, reps=reps)
     del kc
     out['vvt_strip_s'] = round(t_vvt, 2)

@@ -35,7 +35,7 @@ def main(N: int = 20000, M: int = 30, modes: str = 'f64,mixed'):
     ls = np.full(M, 2.0)
     s2, nz = 1.0, 0.05
 
-    ref = None
+    rows = []
     for mode in modes.split(','):
         kw = ({'intervals_mixed': False} if mode == 'f64' else
               {'intervals_mixed': True} if mode == 'mixed' else
@@ -45,12 +45,15 @@ def main(N: int = 20000, M: int = 30, modes: str = 'f64,mixed'):
                               kind=('first_order', 'total'), **kw)
         wall = time.time() - t0
         flat = np.array([v for k in S for v in S[k].values()])
-        if mode == 'f64':
-            ref = flat
+        rows.append((mode, wall, dict(dgp.last_gsa_timings or {}), S, flat))
+    # diff after ALL modes ran, so the f64 reference is found regardless of
+    # its position in the mode list
+    ref = next((flat for mode, _, _, _, flat in rows if mode == 'f64'), None)
+    for mode, wall, phases, S, flat in rows:
         out = {'mode': mode, 'N': N, 'M': M,
                'backend': jax.default_backend(),
                'gsa_s': round(wall, 1),
-               'phases': dgp.last_gsa_timings,
+               'phases': phases,
                'S1_first3': [round(float(S['first_order'][m]), 6)
                              for m in range(3)],
                'max_abs_dS_vs_f64': (None if ref is None

@@ -35,14 +35,13 @@ def shifted_exp(E: jnp.ndarray, axes) -> tuple:
     contract the plane over ``axes`` and multiply the reduced result by
     exp(c) (an f64 exp over the tiny remaining dims).
 
-    For non-f64 inputs this is plain exp with c = 0 (no shift needed —
-    the working dtype IS f32)."""
-    if E.dtype != jnp.float64:
-        return jnp.exp(E), jnp.zeros(
-            tuple(1 if (a % E.ndim) in {x % E.ndim for x in axes} else s
-                  for a, s in enumerate(E.shape)), E.dtype)
+    For float32 inputs the shift is applied directly (exp of the
+    non-positive remainder, no two-float split needed — the working dtype
+    IS f32): the f32 fast mode reaches the same E > 88 overflow regime."""
     c = jnp.max(E, axis=tuple(axes), keepdims=True)
     r = E - c
+    if E.dtype != jnp.float64:
+        return jnp.exp(r), c
     rhi = r.astype(jnp.float32)
     rlo = (r - rhi.astype(E.dtype)).astype(jnp.float32)
     return (jnp.exp(rhi) * (1.0 + rlo)).astype(E.dtype), c

@@ -347,6 +347,9 @@ class ClosedSobol(Calibrator):
         # see BASELINE.md N=50k GSA row).
         mixed = bool(self.meta.get('intervals_mixed', False)) \
             and self.G.dtype == jnp.float64
+        # the f32 fast mode (gsa_dtype=float32) reaches the same E > 88
+        # overflow regime a naive f32 exp dies in — shift it too
+        use_shift = mixed or self.G.dtype != jnp.float64
         from romcomma_tpu.gsa.base import shifted_exp
 
         def chunk_body(acc, xs):
@@ -356,7 +359,7 @@ class ClosedSobol(Calibrator):
 
             def qf(E):
                 """Quadform of exp(E) over (N, c) — plane axes 2 and 5."""
-                if not mixed:
+                if not use_shift:
                     return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ',
                                       g, jnp.exp(E), gq_c)
                 plane, c_max = shifted_exp(E, (2, 5))

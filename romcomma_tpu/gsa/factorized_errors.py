@@ -169,6 +169,8 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     from romcomma_tpu.gsa.base import shifted_exp
     mixed = bool(getattr(cal, 'meta', {}).get('intervals_mixed', False)) \
         and dt == jnp.float64
+    # f32 working dtype reaches the same E > 88 overflow regime — shift it
+    use_shift = mixed or dt != jnp.float64
 
     def prep():
         """Every per-dim array the sweeps consume — member params, per-kind
@@ -223,7 +225,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         """Quadform of exp(Eplane) — Eplane (N, j, k, C); contraction covers
         N and C always, plus k when the member reduces to 'j'."""
         eq = f"{layout[r]['p']}N, NjkC, jC -> {layout[r]['out']}"
-        if not mixed:
+        if not use_shift:
             return jnp.einsum(eq, g, jnp.exp(Eplane), gq_m)
         out_jk = layout[r]['out'] == 'jk'
         # the shift must be constant over every CONTRACTED axis of the
@@ -236,7 +238,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     def psi_quad(pw, g0q_i, E_psi):
         """liC psi contribution — only the N axis (1) of E_psi (l,N,i,C) is
         contracted; the C axis survives, so the shift keeps it."""
-        if not mixed:
+        if not use_shift:
             return jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i,
                               jnp.exp(E_psi))
         plane, c_max = shifted_exp(E_psi, (1,))

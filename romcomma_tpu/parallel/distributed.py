@@ -400,9 +400,14 @@ class DistributedGP:
             self._bwd = jax.jit(functools.partial(blocked.solve_upper, block=bb))
             self._logdiag = jax.jit(
                 lambda U: jnp.sum(jnp.log(jnp.diagonal(U))))   # pad diag == 1
+            # bound ONCE here: the strip matmul below reads the same
+            # instance attribute, so mutating the class knob after
+            # construction cannot silently mix precisions between the
+            # inverse and the V V^T strips
+            self._grad_precision = self.GRAD_PRECISION
             self._inv = jax.jit(
                 functools.partial(blocked.invert_upper_blocked, block=bb,
-                                  precision=self.GRAD_PRECISION),
+                                  precision=self._grad_precision),
                 donate_argnums=(0,))
             self._engine = 'upper'
         else:
@@ -411,6 +416,7 @@ class DistributedGP:
             self._bwd = solve_backward(self.plan, self.mesh)
             self._logdiag = log_diag_sum(self.plan, self.mesh)
             self._inv = None
+            self._grad_precision = self.GRAD_PRECISION
             self._engine = 'cyclic'
         self._lml = self._build_lml()
 
@@ -491,6 +497,12 @@ class DistributedGP:
     #: storing K, K^{-1} and L together (3 full buffers).
     GRADS_MEMORY_BUDGET_BYTES: int = 12 * 2 ** 30
 
+    def grad_strip(self) -> tuple:
+        """(strip columns, strip count) of the streaming gradient build —
+        the single source of the policy (benchmarks probe it too)."""
+        strip = int(min(self.plan.Npad, max(self.plan.B, self.GRAD_STRIP_COLS)))
+        return strip, -(-self.plan.Npad // strip)
+
     def _grads_streaming_fn(self, kinv_source: str = 'solves'):
         """dLML/d{ls, s2, noise} WITHOUT materializing K or K^{-1}: strips of
         K^{-1} and the matching signal-gram rows are rebuilt on the fly.
@@ -509,8 +521,7 @@ class DistributedGP:
         Npad = pl_.Npad
         fwd, bwd = self._fwd, self._bwd
         real = jnp.asarray(pl_.dtype_rows_mask)
-        strip = int(min(Npad, max(pl_.B, self.GRAD_STRIP_COLS)))
-        n_strips = -(-Npad // strip)
+        strip, n_strips = self.grad_strip()
         from romcomma_tpu.ops.gram import rbf_gram
 
         @jax.jit
@@ -529,7 +540,7 @@ class DistributedGP:
                 if kinv_source == 'vvt':
                     V_rows = lax.dynamic_slice(L, _i32(r0, 0), (strip, Npad))
                     kinv_cols = jnp.matmul(L, V_rows.T,
-                                           precision=self.GRAD_PRECISION)
+                                           precision=self._grad_precision)
                 else:
                     cols = (arangeN[:, None] == gidx[None, :]).astype(dt)
                     kinv_cols = bwd(L, fwd(L, cols))        # (Npad, strip)
@@ -818,7 +829,7 @@ class DistributedGP:
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
         f64 = jnp.float64 if (gsa_dtype is None or error) else jnp.dtype(gsa_dtype)
         # Mixed interval precision (f64 exponents/reductions, overflow-safe
-        # f32 split-exp — gsa.base.split_exp): default ON for NO-ERROR f64
+        # f32 shifted exp — gsa.base.shifted_exp): default ON for NO-ERROR f64
         # interval passes on accelerator backends, where the emulated-f64
         # transcendental dominates the pass. Measured N=20000/M=30 TPU:
         # intervals 133 s vs 221 s pure f64, |dS| 5.3e-6 absolute

@@ -167,6 +167,30 @@ def test_invert_upper_blocked_matches_oracle(N, B):
                                rtol=1e-6, atol=1e-8)
 
 
+def test_multi_tile_and_segmented_paths(monkeypatch):
+    """Force small column tiles (C = B) so the tile loops run MANY tiles
+    and the triangular inverse's lax.switch width segments take every
+    branch — at default tiling the CPU-sized tests always get n_tiles = 1
+    (C == Npad), leaving the N=50k code path unexercised."""
+    monkeypatch.setattr(blocked, '_col_tile', lambda NB, B, target=4096: B)
+    N, B = 256, 32                       # n_tiles = 8, 4 width segments
+    a = _spd(N, seed=7)
+    U = blocked.cholesky_blocked_upper(a, B)
+    want_U = np.asarray(jnp.linalg.cholesky(a)).T
+    np.testing.assert_allclose(np.asarray(U), want_U, rtol=1e-9, atol=1e-9)
+    V = np.asarray(blocked.invert_upper_blocked(U, B))
+    np.testing.assert_allclose(V, np.linalg.inv(np.asarray(U)),
+                               rtol=1e-8, atol=1e-9)
+    assert np.abs(np.triu(V) - V).max() == 0.0
+    # and a padded shape (clamped last block) through the same forced tiling
+    N2 = 250
+    a2 = _spd(N2, seed=8)
+    U2 = blocked.cholesky_blocked_upper(a2, B)
+    V2 = np.asarray(blocked.invert_upper_blocked(U2, B))
+    np.testing.assert_allclose(V2, np.linalg.inv(np.asarray(U2)),
+                               rtol=1e-8, atol=1e-9)
+
+
 def test_col_tile_exact_divisor():
     """_col_tile returns a multiple of B that divides Npad exactly (no
     clamped/overlapping last tile is ever generated)."""
