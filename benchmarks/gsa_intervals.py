@@ -47,8 +47,10 @@ def main(N: int = 20000, M: int = 30, modes: str = 'f64,mixed'):
         flat = np.array([v for k in S for v in S[k].values()])
         rows.append((mode, wall, dict(dgp.last_gsa_timings or {}), S, flat))
     # diff after ALL modes ran, so the f64 reference is found regardless of
-    # its position in the mode list
-    ref = next((flat for mode, _, _, _, flat in rows if mode == 'f64'), None)
+    # its position in the mode list; without an f64 run, diff against the
+    # first (most precise requested) mode instead
+    ref_mode, ref = next(((m, flat) for m, _, _, _, flat in rows
+                          if m == 'f64'), (rows[0][0], rows[0][4]))
     for mode, wall, phases, S, flat in rows:
         out = {'mode': mode, 'N': N, 'M': M,
                'backend': jax.default_backend(),
@@ -56,8 +58,7 @@ def main(N: int = 20000, M: int = 30, modes: str = 'f64,mixed'):
                'phases': phases,
                'S1_first3': [round(float(S['first_order'][m]), 6)
                              for m in range(3)],
-               'max_abs_dS_vs_f64': (None if ref is None
-                                     else float(np.abs(flat - ref).max()))}
+               f'max_abs_dS_vs_{ref_mode}': float(np.abs(flat - ref).max())}
         print(json.dumps(out), flush=True)
 
 
