@@ -62,16 +62,23 @@ class ClosedSobol(Calibrator):
                     meta=meta, **arrays)
 
     @staticmethod
-    def gather_arrays(gp: GPR) -> Dict[str, jnp.ndarray]:
+    def gather_arrays(gp: GPR, need_K_cho: bool = True) -> Dict[str, jnp.ndarray]:
         """Host-side gathering of the traced inputs — everything device-side
         downstream is pure jnp and therefore jittable.
 
         Everything is float64: the Gaussian-ratio contractions cancel N^2
         large alternating terms, so GSA runs at full precision regardless of
-        the training dtype (its O(N^2) cost is minor next to training)."""
+        the training dtype (its O(N^2) cost is minor next to training).
+
+        ``need_K_cho=False`` (the plain no-error calibrator): the factor is
+        consumed ONLY by the error path's psi solves, and its f64 copy is
+        the single O(N^2) buffer of the gather — 20 GB at N=50k/L=1. A
+        (1,1,1) placeholder keeps the no-error pass O(N M)-sized (the same
+        convention DistributedGP.sobol_indices uses)."""
         K_cho, K_inv_Y = gp.posterior_factors
         return {'F': jnp.asarray(np.asarray(gp.kernel.data.variance.np, dtype=np.float64)),
-                'K_cho': jnp.asarray(K_cho, jnp.float64),
+                'K_cho': (jnp.asarray(K_cho, jnp.float64) if need_K_cho
+                          else jnp.zeros((1, 1, 1), jnp.float64)),
                 'K_inv_Y': jnp.asarray(K_inv_Y, jnp.float64),
                 'Lambda': jnp.asarray(np.asarray(gp.kernel.data.lengthscales.np,
                                                  dtype=np.float64)),
@@ -806,7 +813,7 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
     if is_F_diagonal is None:
         gp_options = gp.read_meta() if gp._meta_json.exists() else dict(gp.META)
         is_F_diagonal = not gp_options.pop('kernel', {}).pop('covariance', False)
-    arrays = ClosedSobol.gather_arrays(gp)
+    arrays = ClosedSobol.gather_arrays(gp, need_K_cho=is_error_calculated)
     cpu_dev = _gsa_cpu_device(meta, gp.N, is_error_calculated)
     if cpu_dev is not None:
         # Committed CPU inputs steer the jitted computation onto the host
