@@ -759,6 +759,13 @@ _MARGINALIZE_ALL_CACHE: Dict[Any, Any] = {}
 #: runs in float64, see gather_arrays; rationale at
 #: base.definitions.HOST_F64_BELOW_N). Overridable via meta['gsa_on_cpu'].
 from romcomma_tpu.base.definitions import HOST_F64_BELOW_N as GSA_ON_CPU_BELOW_N
+
+#: N at/above which an accelerator-backend whole-kind GSA drives the
+#: interval pass host-paced (bounded per-chunk dispatches) instead of one
+#: fused jit program — tunnelled runtimes kill multi-minute single
+#: executions, and at this scale the fused program IS multi-minute.
+#: Override per call with meta['host_paced'].
+GSA_HOST_PACED_AT_N: int = 16384
 from romcomma_tpu.base.definitions import host_cpu_device as _host_cpu_device
 
 
@@ -820,6 +827,33 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
         # backend (native f64): fast compiles, no accelerator round-trips.
         import jax
         arrays = {k: jax.device_put(np.asarray(v), cpu_dev) for k, v in arrays.items()}
+    else:
+        import jax
+        host_paced = bool(meta.pop(
+            'host_paced', gp.N >= GSA_HOST_PACED_AT_N
+            and jax.default_backend() != 'cpu'))
+        if host_paced:
+            # At scale on a tunnelled accelerator one fused whole-kind
+            # program is a multi-minute single execution the runtime kills;
+            # drive the interval pass's chunk loop from the host instead
+            # (bounded dispatches — the same route DistributedGP.
+            # sobol_indices takes) and default the interval planes to the
+            # mixed f32-transcendental mode (emulated-f64 exp dominates).
+            meta.setdefault('intervals_mixed', not is_error_calculated
+                            and jax.default_backend() != 'cpu')
+            cal = cls.from_arrays(is_F_diagonal=is_F_diagonal,
+                                  L=gp.L, M=gp.M, N=gp.N, **meta, **arrays)
+            flat = [s for slices in kind_slices.values() for s in slices]
+            out = cal.marginalize_intervals(tuple(flat), host_paced=True)
+            by_kind, start = {}, 0
+            for kind, slices in kind_slices.items():
+                stop = start + len(slices)
+                by_kind[kind] = {k: v[..., start:stop] for k, v in out.items()}
+                start = stop
+            extras = {'V0': cal.V[0], 'S': cal.S}
+            if is_error_calculated and not cal.meta['is_T_partial']:
+                extras['T'] = cal.T
+            return by_kind, extras
     shapes = tuple((k, v.shape, str(v.dtype)) for k, v in sorted(arrays.items()))
     kind_slices = {k: tuple(v) for k, v in kind_slices.items()}
     key = (cls.__name__, tuple(sorted(kind_slices.items())), bool(is_F_diagonal),

@@ -278,6 +278,41 @@ def test_error_intervals_match_per_slice(is_T_partial):
                 rtol=1e-9, atol=atol, err_msg=f'{key} {s} partial={is_T_partial}')
 
 
+def test_marginalize_all_kinds_host_paced_branch():
+    """The accelerator-scale host-paced whole-kind branch of
+    marginalize_all_kinds (forced via meta['host_paced']) reproduces the
+    fused-jit path for every kind, no-error and error."""
+    from romcomma_tpu.gsa.calibrators import marginalize_all_kinds
+    from romcomma_tpu.models.gpr import MOGP
+    import romcomma_tpu.user as user
+    from pathlib import Path
+    import tempfile
+    rng = np.random.default_rng(11)
+    with tempfile.TemporaryDirectory() as tmp:
+        noise = user.sample.GaussianNoise.Variance(L=3, magnitude=0.1)
+        repo = user.sample.Function(Path(tmp), user.sample.DOE.latin_hypercube,
+                                    user.functions.ISHIGAMI, N=80, M=3,
+                                    noise_variance=noise).repo.into_K_folds(K=1)
+        from romcomma_tpu.data.storage import Fold
+        gp_m = MOGP('gpr_hp', Fold(repo, 0), is_read=False,
+                    is_covariant=False, is_isotropic=False)
+        gp_m.calibrate(maxiter=30)
+        kinds = {'first_order': tuple((m, m + 1) for m in range(3)),
+                 'closed': tuple((0, m + 1) for m in range(3))}
+        for err in (False, True):
+            fused, ex_f = marginalize_all_kinds(gp_m, kinds, err)
+            paced, ex_p = marginalize_all_kinds(gp_m, kinds, err,
+                                                host_paced=True)
+            for kind in kinds:
+                for key in fused[kind]:
+                    np.testing.assert_allclose(
+                        np.asarray(paced[kind][key]),
+                        np.asarray(fused[kind][key]),
+                        rtol=1e-7, atol=1e-8, err_msg=f'{err} {kind} {key}')
+            np.testing.assert_allclose(np.asarray(ex_p['V0']),
+                                       np.asarray(ex_f['V0']), rtol=1e-9)
+
+
 def test_error_intervals_mixed_precision():
     """The W/T error sweep under intervals_mixed (f32 split-exp planes)
     agrees with pure f64 to fast-mode tolerance on S, W and T. NOTE this
