@@ -379,6 +379,39 @@ def test_calibrate_multi_dense_engine_matches_per_output():
                                    rtol=0.3, atol=0.15)
 
 
+def test_mogp_surface_streaming_route(monkeypatch, tmp_path):
+    """MOGP.calibrate through the PUBLIC surface with thresholds forced to
+    the N=50k production configuration (dense upper engine + streaming-v2
+    backward): converges, writes the tree, and the stored log_marginal is
+    disk-self-consistent."""
+    import jax.numpy as jnp
+    from romcomma_tpu import user
+    from romcomma_tpu.data.storage import Fold
+    from romcomma_tpu.models.gpr import MOGP
+    from romcomma_tpu.models import gp as gpmod
+    monkeypatch.setattr(dist.DistributedGP, 'DENSE_DIRECT_MAX_N', 0)
+    monkeypatch.setattr(dist.DistributedGP, 'GRADS_MEMORY_BUDGET_BYTES', 0)
+    monkeypatch.setattr(dist.DistributedGP, 'MULTI_MEMORY_BUDGET_BYTES', 0)
+    monkeypatch.setattr(dist, 'make_n_mesh', lambda n=1: dist.Mesh(
+        np.array(jax.devices()[:1]), ('n',)))
+    noise = user.sample.GaussianNoise.Variance(L=3, magnitude=0.05)
+    repo = user.sample.Function(tmp_path, user.sample.DOE.latin_hypercube,
+                                user.functions.ISHIGAMI, N=100, M=3,
+                                noise_variance=noise).repo.into_K_folds(K=1)
+    gp_m = MOGP('gpr_stream', Fold(repo, 0), is_read=False,
+                is_covariant=False, is_isotropic=False)
+    meta = gp_m.calibrate(large_n_threshold=1, maxiter=40)
+    dgp_probe = dist.DistributedGP(100, dist.make_n_mesh(1),
+                                   dense_kernels=True)
+    assert dgp_probe._engine == 'upper'
+    lml = float(np.asarray(gpmod.lml_variant(
+        gp_m._variant_raw(), jnp.asarray(gp_m._X), jnp.asarray(gp_m._Y))).sum())
+    stored = float(np.asarray(gp_m._likelihood.data.log_marginal.np,
+                              dtype=float).sum())
+    assert abs(lml - stored) < 1e-4 * max(1.0, abs(lml))
+    assert (Fold(repo, 0).folder / 'gpr_stream/kernel/lengthscales.csv').exists()
+
+
 def test_streaming_scale_calibrate_route(monkeypatch):
     """At streaming-gradient scale the calibration must drive scipy L-BFGS-B
     over the EAGER custom-VJP chain (one fused value+grad program holds two
