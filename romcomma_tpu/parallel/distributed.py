@@ -817,9 +817,26 @@ class DistributedGP:
         cannot be reused). Returns {'S': by_kind, 'T': by_kind} instead of
         the plain S structure. ``is_T_partial`` selects the reference's
         partial/total T formula (calibrators.py _T).
+
+        Multi-output: pass ``ls`` (L,M), ``s2``/``noise`` (L,) and
+        ``y_dev`` (Npad, L) — per-output indices come back as a LIST of
+        the single-output structures (variant GPs are independent, so the
+        outputs share only X; the per-dim exponent planes differ per
+        output and are evaluated sequentially).
         """
         import time
         from romcomma_tpu.gsa.calibrators import ClosedSobol, ClosedSobolWithError
+        ls_arr = np.asarray(ls)
+        if ls_arr.ndim == 2:
+            s2_arr = np.asarray(s2).reshape(ls_arr.shape[0])
+            nz_arr = np.asarray(noise).reshape(ls_arr.shape[0])
+            return [self.sobol_indices(ls_arr[l], s2_arr[l], nz_arr[l],
+                                       x_dev, y_dev[:, l:l + 1], X,
+                                       kind=kind, n_chunk=n_chunk,
+                                       gsa_dtype=gsa_dtype, error=error,
+                                       is_T_partial=is_T_partial,
+                                       intervals_mixed=intervals_mixed)
+                    for l in range(ls_arr.shape[0])]
         kinds = (kind,) if isinstance(kind, str) else tuple(kind)
         t0 = time.time()
         alpha_stored, _ = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)

@@ -379,6 +379,31 @@ def test_calibrate_multi_dense_engine_matches_per_output():
                                    rtol=0.3, atol=0.15)
 
 
+def test_sobol_indices_multi_output():
+    """Batched (L,M)/(L,) hyperparameters -> per-output index structures
+    matching L separate single-output calls (variant GPs share only X)."""
+    rng = np.random.default_rng(31)
+    Nn, M, L = 160, 3, 2
+    X = rng.standard_normal((Nn, M))
+    Y = np.stack([np.sin(X[:, 0]), 0.5 * X[:, 1] ** 2], axis=1) \
+        + 0.05 * rng.standard_normal((Nn, L))
+    dgp = dist.DistributedGP(Nn, dist.make_n_mesh(1), block=32)
+    x_dev, y_dev = dgp.stage(X, Y)
+    ls = np.full((L, M), 2.0) * np.array([[1.0], [1.5]])
+    s2, nz = np.array([1.0, 0.8]), np.array([0.05, 0.04])
+    multi = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, X,
+                              kind=('first_order', 'total'))
+    assert isinstance(multi, list) and len(multi) == L
+    for l in range(L):
+        single = dgp.sobol_indices(ls[l], s2[l], nz[l], x_dev,
+                                   y_dev[:, l:l + 1], X,
+                                   kind=('first_order', 'total'))
+        for k in single:
+            for m in range(M):
+                np.testing.assert_allclose(multi[l][k][m], single[k][m],
+                                           rtol=1e-10, atol=1e-12)
+
+
 def test_mogp_surface_streaming_route(monkeypatch, tmp_path):
     """MOGP.calibrate through the PUBLIC surface with thresholds forced to
     the N=50k production configuration (dense upper engine + streaming-v2
