@@ -41,6 +41,24 @@ os.environ['ROMCOMMA_X64'] = '0'        # f32 TPU fast path (set before jax impo
 BASELINE_SECONDS = 12.0  # reference JADE_INSTRUCTIONS.md:102-114
 
 
+def _probe_accelerator(timeout_s: int = 420) -> bool:
+    """True iff the default (possibly tunnelled) backend initializes within
+    ``timeout_s`` — probed in a SUBPROCESS because a hung axon handshake
+    blocks the importing process uninterruptibly (observed: multi-hour
+    tunnel outages). On failure the benchmark pins the CPU backend in-code
+    (the env var is ignored by the axon plugin) so a number is still
+    produced rather than the whole bench hanging."""
+    import subprocess
+    code = ("import os; os.environ.setdefault('ROMCOMMA_X64','0');"
+            "import jax; jax.devices()")
+    try:
+        rc = subprocess.run([sys.executable, '-c', code],
+                            timeout=timeout_s, capture_output=True).returncode
+        return rc == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _run_once() -> float:
     import installation_test
     root = Path(tempfile.mkdtemp(prefix='romcomma_bench_'))
@@ -128,15 +146,26 @@ def bench_scale_gsa(N: int = 8192, M: int = 30) -> dict:
 
 
 def main():
+    fallback = not _probe_accelerator()
+    if fallback:
+        print('accelerator backend failed to initialize within the probe '
+              'timeout — falling back to the CPU backend', file=sys.stderr,
+              flush=True)
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     import numpy as np
     import random
     np.random.seed(0)
     random.seed(0)
     cold, steady = bench_installation_test()
-    scale = bench_scale()
-    print(f'scale bench: {scale}', file=sys.stderr, flush=True)
-    gsa_scale = bench_scale_gsa()
-    print(f'scale GSA bench: {gsa_scale}', file=sys.stderr, flush=True)
+    if not fallback:
+        # stderr-only scale diagnostics; disproportionately slow on the
+        # CPU fallback (a fused 50-iteration N=8192 descent) and not part
+        # of the reported metric.
+        scale = bench_scale()
+        print(f'scale bench: {scale}', file=sys.stderr, flush=True)
+        gsa_scale = bench_scale_gsa()
+        print(f'scale GSA bench: {gsa_scale}', file=sys.stderr, flush=True)
     print(json.dumps({'metric': 'installation_test steady-state wall-clock',
                       'value': round(steady, 2), 'unit': 's',
                       'vs_baseline': round(BASELINE_SECONDS / steady, 3)}),
