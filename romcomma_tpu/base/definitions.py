@@ -56,8 +56,7 @@ except Exception:  # cache is an optimization only — never fail import
 #: N below which always-f64 stages (GSA, posterior factorization) run on the
 #: host CPU backend when the default backend is an accelerator: native f64
 #: beats TPU-emulated f64 on both compile time (seconds vs minutes) and
-#: dispatch latency at small N. The GSA factorization gate
-#: (ClosedSobolWithError.FACTORIZE_ERRORS_AT_N) deliberately equals this.
+#: dispatch latency at small N.
 HOST_F64_BELOW_N: int = 2048
 
 

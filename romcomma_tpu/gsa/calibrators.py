@@ -769,7 +769,7 @@ GSA_HOST_PACED_AT_N: int = 16384
 from romcomma_tpu.base.definitions import host_cpu_device as _host_cpu_device
 
 
-def _gsa_cpu_device(meta: Dict[str, Any], N: int, is_error_calculated: bool = False):
+def _gsa_cpu_device(meta: Dict[str, Any], N: int):
     """The CPU device to run GSA on, or None to stay on the default backend.
     Pops meta['gsa_on_cpu'] (True/False override; None = auto).
 
@@ -821,7 +821,7 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
         gp_options = gp.read_meta() if gp._meta_json.exists() else dict(gp.META)
         is_F_diagonal = not gp_options.pop('kernel', {}).pop('covariance', False)
     arrays = ClosedSobol.gather_arrays(gp, need_K_cho=is_error_calculated)
-    cpu_dev = _gsa_cpu_device(meta, gp.N, is_error_calculated)
+    cpu_dev = _gsa_cpu_device(meta, gp.N)
     if cpu_dev is not None:
         # Committed CPU inputs steer the jitted computation onto the host
         # backend (native f64): fast compiles, no accelerator round-trips.

@@ -43,15 +43,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from romcomma_tpu.ops.linalg import tri_solve
-
-
-def _set_diag(x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    idx = jnp.arange(x.shape[-1])
-    return x.at[..., idx, idx].set(d)
-
-
-def _diag_part(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum('...ii -> ...i', x)
+# shared with the calibrator module (calibrators lazily imports THIS module
+# inside a method, so the module-level import back is cycle-free)
+from romcomma_tpu.gsa.calibrators import _diag_part, _set_diag
 
 
 def _cums(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -327,7 +321,8 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     # factors are tiny (M L^2 N) to move.
     K_cho = cal.K_cho
     if host_paced:
-        cpu = _host_cpu()
+        from romcomma_tpu.base.definitions import host_cpu_device
+        cpu = host_cpu_device(True)
         if cpu is not None:
             move = lambda t: jax.device_put(t, cpu)
             quads = {k: tuple(move(q) for q in quads[k]) for k in kinds}
@@ -341,13 +336,6 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     psi = {k: _psi_solve(K_cho, psi[k] * invd_psi[k][..., None])
            for k in kinds}
     return {'layout': layout, 'quads': quads, 'psi': psi}
-
-
-def _host_cpu():
-    try:
-        return jax.devices('cpu')[0]
-    except RuntimeError:
-        return None
 
 
 def _psi_solve(K_cho: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:

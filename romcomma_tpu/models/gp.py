@@ -254,6 +254,13 @@ def _covariant_objective(raw: CovariantParams, mask: CovariantParams,
     eye_N = jnp.eye(N, dtype=x.dtype)
     unit = (rbf_gram_covariant_unit(x, covariant_constrain(raw)['lengthscales'])
             if ls_frozen else None)
+    if ls_frozen:
+        # ls_frozen closes the unit gram over the INITIAL lengthscales, so
+        # a mask that still marks them trainable would silently yield a
+        # zero ls-gradient against a stale gram. Force the two consistent:
+        # frozen gram <=> frozen lengthscales, by construction.
+        mask = mask._replace(
+            raw_lengthscales=jnp.zeros_like(mask.raw_lengthscales))
     yy = y.T.reshape(-1, 1)
 
     def objective(p: CovariantParams) -> jnp.ndarray:

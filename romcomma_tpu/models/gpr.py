@@ -198,8 +198,19 @@ class GPR(Model):
         x_orig = np.asarray(x)
         x = jnp.asarray(np.asarray(x, dtype=FLOAT()))
         if self.is_covariant:
-            mean, var = gp.predict_covariant(self._covariant_raw(), jnp.asarray(self._X),
-                                             jnp.asarray(self._Y), x, y_instead_of_f)
+            raw = self._covariant_raw()
+            X, Y, xx = jnp.asarray(self._X), jnp.asarray(self._Y), x
+            if exact_sd and FLOAT().itemsize == 4:
+                # Same contract as the variant branch below: the f32 fast
+                # mode's variance solve loses SD digits at high condition;
+                # route the whole (LN,LN) predict through host-CPU f64
+                # (covariant N is capped well below the large-N regime, so
+                # the f64 recompute is cheap).
+                cpu = jax.devices('cpu')[0]
+                cast = lambda a: jax.device_put(np.asarray(a, np.float64), cpu)
+                raw = jax.tree_util.tree_map(cast, raw)
+                X, Y, xx = cast(self._X), cast(self._Y), cast(x_orig)
+            mean, var = gp.predict_covariant(raw, X, Y, xx, y_instead_of_f)
             mean, var = jax.device_get((mean, var))
         else:
             on_cpu = getattr(self, '_posterior_on_cpu', False)

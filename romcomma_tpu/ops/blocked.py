@@ -452,7 +452,10 @@ def _mvn_lml_blocked_bwd(block, res, gbar):
     Linv = trsm_blocked(L, jnp.eye(N, dtype=L.dtype), block=block)
     Kinv = jnp.matmul(Linv.T, Linv, precision=lax.Precision.HIGHEST)
     Kbar = (0.5 * gbar) * (alpha @ alpha.T - Kinv)
-    return Kbar, jnp.zeros_like(alpha)
+    # dLML/dy = -K^{-1} y = -alpha (the quadform's y-gradient; the logdet
+    # term is y-free) — callers differentiating through targets (e.g. a
+    # trainable mean's residuals) rely on it.
+    return Kbar, -gbar * alpha
 
 
 mvn_lml_blocked.defvjp(_mvn_lml_blocked_fwd, _mvn_lml_blocked_bwd)

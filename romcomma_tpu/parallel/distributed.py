@@ -569,12 +569,21 @@ class DistributedGP:
 
         return grads
 
+    def _itemsize(self) -> int:
+        """Bytes per element of the STAGED working dtype — the dtype
+        calibrate() actually runs in (``self.dtype`` override, else the
+        global FLOAT()). Memory-route decisions must all use this one
+        definition: a hardcoded 4 desynchronized _build_lml's backward
+        choice from calibrate()'s driver choice on f64-default runs."""
+        from romcomma_tpu.base.definitions import FLOAT
+        return np.dtype(self.dtype if self.dtype is not None else FLOAT()).itemsize
+
     def _build_lml(self):
         pl_ = self.plan
         Npad, B, NB, N = pl_.Npad, pl_.B, pl_.NB, pl_.N
         gram, chol, fwd, bwd, logdiag = (self._gram, self._chol, self._fwd,
                                          self._bwd, self._logdiag)
-        itemsize = np.dtype(self.dtype).itemsize if self.dtype is not None else 4
+        itemsize = self._itemsize()
         use_streaming = (pl_.S == 1 and
                          3 * Npad * Npad * itemsize > self.GRADS_MEMORY_BUDGET_BYTES)
         # v2 (upper engine only): the backward refactorizes K with donated
@@ -1016,8 +1025,8 @@ class DistributedGP:
 
     def fits_multi(self, L: int) -> bool:
         """Whether a joint L-output descent's gradient working set fits HBM."""
-        itemsize = np.dtype(self.dtype).itemsize if self.dtype is not None else 4
-        return 3 * L * self.plan.Npad ** 2 * itemsize <= self.MULTI_MEMORY_BUDGET_BYTES
+        return (3 * L * self.plan.Npad ** 2 * self._itemsize()
+                <= self.MULTI_MEMORY_BUDGET_BYTES)
 
     def calibrate_multi(self, X: np.ndarray, Y: np.ndarray, ls0, s2_0, noise0,
                         maxiter: int = 5000, gtol: float = 1e-16,

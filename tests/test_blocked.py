@@ -87,6 +87,9 @@ def test_mvn_lml_blocked_value_and_grad(N, B):
     def oracle(K):
         return jnp.sum(mvn_logpdf(y, jnp.zeros_like(y), cholesky(K)))
 
+    def oracle_y(K, y):
+        return jnp.sum(mvn_logpdf(y, jnp.zeros_like(y), cholesky(K)))
+
     got_v, got_g = jax.value_and_grad(lambda K: blocked.mvn_lml_blocked(K, y, B))(K)
     want_v, want_g = jax.value_and_grad(oracle)(K)
     np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-12)
@@ -95,6 +98,11 @@ def test_mvn_lml_blocked_value_and_grad(N, B):
     # symmetric-in-K objective consumes.
     sym = lambda g: np.asarray(g + g.T) / 2
     np.testing.assert_allclose(sym(got_g), sym(want_g), rtol=1e-8, atol=1e-10)
+    # and the y-cotangent: dLML/dy = -K^{-1} y
+    got_gy = jax.grad(lambda y: blocked.mvn_lml_blocked(K, y, B))(y)
+    want_gy = jax.grad(lambda y: oracle_y(K, y))(y)
+    np.testing.assert_allclose(np.asarray(got_gy), np.asarray(want_gy),
+                               rtol=1e-8, atol=1e-10)
 
 
 def test_mvn_lml_blocked_through_gram():

@@ -252,8 +252,7 @@ def _error_calibrator(is_T_partial=True, N=60, M=4, L=2, seed=0):
     return ClosedSobolWithError.from_arrays(
         F=c['variance'][None, :], K_cho=K_cho, K_inv_Y=K_inv_Y,
         Lambda=c['lengthscales'], X=jnp.asarray(x),
-        is_F_diagonal=True, L=L, M=M, N=N, is_T_partial=is_T_partial,
-        factorize_errors_at_n=1)
+        is_F_diagonal=True, L=L, M=M, N=N, is_T_partial=is_T_partial)
 
 
 @pytest.mark.parametrize('is_T_partial', [True, False])
