@@ -32,7 +32,10 @@ class DOE:
 
     @staticmethod
     def latin_hypercube(N: int, M: int, is_centered: bool = True, **kwargs):
-        return scipy.stats.qmc.LatinHypercube(M, scramble=not is_centered).random(N)
+        # kwargs forward to the sampler (notably ``seed`` for reproducible
+        # designs — the qmc engine is otherwise freshly random per call).
+        return scipy.stats.qmc.LatinHypercube(M, scramble=not is_centered,
+                                              **kwargs).random(N)
 
     @staticmethod
     def full_factorial(N: int, M: int):
