@@ -6,7 +6,14 @@ This is the route N > DENSE_DIRECT_MAX_N (21k) takes; at N=50000 it is the
 only single-chip option (the dense-direct objective needs 3 (N,N) buffers).
 
 Usage:  python benchmarks/engine_valgrad.py [N] [M] [reps] [engines]
-        engines: 'dense', 'cyclic' or 'both' (default 'dense')
+        engines: 'dense', 'cyclic', 'direct', 'stream' or 'all'
+                 (default 'dense').
+        'direct' is the N<=21k production route — ONE fused builtin-kernel
+        val+grad program (rbf_gram + XLA cholesky under autodiff), exactly
+        what DistributedGP.calibrate dispatches below DENSE_DIRECT_MAX_N.
+        'stream' is the dense upper engine with the streaming-v2 custom-VJP
+        backward FORCED on (the N=50k route) regardless of the memory
+        budget — the head-to-head VERDICT r2 #2 asks for at N=20k.
 Prints one JSON line per engine.
 """
 
@@ -38,11 +45,56 @@ def main(N: int = 20000, M: int = 30, reps: int = 3, engines: str = 'dense',
     X = rng.standard_normal((N, M))
     Y = (np.sin(X[:, :1]) + 0.5 * X[:, 1:2] ** 2
          + 0.1 * rng.standard_normal((N, 1)))
-    names = ('dense', 'cyclic') if engines == 'both' else (engines,)
+    names = (('dense', 'cyclic', 'direct', 'stream') if engines == 'all'
+             else ('dense', 'cyclic') if engines == 'both' else (engines,))
     out_all = {}
     for name in names:
-        dgp = dist.DistributedGP(N, dist.make_n_mesh(1),
-                                 dense_kernels=(name == 'dense'))
+        if name == 'direct':
+            # The fused builtin-kernel program of DistributedGP.calibrate's
+            # N <= DENSE_DIRECT_MAX_N fast path (distributed.py), timed as
+            # raw val+grad in CONSTRAINED space (same compute; the raw-space
+            # transform is a few scalars).
+            from romcomma_tpu.ops.gram import rbf_gram
+            from romcomma_tpu.ops.linalg import add_diag, mvn_logpdf
+            from romcomma_tpu.ops.linalg import cholesky as dense_cholesky
+            from romcomma_tpu.base.definitions import FLOAT
+            dt = FLOAT()
+            xd = jnp.asarray(np.asarray(X, dtype=dt))
+            yd = jnp.asarray(np.asarray(Y, dtype=dt))
+
+            def objective(p):
+                K = rbf_gram(xd, xd, p[0], p[1])
+                ch = dense_cholesky(add_diag(K, p[2]))
+                return -jnp.sum(mvn_logpdf(yd, jnp.zeros_like(yd), ch))
+
+            vg = jax.jit(jax.value_and_grad(objective))
+            ls = jnp.asarray(np.full(M, 2.0), dt)
+            s2 = jnp.asarray(1.0, dt)
+            nz = jnp.asarray(0.05, dt)
+            t0 = time.time()
+            v, g = jax.block_until_ready(vg((ls, s2, nz)))
+            compile_s = time.time() - t0
+            times = []
+            for _ in range(reps):
+                t0 = time.time()
+                v, g = jax.block_until_ready(vg((ls, s2, nz)))
+                times.append(time.time() - t0)
+            out = {'engine': name, 'N': N, 'M': M,
+                   'grad_l2': [float(jnp.linalg.norm(t)) for t in g],
+                   'backend': jax.default_backend(),
+                   'compile_plus_first_s': round(compile_s, 1),
+                   's_per_eval': round(min(times), 3), 'value': float(v)}
+            print(json.dumps(out), flush=True)
+            out_all[name] = out
+            continue
+        budget = dist.DistributedGP.GRADS_MEMORY_BUDGET_BYTES
+        if name == 'stream':
+            dist.DistributedGP.GRADS_MEMORY_BUDGET_BYTES = 0
+        try:
+            dgp = dist.DistributedGP(N, dist.make_n_mesh(1),
+                                     dense_kernels=(name in ('dense', 'stream')))
+        finally:
+            dist.DistributedGP.GRADS_MEMORY_BUDGET_BYTES = budget
         x_dev, y_dev = dgp.stage(X, Y)
         ls = jnp.asarray(np.full(M, 2.0), x_dev.dtype)
         s2 = jnp.asarray(1.0, x_dev.dtype)
@@ -69,7 +121,7 @@ def main(N: int = 20000, M: int = 30, reps: int = 3, engines: str = 'dense',
                'compile_plus_first_s': round(compile_s, 1),
                's_per_eval': round(min(times), 3), 'value': float(v),
                'streaming_grads': bool(
-                   3 * dgp.plan.Npad ** 2 * 4 > dgp.GRADS_MEMORY_BUDGET_BYTES)}
+                   3 * dgp.plan.Npad ** 2 * 4 > budget or name == 'stream')}
         print(json.dumps(out), flush=True)
         out_all[name] = out
     return out_all

@@ -288,6 +288,76 @@ class ClosedSobol(Calibrator):
         budget = self.V_MEMORY_BUDGET_BYTES // jnp.dtype(self.X.dtype).itemsize
         return int(min(self.N, max(128, budget // (lb * lb * self.N * 5))))
 
+    def _intervals_pack(self, chunk: int) -> Dict[str, jnp.ndarray]:
+        """The traced per-OUTPUT tensors of the factorized interval pass, as
+        one flat pytree — so independent single-output calibrators sharing X
+        can be stacked along a leading axis and the chunk step vmapped over
+        outputs (:func:`marginalize_intervals_stacked`)."""
+        l, L, N, M = self.G.shape
+        g = self.g0KY                                             # (l,L,N)
+        Gamma = 1 - self.Phi
+        Psi = (Gamma[:, :, None, None, :] + Gamma[None, None, :, :, :]
+               - jnp.einsum('lLM, jJM -> lLjJM', Gamma, Gamma))
+        PsiPhi = jnp.einsum('lLjJM, lLM -> lLjJM', Psi, self.Phi)  # (l,L,j,J,M)
+        d = jnp.sqrt(PsiPhi / self.Phi[:, :, None, None, :])       # per-dim det
+        nc = -(-N // chunk)
+        Npad = nc * chunk
+        # q side: zero-padded (g_q = 0 kills padding contributions exactly)
+        Gq = jnp.pad(self.G, ((0, 0), (0, 0), (0, Npad - N), (0, 0)))
+        Gq = jnp.moveaxis(Gq.reshape(l, L, nc, chunk, M), 2, 0)    # (nc,j,J,c,M)
+        gq = jnp.moveaxis(jnp.pad(g, ((0, 0), (0, 0), (0, Npad - N))
+                                  ).reshape(l, L, nc, chunk), 2, 0)  # (nc,j,J,c)
+        return {'g': g,
+                'Gq': Gq, 'gq': gq,
+                'Gp_m': jnp.moveaxis(self.G, -1, 0),               # (M,l,L,N)
+                'Phi_m': jnp.moveaxis(self.Phi, -1, 0),            # (M,l,L)
+                'PsiPhi_m': jnp.moveaxis(PsiPhi, -1, 0),           # (M,l,L,j,J)
+                'inv_single': 1.0 / d,
+                'inv_prefix': 1.0 / jnp.cumprod(d, axis=-1),       # 1/D_{<=m+1}
+                'inv_suffix': 1.0 / jnp.cumprod(d[..., ::-1], axis=-1)[..., ::-1]}
+
+    def _intervals_use_shift(self) -> bool:
+        """Whether exp planes go through the log-sum-exp-shifted f32
+        transcendental (gsa.base.shifted_exp).
+
+        'mixed' interval precision keeps the exponent accumulation and the
+        quadform REDUCTIONS in float64 (the N^2-cancellation-sensitive
+        parts) but takes the pointwise exp of each plane in shifted f32
+        (relative error ~1e-7, cannot overflow); the per-plane max shift is
+        undone on the REDUCED quadform by a tiny f64 exp. On TPU f64 is
+        emulated and the transcendental dominates this pass (measured:
+        BASELINE.md N=50k GSA row). The f32 fast mode (gsa_dtype=float32)
+        reaches the same E > 88 overflow regime a naive f32 exp dies in —
+        always shifted too."""
+        mixed = bool(self.meta.get('intervals_mixed', False)) \
+            and self.G.dtype == jnp.float64
+        return mixed or self.G.dtype != jnp.float64
+
+    def _intervals_finalize(self, pack, acc, specs, slices
+                            ) -> 'Tuple[list, jnp.ndarray]':
+        """V columns (list aligned with ``slices``) from accumulated chunk
+        quadforms, with the per-slice inverse determinants applied."""
+        qf_s, qf_p, qf_f = acc
+        V_single = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_s, pack['inv_single'])
+        V_prefix = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_p, pack['inv_prefix'])
+        V_suffix = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_f, pack['inv_suffix'])
+        s_sum = jnp.einsum('lLN -> l', pack['g'])
+        V_empty = jnp.einsum('l, j -> lj', s_sum, s_sum)
+        columns = []
+        for spec, m in zip(specs, slices):
+            kindname, idx = spec
+            if kindname == 'single':
+                columns.append(V_single[idx])
+            elif kindname == 'prefix':
+                columns.append(V_prefix[idx - 1])
+            elif kindname == 'suffix':
+                columns.append(V_suffix[idx])
+            elif kindname == 'empty':
+                columns.append(V_empty)
+            else:                                   # exotic: per-slice fallback
+                columns.append(self.marginalize(m)['V'])
+        return columns
+
     def marginalize_intervals(self, slices: 'Tuple[Tuple[int, int], ...]',
                               host_paced: bool = False) -> Dict[str, jnp.ndarray]:
         """V and S for MANY interval slices in one O(N^2 M) factorized pass.
@@ -313,124 +383,143 @@ class ClosedSobol(Calibrator):
         need = {k: any(s[0] == k for s in specs)
                 for k in ('single', 'prefix', 'suffix')}
         l, L, N, M = self.G.shape
-        g = self.g0KY                                             # (l,L,N)
-
-        Gamma = 1 - self.Phi
-        Psi = (Gamma[:, :, None, None, :] + Gamma[None, None, :, :, :]
-               - jnp.einsum('lLM, jJM -> lLjJM', Gamma, Gamma))
-        PsiPhi = jnp.einsum('lLjJM, lLM -> lLjJM', Psi, self.Phi)  # (l,L,j,J,M)
-        d = jnp.sqrt(PsiPhi / self.Phi[:, :, None, None, :])       # per-dim det
-        inv_single = 1.0 / d
-        inv_prefix = 1.0 / jnp.cumprod(d, axis=-1)                 # 1/D_{<=m+1}
-        inv_suffix = 1.0 / jnp.cumprod(d[..., ::-1], axis=-1)[..., ::-1]
-
         chunk = self._intervals_chunk()
-        nc = -(-N // chunk)
-        Npad = nc * chunk
-        # q side: zero-padded (g_q = 0 kills padding contributions exactly)
-        Gq = jnp.pad(self.G, ((0, 0), (0, 0), (0, Npad - N), (0, 0)))
-        Gq = jnp.moveaxis(Gq.reshape(l, L, nc, chunk, M), 2, 0)    # (nc,j,J,c,M)
-        gq = jnp.moveaxis(jnp.pad(g, ((0, 0), (0, 0), (0, Npad - N))
-                                  ).reshape(l, L, nc, chunk), 2, 0)  # (nc,j,J,c)
-        Gp_m = jnp.moveaxis(self.G, -1, 0)                         # (M,l,L,N)
-        Phi_m = jnp.moveaxis(self.Phi, -1, 0)                      # (M,l,L)
-        PsiPhi_m = jnp.moveaxis(PsiPhi, -1, 0)                     # (M,l,L,j,J)
+        pack = self._intervals_pack(chunk)
+        nc = pack['Gq'].shape[0]
+        chunk_body = _intervals_body(need, self._intervals_use_shift(),
+                                     (l, L, N, M), self.G.dtype)
         zero_qf = jnp.zeros((M, l, L, l, L), dtype=self.G.dtype)
-
-        def e_step(Gp1, Phi1, PsiPhi1, Gq1):
-            """Per-dim exponent plane (l,L,N,j,J,c)."""
-            diff = (Gp1[:, :, :, None, None, None]
-                    - Phi1[:, :, None, None, None, None] * Gq1[None, None, None, ...])
-            e = -0.5 * diff * diff / PsiPhi1[:, :, None, :, :, None]
-            return e + 0.5 * (Gp1 * Gp1 / Phi1[..., None])[:, :, :, None, None, None]
-
-        # 'mixed' interval precision: keep the exponent accumulation and the
-        # quadform REDUCTIONS in float64 (the N^2-cancellation-sensitive
-        # parts), but take the pointwise exp of each plane through
-        # gsa.base.shifted_exp — a log-sum-exp-stabilized f32 transcendental
-        # (relative error ~1e-7, cannot overflow) whose per-plane max shift
-        # is undone on the REDUCED quadform by a tiny f64 exp. On TPU f64
-        # is emulated and the transcendental dominates this pass (measured:
-        # see BASELINE.md N=50k GSA row).
-        mixed = bool(self.meta.get('intervals_mixed', False)) \
-            and self.G.dtype == jnp.float64
-        # the f32 fast mode (gsa_dtype=float32) reaches the same E > 88
-        # overflow regime a naive f32 exp dies in — shift it too
-        use_shift = mixed or self.G.dtype != jnp.float64
-        from romcomma_tpu.gsa.base import shifted_exp
-
-        def chunk_body(acc, xs):
-            Gq_c, gq_c = xs                                        # (j,J,c,M), (j,J,c)
-            acc_s, acc_p, acc_f = acc
-            Gq_cm = jnp.moveaxis(Gq_c, -1, 0)                      # (M,j,J,c)
-
-            def qf(E):
-                """Quadform of exp(E) over (N, c) — plane axes 2 and 5."""
-                if not use_shift:
-                    return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ',
-                                      g, jnp.exp(E), gq_c)
-                plane, c_max = shifted_exp(E, (2, 5))
-                q = jnp.einsum('lLN, lLNjJc, jJc -> lLjJ', g, plane, gq_c)
-                return q * jnp.exp(c_max[:, :, 0, :, :, 0])
-
-            if need['single'] or need['prefix']:
-                zero = jnp.zeros((l, L, l, L), dtype=self.G.dtype)
-
-                def fwd(E, xs_m):
-                    e = e_step(*xs_m)
-                    E = E + e
-                    ys = (qf(e) if need['single'] else zero,
-                          qf(E) if need['prefix'] else zero)
-                    return E, ys
-                E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=self.G.dtype)
-                _, (ys_s, ys_p) = lax.scan(fwd, E0, (Gp_m, Phi_m, PsiPhi_m, Gq_cm))
-                if need['single']:
-                    acc_s = acc_s + ys_s
-                if need['prefix']:
-                    acc_p = acc_p + ys_p
-            if need['suffix']:
-                def bwd(E, xs_m):
-                    E = E + e_step(*xs_m)
-                    return E, qf(E)
-                E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=self.G.dtype)
-                _, ys_f = lax.scan(bwd, E0, (Gp_m, Phi_m, PsiPhi_m, Gq_cm),
-                                   reverse=True)
-                acc_f = acc_f + ys_f
-            return (acc_s, acc_p, acc_f), None
 
         if host_paced:
             import jax
-            step = jax.jit(lambda acc, xs: chunk_body(acc, xs)[0])
+            step = jax.jit(chunk_body)
             acc = (zero_qf, zero_qf, zero_qf)
             for i in range(int(nc)):
-                acc = step(acc, (Gq[i], gq[i]))
-            qf_s, qf_p, qf_f = acc
+                acc = step(pack, acc, (pack['Gq'][i], pack['gq'][i]))
         else:
-            (qf_s, qf_p, qf_f), _ = lax.scan(chunk_body,
-                                             (zero_qf, zero_qf, zero_qf), (Gq, gq))
-        V_single = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_s, inv_single)
-        V_prefix = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_p, inv_prefix)
-        V_suffix = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_f, inv_suffix)
-        s_sum = jnp.einsum('lLN -> l', g)
-        V_empty = jnp.einsum('l, j -> lj', s_sum, s_sum)
-
-        columns = []
-        for spec, m in zip(specs, slices):
-            kindname, idx = spec
-            if kindname == 'single':
-                columns.append(V_single[idx])
-            elif kindname == 'prefix':
-                columns.append(V_prefix[idx - 1])
-            elif kindname == 'suffix':
-                columns.append(V_suffix[idx])
-            elif kindname == 'empty':
-                columns.append(V_empty)
-            else:                                   # exotic: per-slice fallback
-                columns.append(self.marginalize(m)['V'])
+            acc, _ = lax.scan(lambda a, xs: (chunk_body(pack, a, xs), None),
+                              (zero_qf, zero_qf, zero_qf),
+                              (pack['Gq'], pack['gq']))
+        columns = self._intervals_finalize(pack, acc, specs, slices)
         V = jnp.stack(columns, axis=-1)
         if not hasattr(self, 'V'):           # defer_V mode: caller normalizes
             return {'V': V}
         return {'V': V, 'S': V / self.V[2][..., None]}
+
+
+def _intervals_body(need: Dict[str, bool], use_shift: bool,
+                    dims: Tuple[int, int, int, int], dtype):
+    """The factorized interval pass's chunk step as a PURE function
+    ``body(pack, acc, xs) -> acc`` of the per-output tensor pack
+    (:meth:`ClosedSobol._intervals_pack`) — so independent outputs stack on
+    a leading axis and the step vmaps over it. ``dims`` = (l, L, N, M)."""
+    from jax import lax
+    from romcomma_tpu.gsa.base import shifted_exp
+    l, L, N, M = dims
+
+    def e_step(Gp1, Phi1, PsiPhi1, Gq1):
+        """Per-dim exponent plane (l,L,N,j,J,c)."""
+        diff = (Gp1[:, :, :, None, None, None]
+                - Phi1[:, :, None, None, None, None] * Gq1[None, None, None, ...])
+        e = -0.5 * diff * diff / PsiPhi1[:, :, None, :, :, None]
+        return e + 0.5 * (Gp1 * Gp1 / Phi1[..., None])[:, :, :, None, None, None]
+
+    def body(pack, acc, xs):
+        g = pack['g']                                          # (l,L,N)
+        Gq_c, gq_c = xs                                        # (j,J,c,M), (j,J,c)
+        acc_s, acc_p, acc_f = acc
+        Gq_cm = jnp.moveaxis(Gq_c, -1, 0)                      # (M,j,J,c)
+        dims_m = (pack['Gp_m'], pack['Phi_m'], pack['PsiPhi_m'], Gq_cm)
+
+        def qf(E):
+            """Quadform of exp(E) over (N, c) — plane axes 2 and 5."""
+            if not use_shift:
+                return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ',
+                                  g, jnp.exp(E), gq_c)
+            plane, c_max = shifted_exp(E, (2, 5))
+            q = jnp.einsum('lLN, lLNjJc, jJc -> lLjJ', g, plane, gq_c)
+            return q * jnp.exp(c_max[:, :, 0, :, :, 0])
+
+        if need['single'] or need['prefix']:
+            zero = jnp.zeros((l, L, l, L), dtype=dtype)
+
+            def fwd(E, xs_m):
+                e = e_step(*xs_m)
+                E = E + e
+                ys = (qf(e) if need['single'] else zero,
+                      qf(E) if need['prefix'] else zero)
+                return E, ys
+            E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=dtype)
+            _, (ys_s, ys_p) = lax.scan(fwd, E0, dims_m)
+            if need['single']:
+                acc_s = acc_s + ys_s
+            if need['prefix']:
+                acc_p = acc_p + ys_p
+        if need['suffix']:
+            def bwd(E, xs_m):
+                E = E + e_step(*xs_m)
+                return E, qf(E)
+            E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=dtype)
+            _, ys_f = lax.scan(bwd, E0, dims_m, reverse=True)
+            acc_f = acc_f + ys_f
+        return (acc_s, acc_p, acc_f)
+
+    return body
+
+
+def marginalize_intervals_stacked(cals: 'List[ClosedSobol]',
+                                  slices: 'Tuple[Tuple[int, int], ...]',
+                                  host_paced: bool = False) -> List[Dict[str, jnp.ndarray]]:
+    """ONE factorized interval pass for SEVERAL independent single-output
+    calibrators sharing X: the chunk step is vmapped over the output axis,
+    so all outputs stream each q chunk together instead of re-running the
+    whole O(N^2 M) pass per output (the reference's per-latent loop,
+    gpr/models.py:340-342, this framework exists to collapse).
+
+    All calibrators must share N, M, dtype and canonical slices (single dim
+    / prefix / suffix / empty). Returns one {'V': (l, j, n_slices)} dict per
+    calibrator, numerically identical to per-calibrator
+    ``marginalize_intervals`` (the vmapped math is the same ops).
+    """
+    import jax
+    from jax import lax
+    first = cals[0]
+    O = len(cals)
+    specs = [first._classify_interval(m, first.M) for m in slices]
+    if any(k == 'general' for k, _ in specs):
+        raise ValueError('stacked interval passes support only canonical '
+                         f'interval slices; got {tuple(slices)}.')
+    need = {k: any(s[0] == k for s in specs)
+            for k in ('single', 'prefix', 'suffix')}
+    l, L, N, M = first.G.shape
+    use_shift = first._intervals_use_shift()
+    for c in cals:
+        assert c.G.shape == first.G.shape and c.G.dtype == first.G.dtype, \
+            'stacked outputs must share (l, L, N, M) and dtype'
+        assert c._intervals_use_shift() == use_shift
+    # the vmapped step holds O live plane sets — shrink the chunk to keep
+    # the same total budget as one output's pass
+    chunk = max(64, first._intervals_chunk() // O)
+    packs = [c._intervals_pack(chunk) for c in cals]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *packs)
+    nc = packs[0]['Gq'].shape[0]
+    body = _intervals_body(need, use_shift, (l, L, N, M), first.G.dtype)
+    vbody = jax.vmap(body)
+    zero = jnp.zeros((O, M, l, L, l, L), dtype=first.G.dtype)
+    acc = (zero, zero, zero)
+    if host_paced:
+        step = jax.jit(vbody)
+        for i in range(int(nc)):
+            acc = step(stacked, acc, (stacked['Gq'][:, i], stacked['gq'][:, i]))
+    else:
+        xs = (jnp.moveaxis(stacked['Gq'], 1, 0), jnp.moveaxis(stacked['gq'], 1, 0))
+        acc, _ = lax.scan(lambda a, x: (vbody(stacked, a, x), None), acc, xs)
+    out = []
+    for o, cal in enumerate(cals):
+        cols = cal._intervals_finalize(packs[o], tuple(a[o] for a in acc),
+                                       specs, slices)
+        out.append({'V': jnp.stack(cols, axis=-1)})
+    return out
 
 
 class ClosedSobolWithError(ClosedSobol):

@@ -319,6 +319,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     # f64 TRSM on the TPU broadcasts a full (N,N) K_cho copy PER BATCH
     # ELEMENT (measured 16.9 GB HBM at N=8192, M=30 — an OOM), and the
     # factors are tiny (M L^2 N) to move.
+    solver = cal.meta.get('psi_solver', None)
     K_cho = cal.K_cho
     if host_paced:
         from romcomma_tpu.base.definitions import host_cpu_device
@@ -329,13 +330,23 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             psi = {k: move(psi[k]) for k in kinds}
             invd = {k: [move(x) for x in invd[k]] for k in kinds}
             invd_psi = {k: move(invd_psi[k]) for k in kinds}
-            K_cho = move(K_cho)
+            if solver is None:
+                K_cho = move(K_cho)
     quads = {k: tuple(q * (invd[k][r] if layout[r]['out'] == 'jk'
                            else invd[k][r][..., 0])
                       for r, q in enumerate(quads[k])) for k in kinds}
-    psi = {k: _psi_solve(K_cho, psi[k] * invd_psi[k][..., None])
-           for k in kinds}
-    return {'layout': layout, 'quads': quads, 'psi': psi}
+    psi_raw = {k: psi[k] * invd_psi[k][..., None] for k in kinds}
+    if solver is None:
+        psi_solved = {k: _psi_solve(K_cho, psi_raw[k]) for k in kinds}
+        return {'layout': layout, 'quads': quads, 'psi': psi_solved}
+    # psi_solver mode (large N — no dense f64 K_cho anywhere): ONE refined
+    # FULL K-solve for every kind's factors at once; K^{-1} f replaces the
+    # half-solve L^{-1} f, and the assembly pairs (raw, solved) factors so
+    # every quadform is still exactly f1ᵀ K⁻¹ f2.
+    solved = solver(jnp.stack([psi_raw[k] for k in kinds]))
+    return {'layout': layout, 'quads': quads,
+            'psi': {k: solved[i] for i, k in enumerate(kinds)},
+            'psi_raw': psi_raw}
 
 
 def _psi_solve(K_cho: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
@@ -373,33 +384,52 @@ def _mu_phi(cal, layout, quads_m) -> Dict[str, jnp.ndarray]:
     return out
 
 
-def _mu_psi(psi_m: jnp.ndarray, first: jnp.ndarray, mixed: bool) -> jnp.ndarray:
-    """mu_psi_mu for one slice (reference calibrators.py:311-322): ``first``
-    is the slice's own factor (DIAGONAL) or the full-interval factor, taken
-    on its output diagonal (MIXED)."""
+def _mu_psi(first: jnp.ndarray, second: jnp.ndarray, mixed: bool) -> jnp.ndarray:
+    """mu_psi_mu for one slice (reference calibrators.py:311-322): the
+    quadform f1ᵀ K⁻¹ f2 from a (first, second) factor pair — both
+    K_cho-half-solved in the default mode, (raw, K⁻¹-full-solved) in
+    psi_solver mode.  ``first`` is the slice's own factor (DIAGONAL) or the
+    full-interval factor taken on its output diagonal (MIXED)."""
     ein = 'iin, lin -> li' if mixed else 'lin, lin -> li'
-    r = jnp.einsum(ein, first, psi_m)
+    r = jnp.einsum(ein, first, second)
     return _set_diag(r, 2.0 * _diag_part(r))
 
 
-def _w_of(cal, layout, quads_m, psi_m, psi_full) -> Dict[str, jnp.ndarray]:
+def _psi_pair(sweep, kind: str, m: int):
+    """(first, second) factor pair of one slice: (half, half) in K_cho mode,
+    (raw, solved) in psi_solver mode."""
+    solved = sweep['psi'][kind][m]
+    raw = sweep.get('psi_raw')
+    return (raw[kind][m] if raw is not None else solved, solved)
+
+
+def _w_of(cal, layout, quads_m, pair_m, full_first) -> Dict[str, jnp.ndarray]:
+    first_m, second_m = pair_m
     out = {}
     for fam, mu in _mu_phi(cal, layout, quads_m).items():
         mixed = fam == 'MIXED'
-        W = mu - _mu_psi(psi_m, psi_full if mixed else psi_m, mixed)
+        W = mu - _mu_psi(full_first if mixed else first_m, second_m, mixed)
         out[fam] = W + W.T
     return out
+
+
+def _full_first(cal, sweep) -> jnp.ndarray:
+    """The MIXED-family first factor: the full-interval (0, M) prefix column
+    — raw in psi_solver mode, half-solved otherwise."""
+    raw = sweep.get('psi_raw')
+    return (raw['prefix'][cal.M - 1] if raw is not None
+            else sweep['psi']['prefix'][cal.M - 1])
 
 
 def _full_cache(cal, sweep) -> Dict[str, Any]:
     """The full-interval (0, M) error quantities from a sweep's prefix
     column: psi_factor, W per family, and Q/T in non-partial mode."""
     M = cal.M
-    psi_full = sweep['psi']['prefix'][M - 1]
+    pair_full = _psi_pair(sweep, 'prefix', M - 1)
     full_W = _w_of(cal, sweep['layout'],
                    [q[M - 1] for q in sweep['quads']['prefix']],
-                   psi_full, psi_full)
-    cache = {'psi_factor': psi_full, 'W': full_W}
+                   pair_full, _full_first(cal, sweep))
+    cache = {'psi_factor': sweep['psi']['prefix'][M - 1], 'W': full_W}
     if not cal.meta['is_T_partial']:
         Q = _diag_part(full_W['MIXED']) / (4.0 * cal.V[1] * cal.V[1])
         cache['Q'] = Q[None, ...] + Q[..., None] + 2.0 * jnp.diag(Q)
@@ -425,7 +455,7 @@ def intervals(cal, slices, kinds_idx, V_cols, host_paced: bool = False):
     sweep = error_scan(cal, need, host_paced)
     cache = _full_cache(cal, sweep)
     cal._full_error_cache = cache
-    psi_full = cache['psi_factor']
+    full_first = _full_first(cal, sweep)
 
     L_out = cal.g0KY.shape[0]
     zero = jnp.zeros((L_out, L_out), dtype=cal.G.dtype)
@@ -438,7 +468,7 @@ def intervals(cal, slices, kinds_idx, V_cols, host_paced: bool = False):
         m = idx - 1 if kind == 'prefix' else idx
         Ws = _w_of(cal, sweep['layout'],
                    [q[m] for q in sweep['quads'][kind]],
-                   sweep['psi'][kind][m], psi_full)
+                   _psi_pair(sweep, kind, m), full_first)
         W_cols.append(Ws['DIAGONAL'])
         if cal.meta['is_T_partial']:
             T_cols.append(cal._T(Ws['DIAGONAL']))

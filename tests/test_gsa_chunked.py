@@ -391,6 +391,34 @@ def test_error_full_interval_lazy_matches_per_slice(is_T_partial):
                                    np.asarray(want['T']), rtol=1e-9, atol=1e-7)
 
 
+def test_distributed_sobol_error_device_psi_solver_matches_host():
+    """error_solver='device' (f32 engine factor + f64-refined FULL psi
+    solves, no dense f64 K_cho anywhere) matches the host-K_cho path — the
+    N>=20k route where a host f64 (N,N) build is infeasible (VERDICT r2 #3)."""
+    import jax.numpy as jnp
+    from romcomma_tpu.parallel import distributed as dist
+
+    rng = np.random.default_rng(7)
+    N, M = 96, 4
+    x = rng.normal(size=(N, M))
+    y = np.sin(x[:, :1]) + 0.3 * x[:, 1:2] ** 2 + 0.05 * rng.standard_normal((N, 1))
+    dgp = dist.DistributedGP(N, dist.make_n_mesh(), block=16)
+    x_dev, y_dev = dgp.stage(x, y)
+    ls, s2, nz = jnp.ones(M), jnp.asarray(1.0), jnp.asarray(0.05)
+    host = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, x,
+                             kind=('first_order', 'total'), error=True,
+                             error_solver='host')
+    dev = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, x,
+                            kind=('first_order', 'total'), error=True,
+                            error_solver='device')
+    for k in ('first_order', 'total'):
+        for m in range(M):
+            np.testing.assert_allclose(dev['S'][k][m], host['S'][k][m],
+                                       rtol=1e-8, atol=1e-10)
+            np.testing.assert_allclose(dev['T'][k][m], host['T'][k][m],
+                                       rtol=1e-6, atol=1e-8)
+
+
 def test_distributed_sobol_error_mode_matches_direct():
     """sobol_indices(error=True) — the large-N production entry for W/T —
     matches a directly constructed ClosedSobolWithError on the same
