@@ -64,13 +64,70 @@ def load_reference_storage():
     return storage
 
 
+def reference_model_adapter(storage):
+    """Adapter driving the reference's MODEL-layer writers (gpr/models.py,
+    gsa/models.py) under the same stubs. Only the gpflow-touching
+    construction hooks are overridden; every CSV/meta byte is produced by
+    reference code."""
+    tf = sys.modules['tensorflow']
+    gf = sys.modules['gpflow']
+    mf = sys.modules['romcomma.gpf']
+    # the kernel/model factories touched during (never-calibrated)
+    # construction: broadcast_parameters rebuilds .implementation
+    gf.kernels = types.SimpleNamespace(RBF=lambda **kw: None)
+    mf.kernels = types.SimpleNamespace(RBF=lambda **kw: None)
+    gf.models = types.SimpleNamespace(GPR=lambda **kw: None)
+    mf.models = types.SimpleNamespace(MOGPR=lambda **kw: None)
+    # gsa/models.py:102-115 _compose_and_save reshapes TF tensors
+    tf.reshape = lambda x, s: types.SimpleNamespace(
+        numpy=lambda: np.asarray(getattr(x, 'a', x)).reshape(s))
+
+    from romcomma.gpr import models as gpr_models
+    from romcomma.gsa import models as gsa_models
+
+    class GoldenMOGP(gpr_models.MOGP):
+        """Reference MOGP with the gpflow build short-circuited: parameter
+        persistence (the golden target) is untouched."""
+
+        @property
+        def implementation(self):
+            return ()
+
+    class FakeTensor:
+        def __init__(self, a):
+            self.a = np.asarray(a)
+            self.shape = types.SimpleNamespace(as_list=lambda: list(self.a.shape))
+
+    class Adapter:
+        @staticmethod
+        def open_fold(folder, k):
+            return storage.Fold(storage.Repository(folder), k)
+
+        @staticmethod
+        def make_mogp(name, fold, is_covariant):
+            return GoldenMOGP(name, fold, is_read=False,
+                              is_covariant=is_covariant, is_isotropic=False)
+
+        @staticmethod
+        def write_sobol(gp, kind_name, m, results):
+            sobol = gsa_models.Sobol(gp, gsa_models.GSA.Kind[kind_name], m=m,
+                                     is_error_calculated=True,
+                                     folder='<golden>')
+            sobol._compose_and_save({k: FakeTensor(v)
+                                     for k, v in results.items()})
+
+    return Adapter
+
+
 def main() -> None:
     sys.path.insert(0, str(HERE))
     import workload
+    import workload_model
 
     storage = load_reference_storage()
     shutil.rmtree(TREE, ignore_errors=True)
     workload.run(storage, TREE)
+    workload_model.run(reference_model_adapter(storage), TREE)
     files = sorted(p.relative_to(TREE) for p in TREE.rglob('*') if p.is_file())
     print(f'Wrote {len(files)} golden files under {TREE}:')
     for f in files:
