@@ -19,32 +19,95 @@ import jax.numpy as jnp
 from romcomma_tpu.ops.linalg import tri_solve
 
 
-def shifted_exp(E: jnp.ndarray, axes) -> tuple:
+def shifted_exp(E: jnp.ndarray, axes, mode: str = 'f32') -> tuple:
     """(exp(E - c), c) with c = max(E) over ``axes`` (keepdims) — the
     mixed-precision GSA transcendental.
 
-    The shifted exp is evaluated in float32 on a two-float split of the
-    argument (relative error ~1e-7) — the TPU fast path where emulated-f64
-    exp dominates the sweeps. Shifting by the per-plane max is exact
-    log-sum-exp stabilization: the argument is <= 0, so the f32 exp can
-    never overflow (a naive f32 exp of the raw exponent goes inf at
-    E > 88 — reached at N=50k with trained tight lengthscales, observed
-    as negative suffix variances), and entries more than ~87 below the
-    max underflow to 0 in f32 where f64 keeps < 1e-38 relative dust —
-    negligible in any reduction against the dominant terms. Callers
-    contract the plane over ``axes`` and multiply the reduced result by
-    exp(c) (an f64 exp over the tiny remaining dims).
+    The shifted exp is evaluated below f64-transcendental cost — the TPU
+    fast path where emulated-f64 exp dominates the sweeps. Shifting by the
+    per-plane max is exact log-sum-exp stabilization: the argument is <= 0,
+    so the fast exp can never overflow (a naive f32 exp of the raw exponent
+    goes inf at E > 88 — reached at N=50k with trained tight lengthscales,
+    observed as negative suffix variances), and entries far below the max
+    underflow to 0 where f64 keeps < 1e-38 relative dust — negligible in
+    any reduction against the dominant terms. Callers contract the plane
+    over ``axes`` and multiply the reduced result by exp(c) (an f64 exp
+    over the tiny remaining dims).
+
+    ``mode`` selects the accuracy/cost tier for float64 inputs:
+      'f32' — f32 exp on a two-float split of the argument (~6e-8 relative,
+              the cheapest tier; the V-pass default).
+      'ff'  — :func:`ff_exp_nonpos` float-float evaluation (~3e-11
+              relative at a few emulated-f64 elementwise ops — no f64
+              transcendental). Near-oracle T in the error (W/T) pass,
+              whose mu_phi/mu_psi cancellation amplifies plane noise
+              ~1000x into near-zero T entries.
 
     For float32 inputs the shift is applied directly (exp of the
-    non-positive remainder, no two-float split needed — the working dtype
-    IS f32): the f32 fast mode reaches the same E > 88 overflow regime."""
+    non-positive remainder, no split needed — the working dtype IS f32):
+    the f32 fast mode reaches the same E > 88 overflow regime."""
     c = jnp.max(E, axis=tuple(axes), keepdims=True)
     r = E - c
     if E.dtype != jnp.float64:
         return jnp.exp(r), c
+    if mode == 'ff':
+        return ff_exp_nonpos(r), c
     rhi = r.astype(jnp.float32)
     rlo = (r - rhi.astype(E.dtype)).astype(jnp.float32)
     return (jnp.exp(rhi) * (1.0 + rlo)).astype(E.dtype), c
+
+
+def exp_mode_of(intervals_mixed, dtype):
+    """Resolve a meta ``intervals_mixed`` value (False | True | 'ff') and the
+    working dtype to a :func:`shifted_exp` mode: None (pure f64 exp), 'f32'
+    or 'ff'. A float32 working dtype always shifts ('f32' — the direct
+    path; it reaches the same E > 88 overflow regime)."""
+    if dtype != jnp.float64:
+        return 'f32'
+    if not intervals_mixed:
+        return None
+    return 'ff' if intervals_mixed == 'ff' else 'f32'
+
+
+#: ln 2 split so the f64 product n * LN2 reconstructs the reduction exactly
+_LN2 = 0.6931471805599453
+_INV_LN2_F32 = 1.4426950408889634
+
+
+def ff_exp_nonpos(r: jnp.ndarray) -> jnp.ndarray:
+    """exp(r) for NON-POSITIVE float64 ``r`` to ~3e-11 relative error with
+    no f64 transcendental — the 'ff' (float-float) tier of the GSA sweeps.
+
+    On TPU float64 is software-emulated and ``jnp.exp`` costs a full
+    double-double range reduction + high-degree core; the GSA planes only
+    need ~35 bits (the W/T assembly amplifies plane noise into near-zero T
+    entries by ~1e3, so f32's 6e-8 floors T at ~1e-4..3e-3 while 3e-11
+    keeps every T within ~1e-7 of the f64 oracle). This evaluation is:
+
+      n  = round(r / ln2)                      (f32 — exact for |n| < 2^23)
+      d  = r - n ln2                           (2 f64 ops, |d| <= 0.3466)
+      exp(d) = 1 + d(1 + d(1/2 + d(1/6 + d(1/24 + d P5(d)))))
+               -- Horner in f64 (10 elementwise ops); the degree-5..10 tail
+                  P5 in plain f32 (its 2^-24 noise lands below 3e-12)
+      exp(r) = exp(d) * 2^n                    (exact f32 ldexp, 1 f64 mul)
+
+    Entries below -87 are clamped: exp(-87) ~ 1.6e-38 is zero relative dust
+    against the plane max exp(0) = 1 in every downstream reduction."""
+    r = jnp.maximum(r, -87.0)
+    n = jnp.round(r.astype(jnp.float32) * jnp.float32(_INV_LN2_F32))
+    d = r - n.astype(jnp.float64) * _LN2                   # |d| <= ln2/2 + eps
+    d32 = d.astype(jnp.float32)
+    # degree-5..10 tail: P5 = sum_{k>=5} d^{k-5}/k!  (f32 is plenty: the
+    # term it scales is <= |d|^5/120 ~ 4e-5)
+    p5 = jnp.float32(1 / 120.0) + d32 * (
+        jnp.float32(1 / 720.0) + d32 * (
+            jnp.float32(1 / 5040.0) + d32 * (
+                jnp.float32(1 / 40320.0) + d32 * (
+                    jnp.float32(1 / 362880.0) + d32 * jnp.float32(1 / 3628800.0)))))
+    core = 1.0 + d * (1.0 + d * (0.5 + d * (
+        jnp.float64(1 / 6) + d * (jnp.float64(1 / 24) + d * p5.astype(jnp.float64)))))
+    pow2 = jnp.ldexp(jnp.float32(1.0), n.astype(jnp.int32)).astype(jnp.float64)
+    return core * pow2
 
 
 def diag_det(tensor: jnp.ndarray) -> jnp.ndarray:

@@ -316,22 +316,23 @@ class ClosedSobol(Calibrator):
                 'inv_prefix': 1.0 / jnp.cumprod(d, axis=-1),       # 1/D_{<=m+1}
                 'inv_suffix': 1.0 / jnp.cumprod(d[..., ::-1], axis=-1)[..., ::-1]}
 
-    def _intervals_use_shift(self) -> bool:
-        """Whether exp planes go through the log-sum-exp-shifted f32
-        transcendental (gsa.base.shifted_exp).
+    def _intervals_exp_mode(self):
+        """The shifted_exp tier of the interval planes: None (pure f64 exp),
+        'f32' or 'ff' (gsa.base.exp_mode_of on meta ``intervals_mixed``).
 
         'mixed' interval precision keeps the exponent accumulation and the
         quadform REDUCTIONS in float64 (the N^2-cancellation-sensitive
-        parts) but takes the pointwise exp of each plane in shifted f32
-        (relative error ~1e-7, cannot overflow); the per-plane max shift is
-        undone on the REDUCED quadform by a tiny f64 exp. On TPU f64 is
-        emulated and the transcendental dominates this pass (measured:
-        BASELINE.md N=50k GSA row). The f32 fast mode (gsa_dtype=float32)
-        reaches the same E > 88 overflow regime a naive f32 exp dies in —
-        always shifted too."""
-        mixed = bool(self.meta.get('intervals_mixed', False)) \
-            and self.G.dtype == jnp.float64
-        return mixed or self.G.dtype != jnp.float64
+        parts) but takes the pointwise exp of each plane through a shifted
+        fast transcendental — f32 (relative error ~1e-7, cannot overflow)
+        or float-float 'ff' (~3e-11 at a few emulated-f64 elementwise ops);
+        the per-plane max shift is undone on the REDUCED quadform by a tiny
+        f64 exp. On TPU f64 is emulated and the transcendental dominates
+        this pass (measured: BASELINE.md N=50k GSA row). The f32 fast mode
+        (gsa_dtype=float32) reaches the same E > 88 overflow regime a naive
+        f32 exp dies in — always shifted too."""
+        from romcomma_tpu.gsa.base import exp_mode_of
+        return exp_mode_of(self.meta.get('intervals_mixed', False),
+                           self.G.dtype)
 
     def _intervals_finalize(self, pack, acc, specs, slices
                             ) -> 'Tuple[list, jnp.ndarray]':
@@ -386,7 +387,7 @@ class ClosedSobol(Calibrator):
         chunk = self._intervals_chunk()
         pack = self._intervals_pack(chunk)
         nc = pack['Gq'].shape[0]
-        chunk_body = _intervals_body(need, self._intervals_use_shift(),
+        chunk_body = _intervals_body(need, self._intervals_exp_mode(),
                                      (l, L, N, M), self.G.dtype)
         zero_qf = jnp.zeros((M, l, L, l, L), dtype=self.G.dtype)
 
@@ -407,7 +408,7 @@ class ClosedSobol(Calibrator):
         return {'V': V, 'S': V / self.V[2][..., None]}
 
 
-def _intervals_body(need: Dict[str, bool], use_shift: bool,
+def _intervals_body(need: Dict[str, bool], exp_mode,
                     dims: Tuple[int, int, int, int], dtype):
     """The factorized interval pass's chunk step as a PURE function
     ``body(pack, acc, xs) -> acc`` of the per-output tensor pack
@@ -433,10 +434,10 @@ def _intervals_body(need: Dict[str, bool], use_shift: bool,
 
         def qf(E):
             """Quadform of exp(E) over (N, c) — plane axes 2 and 5."""
-            if not use_shift:
+            if exp_mode is None:
                 return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ',
                                   g, jnp.exp(E), gq_c)
-            plane, c_max = shifted_exp(E, (2, 5))
+            plane, c_max = shifted_exp(E, (2, 5), exp_mode)
             q = jnp.einsum('lLN, lLNjJc, jJc -> lLjJ', g, plane, gq_c)
             return q * jnp.exp(c_max[:, :, 0, :, :, 0])
 
@@ -492,18 +493,18 @@ def marginalize_intervals_stacked(cals: 'List[ClosedSobol]',
     need = {k: any(s[0] == k for s in specs)
             for k in ('single', 'prefix', 'suffix')}
     l, L, N, M = first.G.shape
-    use_shift = first._intervals_use_shift()
+    exp_mode = first._intervals_exp_mode()
     for c in cals:
         assert c.G.shape == first.G.shape and c.G.dtype == first.G.dtype, \
             'stacked outputs must share (l, L, N, M) and dtype'
-        assert c._intervals_use_shift() == use_shift
+        assert c._intervals_exp_mode() == exp_mode
     # the vmapped step holds O live plane sets — shrink the chunk to keep
     # the same total budget as one output's pass
     chunk = max(64, first._intervals_chunk() // O)
     packs = [c._intervals_pack(chunk) for c in cals]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *packs)
     nc = packs[0]['Gq'].shape[0]
-    body = _intervals_body(need, use_shift, (l, L, N, M), first.G.dtype)
+    body = _intervals_body(need, exp_mode, (l, L, N, M), first.G.dtype)
     vbody = jax.vmap(body)
     zero = jnp.zeros((O, M, l, L, l, L), dtype=first.G.dtype)
     acc = (zero, zero, zero)
@@ -926,10 +927,16 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
             # program is a multi-minute single execution the runtime kills;
             # drive the interval pass's chunk loop from the host instead
             # (bounded dispatches — the same route DistributedGP.
-            # sobol_indices takes) and default the interval planes to the
-            # mixed f32-transcendental mode (emulated-f64 exp dominates).
-            meta.setdefault('intervals_mixed', not is_error_calculated
-                            and jax.default_backend() != 'cpu')
+            # sobol_indices takes) and default the interval planes to a
+            # shifted fast transcendental (emulated-f64 exp dominates):
+            # f32 (~6e-8) for pure-V passes, float-float 'ff' (~3e-11,
+            # keeps near-zero T within ~1e-7 of the f64 oracle) when
+            # standard errors are computed.
+            if jax.default_backend() != 'cpu':
+                meta.setdefault('intervals_mixed',
+                                'ff' if is_error_calculated else True)
+            else:
+                meta.setdefault('intervals_mixed', False)
             cal = cls.from_arrays(is_F_diagonal=is_F_diagonal,
                                   L=gp.L, M=gp.M, N=gp.N, **meta, **arrays)
             flat = [s for slices in kind_slices.values() for s in slices]

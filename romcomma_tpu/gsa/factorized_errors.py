@@ -155,16 +155,19 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     Npad = nc * chunk
     # Same mixed-precision policy as ClosedSobol.marginalize_intervals:
     # exponent accumulation and reductions stay f64, the pointwise exp of
-    # the big sweep planes goes through the log-sum-exp-shifted f32
+    # the big sweep planes goes through a log-sum-exp-shifted fast
     # transcendental (gsa.base.shifted_exp), the per-plane max undone on
     # the reduced output by a tiny f64 exp — the emulated-f64
-    # transcendental dominates this pass on TPU. OPT-IN for the error
-    # path (near-zero T entries floor at ~3e-3 under f32 plane noise).
-    from romcomma_tpu.gsa.base import shifted_exp
-    mixed = bool(getattr(cal, 'meta', {}).get('intervals_mixed', False)) \
-        and dt == jnp.float64
-    # f32 working dtype reaches the same E > 88 overflow regime — shift it
-    use_shift = mixed or dt != jnp.float64
+    # transcendental dominates this pass on TPU. The error path's
+    # accelerator DEFAULT is the 'ff' (float-float, ~3e-11) tier: T is the
+    # sqrt of a near-cancelling quadform difference that amplifies plane
+    # noise ~1e3, so f32's ~6e-8 floors near-zero T at ~3e-3 while 'ff'
+    # keeps every T within ~1e-7 of the f64 oracle (tests/test_gsa_chunked
+    # .py::test_error_intervals_ff_precision).
+    from romcomma_tpu.gsa.base import shifted_exp, exp_mode_of
+    exp_mode = exp_mode_of(
+        getattr(cal, 'meta', {}).get('intervals_mixed', False), dt)
+    use_shift = exp_mode is not None
 
     def prep():
         """Every per-dim array the sweeps consume — member params, per-kind
@@ -224,7 +227,8 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         out_jk = layout[r]['out'] == 'jk'
         # the shift must be constant over every CONTRACTED axis of the
         # output (a per-k scale cannot be factored out of a k-sum)
-        plane, c_max = shifted_exp(Eplane, (0, 3) if out_jk else (0, 2, 3))
+        plane, c_max = shifted_exp(Eplane, (0, 3) if out_jk else (0, 2, 3),
+                                   exp_mode)
         q = jnp.einsum(eq, g, plane, gq_m)
         return q * (jnp.exp(c_max[0, :, :, 0]) if out_jk
                     else jnp.exp(c_max[0, :, 0, 0]))
@@ -235,7 +239,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         if not use_shift:
             return jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i,
                               jnp.exp(E_psi))
-        plane, c_max = shifted_exp(E_psi, (1,))
+        plane, c_max = shifted_exp(E_psi, (1,), exp_mode)
         t = jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i, plane)
         return t * jnp.exp(c_max[:, 0, :, :])
 

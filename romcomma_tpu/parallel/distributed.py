@@ -918,20 +918,24 @@ class DistributedGP:
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
         f64 = jnp.float64 if (gsa_dtype is None or error) else jnp.dtype(gsa_dtype)
         # Mixed interval precision (f64 exponents/reductions, overflow-safe
-        # f32 shifted exp — gsa.base.shifted_exp): default ON for NO-ERROR f64
+        # shifted fast exp — gsa.base.shifted_exp): default ON for f64
         # interval passes on accelerator backends, where the emulated-f64
-        # transcendental dominates the pass. Measured N=20000/M=30 TPU:
-        # intervals 133 s vs 221 s pure f64, |dS| 5.3e-6 absolute
-        # (gsa_dtype=float32 is the max-speed opt-in: 49 s, |dS| 4.9e-6,
-        # but f32 exponent accumulation/reductions — less headroom in
-        # extreme-lengthscale regimes). The ERROR path defaults to pure
-        # f64: T = sqrt of a near-cancelling quadform difference, so the
-        # ~1e-7 plane noise floors T at ~3e-3 absolute — explicit
-        # intervals_mixed=True opts in where rough error bars suffice.
+        # transcendental dominates the pass. NO-ERROR passes use the f32
+        # tier — measured N=20000/M=30 TPU: intervals 133 s vs 221 s pure
+        # f64, |dS| 5.3e-6 absolute (gsa_dtype=float32 is the max-speed
+        # opt-in: 49 s, |dS| 4.9e-6, but f32 exponent accumulation/
+        # reductions — less headroom in extreme-lengthscale regimes). The
+        # ERROR path defaults to the float-float 'ff' tier (~3e-11
+        # relative, no f64 transcendental): T = sqrt of a near-cancelling
+        # quadform difference that amplifies plane noise ~1e3, so f32's
+        # ~6e-8 floors near-zero T at ~3e-3 while 'ff' keeps every T
+        # within ~1e-7 of the f64 oracle. intervals_mixed=False forces
+        # pure f64 exp; 'ff'/True select a tier explicitly.
         if intervals_mixed is None:
-            intervals_mixed = (not error and f64 == jnp.float64
-                               and jax.default_backend() != 'cpu')
-        meta['intervals_mixed'] = bool(intervals_mixed)
+            on_accel = jax.default_backend() != 'cpu'
+            intervals_mixed = (('ff' if error else True)
+                               if on_accel and f64 == jnp.float64 else False)
+        meta['intervals_mixed'] = intervals_mixed
         t0 = time.time()
         if error:
             use_device = (error_solver == 'device'

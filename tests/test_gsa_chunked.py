@@ -336,6 +336,26 @@ def test_error_intervals_mixed_precision():
                                rtol=1e-3, atol=1e-5)
 
 
+def test_error_intervals_ff_precision():
+    """The W/T error sweep under intervals_mixed='ff' (float-float planes,
+    ~3e-11 relative, no f64 transcendental — gsa.base.ff_exp_nonpos) is
+    near-oracle: every S, W and T within ~1e-7 of pure f64. This is the
+    ACCELERATOR DEFAULT for the error path (VERDICT r2 #8): f32's ~6e-8
+    plane noise floors near-zero T at ~3e-3, 'ff' does not."""
+    M = 4
+    cal = _error_calibrator(M=M, N=120)
+    slices = tuple([(m, m + 1) for m in range(M)] + [(0, M), (1, M)])
+    exact = cal.marginalize_intervals(slices)
+    cal.meta['intervals_mixed'] = 'ff'
+    ff = cal.marginalize_intervals(slices)
+    np.testing.assert_allclose(np.asarray(ff['S']), np.asarray(exact['S']),
+                               rtol=0.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ff['T']), np.asarray(exact['T']),
+                               rtol=0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ff['W']), np.asarray(exact['W']),
+                               rtol=1e-8, atol=1e-9)
+
+
 def test_distributed_sobol_f32_fast_mode():
     """The f32 factorized interval pass (fed by the f64-refined posterior)
     agrees with f64 to 1e-4 — the TPU fast mode for sobol_indices."""
