@@ -2,15 +2,18 @@
 engine's hot step — comparing the block-cyclic shard_map kernels against the
 S==1 dense MXU-blocked kernels (ops/blocked.py), at tunable N.
 
-This is the route N > DENSE_DIRECT_MAX_N (21k) takes; at N=50000 it is the
-only single-chip option (the dense-direct objective needs 3 (N,N) buffers).
+The dense upper engine is the production single-device route at every
+large N (it beat the fused dense-direct program at N=8192/14000/20000 in
+the round-3 head-to-head); at N=50000 it is also the only single-chip
+option (the dense-direct objective needs 3 (N,N) buffers).
 
 Usage:  python benchmarks/engine_valgrad.py [N] [M] [reps] [engines]
         engines: 'dense', 'cyclic', 'direct', 'stream' or 'all'
                  (default 'dense').
-        'direct' is the N<=21k production route — ONE fused builtin-kernel
-        val+grad program (rbf_gram + XLA cholesky under autodiff), exactly
-        what DistributedGP.calibrate dispatches below DENSE_DIRECT_MAX_N.
+        'direct' is the RETIRED N<=21k production route — ONE fused
+        builtin-kernel val+grad program (rbf_gram + XLA cholesky under
+        autodiff), what DistributedGP.calibrate dispatches below
+        DENSE_DIRECT_MAX_N for block-cyclic-engine callers.
         'stream' is the dense upper engine with the streaming-v2 custom-VJP
         backward FORCED on (the N=50k route) regardless of the memory
         budget — the head-to-head VERDICT r2 #2 asks for at N=20k.

@@ -7,8 +7,10 @@ Runs the large-N production path: DistributedGP host-paced L-BFGS training
 O(N^2 M) all-kind Sobol' pass sharing one posterior solve.
 
 Usage:  python benchmarks/north_star.py [N] [M] [maxiter] [dense_kernels]
-``dense_kernels=1`` swaps the single-device engine onto the MXU-blocked
-dense kernels (ops/blocked.py) — the N=50k route.
+``dense_kernels`` defaults to the PRODUCTION selection (the MXU-blocked
+upper engine on any single-device mesh — what MOGP._calibrate_variant_large
+constructs); pass 0 to force the block-cyclic engine + fused dense-direct
+branch (the pre-round-3 route).
 Prints one JSON line with phase timings and the leading indices.
 """
 
@@ -26,10 +28,12 @@ import numpy as np
 
 
 def main(N: int = 20000, M: int = 30, maxiter: int = 10,
-         dense_kernels: int = 0) -> dict:
+         dense_kernels: 'int | None' = None) -> dict:
     import jax
     from romcomma_tpu.parallel import distributed as dist
 
+    if dense_kernels is None:       # production selection (models/gpr.py)
+        dense_kernels = int(dist.make_n_mesh().devices.size == 1)
     rng = np.random.default_rng(0)
     X = rng.standard_normal((N, M))
     # sin(x0) + x1^2/2: analytic first-order indices concentrate on dims 0,1

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from romcomma_tpu.base.definitions import FLOAT
-from romcomma_tpu.gsa.base import Calibrator, Gaussian, diag_det
+from romcomma_tpu.gsa.base import (Calibrator, Gaussian, diag_det, mean, rms,
+                                   sos, sym_check)
 from romcomma_tpu.models.gpr import GPR
 from romcomma_tpu.ops.linalg import cho_solve, tri_solve
 
@@ -223,6 +224,20 @@ class ClosedSobol(Calibrator):
         V = jnp.sqrt(self.V[1])
         self.V |= {2: jnp.einsum('l, i -> li', V, V)}
         self.S = self.V[0] / self.V[2]
+        if self.meta.get('debug', False):
+            # Opt-in diagnostics (meta['debug']=True): the reference's debug
+            # reductions (gsa/base.py:126-150) applied to the calibration
+            # invariants — V is an (L,L) Gram of conditional variances and
+            # must be symmetric; the residual is the f.p. asymmetry of the
+            # einsum contraction order. jnp scalars (no host sync) so the
+            # traced constructor (from_arrays under jit) stays jittable.
+            self.debug = {
+                'V_sym': sym_check(self.V[0], (1, 0)),
+                'V_sym_relative': sym_check(self.V[0], (1, 0)) / sos(self.V[0]),
+                'S_rms': rms(self.S),
+                'g0KY_mean': mean(self.g0KY),
+                'g0KY_rms': rms(self.g0KY),
+            }
 
     #: padding value for masked dims in width-padded slices: contributes
     #: exponent 0 and cho_diag ratio sqrt(2g-g^2)->1 with g=1-PAD_PHI.

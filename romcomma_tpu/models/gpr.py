@@ -542,13 +542,15 @@ class MOGP(GPR):
         mask3 = ((float(mask.raw_lengthscales), float(mask.raw_variance),
                   float(mask.raw_noise)) if mask is not None else (1.0, 1.0, 1.0))
         mesh = dist.make_n_mesh()
-        # Beyond the dense direct route's N ceiling on one chip, the
-        # row-major upper-factor engine (ops/blocked.py) is the production
-        # engine: donated in-place factorization + the streaming-v2 V V^T
-        # gradient keep peak HBM at ONE (Npad,Npad) buffer — the N=50k
-        # single-chip envelope (docs/scaling.md).
-        dense = (mesh.devices.size == 1
-                 and self._N > dist.DistributedGP.DENSE_DIRECT_MAX_N)
+        # On one chip the row-major upper-factor engine (ops/blocked.py) is
+        # the production engine at EVERY large N: donated in-place
+        # factorization + the streaming-v2 V V^T gradient keep peak HBM at
+        # ONE (Npad,Npad) buffer (the N=50k single-chip envelope,
+        # docs/scaling.md), and the round-3 TPU head-to-head measured it
+        # faster than the fused builtin dense-direct program at every N
+        # (8192: 0.125 vs 0.164; 14000: 0.417 vs 0.724; 20000: 1.099 vs
+        # 2.065 s/val+grad) with ~20x smaller one-time compiles.
+        dense = (mesh.devices.size == 1)
         dgp = dist.DistributedGP(self._N, mesh, block=block,
                                  dense_kernels=dense)
         variance = np.asarray(self._kernel.data.variance.np[0], dtype=FLOAT())

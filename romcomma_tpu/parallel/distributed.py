@@ -356,9 +356,13 @@ class DistributedGP:
     #: the chunked two-sweep build is used.
     KINV_LINV_BUDGET_BYTES: int = 5 * 2 ** 30
 
-    #: N up to which a SINGLE-device mesh calibrates through one dense fused
-    #: step program with XLA's builtin gram/cholesky instead of the blocked
-    #: engine (~6 live (N,N) f32 buffers bound a 16 GB HBM near N~22k).
+    #: N up to which a SINGLE-device mesh constructed WITHOUT dense_kernels
+    #: (block-cyclic engine) calibrates through one dense fused step program
+    #: with XLA's builtin gram/cholesky instead of the cyclic kernels (~6
+    #: live (N,N) f32 buffers bound a 16 GB HBM near N~22k). The upper
+    #: engine (dense_kernels=True) never takes this branch: it measured
+    #: faster than the fused program at every N (see calibrate) and is the
+    #: production single-device route (models/gpr.py).
     DENSE_DIRECT_MAX_N: int = 21000
     #: panel width of the dense upper-factor engine's blocked kernels
     #: (ops/blocked.py). Measured N=50k/M=30 f32: B=1024 is ~4% faster per
@@ -1098,10 +1102,18 @@ class DistributedGP:
                 return tuple(fv + m * (rv - fv)
                              for rv, fv, m in zip(raw, frozen0, mask_f))
 
-        if (self.mesh.devices.size == 1 and len(X) <= self.DENSE_DIRECT_MAX_N):
-            # Degenerate mesh: the blocked engine's generality costs ~6x per
-            # objective eval vs one dense fused builtin-kernel program
-            # (measured 2.06 s/val+grad at N=20000/M=30 f32 vs ~12 s/eval).
+        if (self.mesh.devices.size == 1 and self._engine != 'upper'
+                and len(X) <= self.DENSE_DIRECT_MAX_N):
+            # Degenerate mesh WITHOUT dense kernels: the block-cyclic
+            # engine's generality costs ~5x per objective eval vs one dense
+            # fused builtin-kernel program (1.894 vs 0.4-2.06 s/val+grad at
+            # N=20000/M=30 f32), so callers who did not opt into the upper
+            # engine get the fused direct program. The upper engine
+            # (dense_kernels=True) measured FASTER than this fused program
+            # at every N (8192: 0.125 vs 0.164 s; 14000: 0.417 vs 0.724 s;
+            # 20000: 1.099 vs 2.065 s/val+grad, with ~20-40 s compiles vs
+            # 110-585 s) and skips this branch — it is the production
+            # single-device route (models/gpr.py _calibrate_variant_large).
             # Identical transforms and stopping rules; f32 factorization
             # breakdown (non-finite result) falls through to the blocked
             # engine below, exactly as before.

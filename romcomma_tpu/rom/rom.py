@@ -101,16 +101,43 @@ class ROM:
         return theta
 
     def _leading_closed_sobol(self, gp: MOGP, m: int) -> float:
-        """Mean over outputs of the closed Sobol' index S[0:m] — S is (L,L)
-        with per-output indices on the diagonal."""
+        """The ROM score: ``semi_norm(S[0:m])`` over the (L,L) closed Sobol'
+        index matrix — the reference's dormant ``Sobol.SemiNorm`` objective
+        design (rom/old.py:136-138), exposed as ``meta['semi_norm']``:
+
+        - ``'mean_diagonal'`` (default): mean of the per-output indices.
+        - ``'trace'``: sum of the per-output indices.
+        - ``'frobenius'``: Frobenius norm of the full (L,L) matrix.
+        - ``{'element': [l, j]}``: a single matrix element.
+        - ``{'weights': [[...]]}``: ``sum(W * S)`` for an (L,L) weight
+          matrix W (the general semi-norm the reference sketched).
+        """
         calibrator = ClosedSobol(gp)
         S = np.asarray(calibrator.marginalize((0, m))['S'])
-        return float(np.mean(np.diagonal(S)))
+        return float(self._semi_norm(S, self.meta.get('semi_norm', 'mean_diagonal')))
+
+    @staticmethod
+    def _semi_norm(S: np.ndarray, spec) -> float:
+        if isinstance(spec, dict):
+            if 'element' in spec:
+                l, j = spec['element']
+                return float(S[int(l), int(j)])
+            if 'weights' in spec:
+                W = np.asarray(spec['weights'], dtype=S.dtype)
+                return float(np.sum(W * S))
+            raise ValueError(f'Unknown semi_norm spec {spec!r}')
+        if spec == 'mean_diagonal':
+            return float(np.mean(np.diagonal(S)))
+        if spec == 'trace':
+            return float(np.trace(S))
+        if spec == 'frobenius':
+            return float(np.linalg.norm(S))
+        raise ValueError(f'Unknown semi_norm spec {spec!r}')
 
     def calibrate(self, **kwargs) -> Dict[str, Any]:
         """Run the alternating rotation loop; persists per-iteration history
         and the final closed Sobol' indices."""
-        meta = self.meta | kwargs
+        meta = self.meta = self.meta | kwargs
         m, iterations = int(meta['m']), int(meta['iterations'])
         tolerance = float(meta['tolerance'])
         rng = np.random.default_rng(meta.get('seed', 0))

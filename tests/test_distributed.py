@@ -456,3 +456,68 @@ def test_streaming_scale_calibrate_route(monkeypatch):
     (_, _, _), lml_b, _ = dgp.calibrate(X, Y, np.full(M, 2.0), 1.0, 0.05,
                                         maxiter=50)
     assert abs(float(lml_a) - float(lml_b)) < max(0.5, 0.01 * abs(float(lml_a)))
+
+
+@pytest.mark.slow
+def test_mesh_scale_block_cyclic_end_to_end():
+    """Scale-realistic virtual-mesh run (VERDICT r2 #7): N=2048, B=64 over
+    all 8 devices — 32 block-columns, 4 per device, so the block-cyclic
+    layout, the ring gram, and the cyclic solve sweeps all carry non-trivial
+    load — driving stage -> calibrate (few host-paced iters over the eager
+    custom-VJP chain) -> sobol_indices, with LML and S pinned against the
+    single-device oracle. (N=4096 was measured at 103 s per val+grad on the
+    CPU mesh — a calibrate there is not CI-viable; 2048 is 31 s/eval.)"""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    Nn, M, B = 2048, 6, 64
+    X = rng.uniform(size=(Nn, M))
+    Y = (np.sin(2.5 * X[:, :1]) + 0.4 * X[:, 1:2] ** 2
+         + 0.02 * rng.standard_normal((Nn, 1)))
+    mesh = dist.make_n_mesh()
+    assert mesh.devices.size == 8
+    dgp = dist.DistributedGP(Nn, mesh, block=B)
+    assert dgp._engine == 'cyclic' and dgp.plan.NB == 32
+    x_dev, y_dev = dgp.stage(X, Y)
+
+    ls0 = jnp.asarray(np.full(M, 1.0))
+    s2_0, nz0 = jnp.asarray(1.0), jnp.asarray(0.05)
+    v0, g0 = jax.value_and_grad(
+        lambda p: dgp._lml(p[0], p[1], p[2], x_dev, y_dev))((ls0, s2_0, nz0))
+
+    ref = dist.DistributedGP(Nn, dist.make_n_mesh(1), block=B)
+    xr, yr = ref.stage(X, Y)
+    vr, gr = jax.value_and_grad(
+        lambda p: ref._lml(p[0], p[1], p[2], xr, yr))((ls0, s2_0, nz0))
+    np.testing.assert_allclose(float(v0), float(vr), rtol=1e-10)
+    for a, b in zip(g0, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9)
+
+    # A few host-paced L-BFGS iterations over the eager custom-VJP chain
+    # (instance budget zeroed: the fused optax step would pay a second,
+    # larger compile for no extra coverage — kernels are already compiled).
+    dgp.GRADS_MEMORY_BUDGET_BYTES = 0
+    (ls, s2, nz), lml, iters = dgp.calibrate(
+        X, Y, ls0=np.full(M, 1.0), s2_0=1.0, noise0=0.05, maxiter=2,
+        max_linesearch_steps=1)
+    assert np.isfinite(float(np.asarray(lml)))
+    assert float(np.asarray(lml)) > -float(v0)    # improved on the start
+
+    # Multi-device LML at the calibrated hypers == single-device oracle.
+    lml_ref = ref.lml(jnp.asarray(ls), jnp.asarray(s2), jnp.asarray(nz),
+                      xr, yr)
+    np.testing.assert_allclose(float(np.asarray(lml)),
+                               float(np.asarray(lml_ref)), rtol=1e-10)
+
+    # Both-kind Sobol' through the distributed posterior; S parity with the
+    # single-device engine at the same hypers.
+    S = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, X,
+                          kind=('first_order', 'total'))
+    S_ref = ref.sobol_indices(ls, s2, nz, xr, yr, X,
+                              kind=('first_order', 'total'))
+    for k in S:
+        for m in S[k]:
+            assert abs(float(S[k][m]) - float(S_ref[k][m])) < 1e-8, (k, m)
+    assert S['first_order'][0] > 0.3          # sin(2.5 x0) dominates
+    assert sum(S['first_order'].values()) < 1.05

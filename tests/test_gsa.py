@@ -135,3 +135,30 @@ def test_covariant_gsa_error_path_refuses_nondiagonal(trained_repo):
         run.gsa('gpr', repo, is_covariant=True, is_isotropic=False,
                 is_error_calculated=True, ignore_exceptions=False,
                 is_F_diagonal=False)
+
+
+def test_debug_reductions_opt_in(trained_repo):
+    """meta['debug']=True populates the reference's debug reductions
+    (gsa/base.py:126-150) on the calibrator; the default stays lean."""
+    from romcomma_tpu.gsa.calibrators import ClosedSobol
+    from romcomma_tpu.models.gpr import MOGP
+    fold = Fold(trained_repo, 0)
+    gp = MOGP('gpr.v.a', fold, is_read=True, is_covariant=False,
+              is_isotropic=False)
+    cal = ClosedSobol(gp, debug=True)
+    assert set(cal.debug) == {'V_sym', 'V_sym_relative', 'S_rms',
+                              'g0KY_mean', 'g0KY_rms'}
+    # V is an (L,L) Gram — symmetric to f64 contraction roundoff.
+    assert float(cal.debug['V_sym_relative']) < 1e-18
+    assert float(cal.debug['S_rms']) > 0
+    assert float(cal.debug['g0KY_rms']) > 0
+    assert not hasattr(ClosedSobol(gp), 'debug')
+
+
+def test_gsa_columns_padding_branches():
+    """_columns appends M then prepends -1 when the result frame carries
+    more columns than the marginalized slice (reference gsa/models.py:49-63
+    — the '-1' branch had no repo consumer before this test)."""
+    assert list(GSA._columns(3, 2, [1])) == [1, 3]
+    assert list(GSA._columns(3, 4, [0, 1])) == [-1, 0, 1, 3]
+    assert list(GSA._columns(3, 3, [0, 1, 2])) == [0, 1, 2]

@@ -1,6 +1,7 @@
 """ROM tests: the rotation loop concentrates variance onto leading inputs."""
 
 import numpy as np
+import pytest
 
 from romcomma_tpu.data.storage import Fold
 from romcomma_tpu.rom import ROM
@@ -110,3 +111,20 @@ def test_rotated_sobol_identity_oracle(tmp_root):
     Q = np.linalg.qr(np.random.default_rng(0).normal(size=(3, 3)))[0]
     got = np.asarray(cal.V_rotated(jnp.asarray(Q)))
     np.testing.assert_allclose(got, np.asarray(cal.V[0]), rtol=1e-9, atol=1e-12)
+
+
+def test_rom_semi_norm_specs():
+    """meta['semi_norm'] resolves every documented spec of the reference's
+    dormant Sobol.SemiNorm objective design (rom/old.py:136-138)."""
+    from romcomma_tpu.rom.rom import ROM
+    S = np.array([[0.5, 0.1], [0.2, 0.3]])
+    assert ROM._semi_norm(S, 'mean_diagonal') == pytest.approx(0.4)
+    assert ROM._semi_norm(S, 'trace') == pytest.approx(0.8)
+    assert ROM._semi_norm(S, 'frobenius') == pytest.approx(np.linalg.norm(S))
+    assert ROM._semi_norm(S, {'element': [0, 1]}) == pytest.approx(0.1)
+    W = np.array([[1.0, 0.0], [0.0, 2.0]])
+    assert ROM._semi_norm(S, {'weights': W}) == pytest.approx(1.1)
+    with pytest.raises(ValueError):
+        ROM._semi_norm(S, 'nope')
+    with pytest.raises(ValueError):
+        ROM._semi_norm(S, {'bad': 1})
