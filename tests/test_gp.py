@@ -219,3 +219,51 @@ def test_calibrate_covariant_host_matches_fused():
                                                  jnp.asarray(Y), maxiter=200,
                                                  ls_frozen=True)
     assert abs(float(lml_fused) - float(lml_host)) < max(0.01 * abs(float(lml_fused)), 0.1)
+
+
+def test_covariant_upper_chain_matches_builtin_objective():
+    """The blocked upper-engine covariant chain (covariant_upper_lml, the
+    large-LN production objective) reproduces the XLA-builtin autodiff
+    objective's value AND gradients exactly — including through the SPD
+    Cholesky parameterization and the default trainability mask."""
+    rng = np.random.default_rng(3)
+    L, N, M = 3, 70, 4
+    X = rng.uniform(size=(N, M))
+    Y = np.stack([np.sin((l + 1) * X[:, 0]) + 0.1 * rng.standard_normal(N)
+                  for l in range(L)], 1)
+    ls = np.full((L, M), 1.7)
+    F0 = np.array([[1.2, .3, .1], [.3, .9, .2], [.1, .2, 1.5]])
+    raw = P.covariant_init(F0, ls, np.diag([.1, .12, .08]) + 0.01)
+    mask = P.covariant_mask()
+    obj_ref, _ = gp._covariant_objective(raw, mask, jnp.asarray(X),
+                                         jnp.asarray(Y), ls_frozen=True)
+    obj_up, _ = gp._covariant_objective_upper(raw, mask, jnp.asarray(X),
+                                              jnp.asarray(Y), block=64)
+    # at the init and at a perturbed point (asymmetric raw state)
+    for p in (raw, jax.tree_util.tree_map(
+            lambda t: t + 0.05 * jnp.asarray(
+                rng.standard_normal(np.shape(t))), raw)):
+        v1, g1 = jax.value_and_grad(obj_ref)(p)
+        v2, g2 = jax.value_and_grad(obj_up)(p)
+        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-12)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-7, atol=1e-10)
+
+
+def test_covariant_host_upper_calibration_converges():
+    """calibrate_covariant_host (ls_frozen -> upper engine, eager pacing)
+    lands on the fused builtin descent's optimum."""
+    X, Y = _data(N=40)
+    ls = np.array([[2., 2., 2.], [2., 2., 2.]])
+    rawc = P.covariant_init(np.diag([1.5, 1.0]), ls, np.diag([0.1, 0.1]))
+    mask = P.covariant_mask()
+    _, lml_fused, _ = gp.calibrate_covariant(rawc, mask, jnp.asarray(X),
+                                             jnp.asarray(Y), maxiter=200,
+                                             ls_frozen=True)
+    _, lml_host, _ = gp.calibrate_covariant_host(rawc, mask, jnp.asarray(X),
+                                                 jnp.asarray(Y), maxiter=200,
+                                                 ls_frozen=True)
+    assert abs(float(lml_fused) - float(lml_host)) < max(
+        0.01 * abs(float(lml_fused)), 0.1)
