@@ -191,6 +191,85 @@ def cholesky_blocked_upper(a: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     return jnp.triu(A)[..., :N, :N]
 
 
+def cholesky_blocked_upper_2level(a: jnp.ndarray, block: int = 256,
+                                  super_block: int = 2048) -> jnp.ndarray:
+    """Two-level LEFT-LOOKING upper Cholesky: a = U^T U.
+
+    The TPU answer to classical look-ahead (SURVEY §7 hard part 2, VERDICT
+    r2 #2): GPU look-ahead overlaps panel k+1's factorization with panel
+    k's trailing update on a second stream, but under XLA one fori_loop
+    carry serializes everything — there is nothing to overlap WITH. What
+    actually starves the MXU in the right-looking kernel is that ~all of
+    the O(N^3) trailing-update flops issue from NB sequential small steps.
+    This variant DEFERS them: a super-panel of SB rows receives its entire
+    update from all previously factored rows as s big (SB,SB)@(SB,Npad)
+    matmuls (full MXU rate, ~92-96% of the flops at SB=2-4k), then is
+    factored internally by the usual B-wide micro-steps whose trailing
+    updates now span at most SB rows instead of Npad.
+
+    Same conventions as cholesky_blocked_upper: row-slab access only (the
+    donated input's {1,0} layout is preserved), padding rows carry a unit
+    diagonal, strict lower garbage masked and zeroed on return, NOT
+    differentiable."""
+    N = a.shape[-1]
+    B = block
+    SB = max(super_block, B)
+    SB = _round_up(SB, B)
+    Npad = _round_up(N, SB)
+    A = _pad_spd(a, Npad)
+    NS = Npad // SB
+    NBm = SB // B
+    eye_b = jnp.eye(B, dtype=a.dtype)
+    col_idx = jnp.arange(Npad)
+    Cm = _col_tile(NBm, B)                      # micro trailing tile rows
+    n_tiles_m = SB // Cm
+    tile_idx = jnp.arange(Cm)
+
+    def super_step(s, A):
+        S0 = (s * SB).astype(jnp.int32)
+        slab = lax.dynamic_slice(A, _i32(S0, 0), (SB, Npad))
+
+        def acc_t(t, slab):
+            rows_t = lax.dynamic_slice(A, _i32(t * SB, 0), (SB, Npad))
+            cols_t = lax.dynamic_slice(rows_t, _i32(0, S0), (SB, SB))
+            return slab - jnp.matmul(cols_t.T, rows_t,
+                                     precision=lax.Precision.HIGHEST)
+
+        slab = lax.fori_loop(0, s, acc_t, slab)
+
+        def micro(k, slab):
+            r0 = (k * B).astype(jnp.int32)      # row within the slab
+            c0 = S0 + r0                        # global diagonal column
+            panel = lax.dynamic_slice(slab, _i32(r0, 0), (B, Npad))
+            diag = lax.dynamic_slice(panel, _i32(0, c0), (B, B))
+            # transposed-chol layout absorption: see cholesky_blocked_upper
+            Lkk = jnp.linalg.cholesky(jnp.swapaxes(diag, -1, -2))
+            inv = lax.linalg.triangular_solve(Lkk, eye_b, left_side=True,
+                                              lower=True)
+            U_k = jnp.matmul(inv, panel, precision=lax.Precision.HIGHEST)
+            U_k = jnp.where(col_idx[None, :] >= c0, U_k, 0.0)
+            slab = lax.dynamic_update_slice(slab, U_k, _i32(r0, 0))
+
+            def upd_tile(t, slab):
+                tr0 = t * Cm
+                cols = lax.dynamic_slice(U_k, _i32(0, S0 + tr0), (B, Cm))
+                upd = jnp.matmul(cols.T, U_k,
+                                 precision=lax.Precision.HIGHEST)   # (Cm,Npad)
+                keep = (tr0 + tile_idx)[:, None] >= r0 + B
+                cur = lax.dynamic_slice(slab, _i32(tr0, 0), (Cm, Npad))
+                return lax.dynamic_update_slice(
+                    slab, cur - jnp.where(keep, upd, 0.0), _i32(tr0, 0))
+
+            t0 = ((r0 + B) // Cm).astype(jnp.int32)
+            return lax.fori_loop(t0, n_tiles_m, upd_tile, slab)
+
+        slab = lax.fori_loop(0, NBm, micro, slab)
+        return lax.dynamic_update_slice(A, slab, _i32(S0, 0))
+
+    A = lax.fori_loop(0, NS, super_step, A)
+    return jnp.triu(A)[..., :N, :N]
+
+
 def _pad_upper(U: jnp.ndarray, y: jnp.ndarray, Npad: int):
     N, R = U.shape[-1], y.shape[-1]
     if Npad == N:
