@@ -134,6 +134,64 @@ class ROM:
             return float(np.linalg.norm(S))
         raise ValueError(f'Unknown semi_norm spec {spec!r}')
 
+    #: meta['gp_initializer'] strategies — the reference's dormant
+    #: GP_Initializer enum (rom/old.py:31-38,158-172) exposed. 'warm' (the
+    #: default) is plain is_read warm-starting (this repo's round-1..2
+    #: behavior); the others choose a parameter SOURCE ('current' = latest
+    #: trained, 'original' = the iteration-0 optimum) and rotate its
+    #: lengthscales into the new input basis, optionally with the
+    #: reference's guessed-lengthscale calibration factor
+    #: 0.5*M/(M - arange(M)) (old.py:161-163). The reference's 7th strategy
+    #: (RBF: isotropic pre-fit then ARD broadcast) is not exposed.
+    GP_INITIALIZERS = ('warm', 'current', 'original',
+                       'current_with_original_kernel',
+                       'original_with_current_kernel',
+                       'current_with_guessed_lengthscales',
+                       'original_with_guessed_lengthscales')
+
+    @staticmethod
+    def _snapshot_params(gp: MOGP) -> Dict[str, np.ndarray]:
+        return {'lengthscales': np.array(gp.kernel.data.lengthscales.np,
+                                         dtype=float),
+                'variance': np.array(gp.kernel.data.variance.np, dtype=float),
+                'noise': np.array(gp.likelihood.data.variance.np, dtype=float)}
+
+    @staticmethod
+    def _rotate_lengthscales(ls: np.ndarray, rotation: np.ndarray,
+                             guessed: bool = False) -> np.ndarray:
+        """Lengthscales re-expressed in the rotated basis Theta: per output
+        row, ls_new[m] = sum_k Theta[m,k] ls[k] (reference einsum
+        'MK, JK -> M', old.py:161-167), positivity restored by abs + floor
+        (this repo's positive-transform parameterization cannot hold the
+        reference's possible negatives). ``guessed`` applies the reference's
+        calibration factor 0.5*M/(M - m). Isotropic (L,1) lengthscales are
+        rotation-invariant and returned unchanged."""
+        ls = np.asarray(ls, dtype=float)
+        if ls.shape[-1] == 1:
+            return ls
+        M = ls.shape[-1]
+        out = np.abs(ls @ np.asarray(rotation, dtype=float).T)
+        if guessed:
+            out = out * (0.5 * M / (M - np.arange(M, dtype=float)))
+        return np.maximum(out, 1e-6)
+
+    def _apply_gp_initializer(self, gp: MOGP, rotation: np.ndarray,
+                              strategy: str, original: Dict[str, np.ndarray]):
+        if strategy not in self.GP_INITIALIZERS:
+            raise ValueError(f"Unknown gp_initializer {strategy!r}; "
+                             f"choose from {self.GP_INITIALIZERS}")
+        current = self._snapshot_params(gp)
+        params = original if strategy.startswith('original') else current
+        ls_src = params['lengthscales']
+        if strategy == 'current_with_original_kernel':
+            ls_src = original['lengthscales']
+        elif strategy == 'original_with_current_kernel':
+            ls_src = current['lengthscales']
+        ls = self._rotate_lengthscales(
+            ls_src, rotation, guessed=strategy.endswith('guessed_lengthscales'))
+        gp._kernel.data.replace(lengthscales=ls, variance=params['variance'])
+        gp._likelihood.data.replace(variance=params['noise'])
+
     def calibrate(self, **kwargs) -> Dict[str, Any]:
         """Run the alternating rotation loop; persists per-iteration history
         and the final closed Sobol' indices."""
@@ -146,7 +204,9 @@ class ROM:
         gp.calibrate(**opt_kwargs)
         score = self._leading_closed_sobol(gp, m)
         self.history.append({'iteration': 0, 'S_m': score})
+        original = self._snapshot_params(gp)   # the GP_Initializer 'original'
         method = str(meta.get('rotation_method', 'active_subspace'))
+        initializer = str(meta.get('gp_initializer', 'warm'))
         for it in range(1, iterations + 1):
             if method == 'sobol':
                 rotation = self._sobol_rotation(gp, m, meta)
@@ -154,6 +214,8 @@ class ROM:
                 rotation = self._active_subspace_rotation(gp, int(meta['sample_size']), rng)
             self.fold.X_rotation = rotation
             gp = self._gp(is_read=True)       # warm start from previous params
+            if initializer != 'warm':
+                self._apply_gp_initializer(gp, rotation, initializer, original)
             gp.calibrate(**opt_kwargs)
             new_score = self._leading_closed_sobol(gp, m)
             self.history.append({'iteration': it, 'S_m': new_score})

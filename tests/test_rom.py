@@ -128,3 +128,40 @@ def test_rom_semi_norm_specs():
         ROM._semi_norm(S, 'nope')
     with pytest.raises(ValueError):
         ROM._semi_norm(S, {'bad': 1})
+
+
+def test_rom_rotate_lengthscales_formula():
+    """The guessed-lengthscale rotation reproduces the reference's formula
+    (rom/old.py:161-163): ls @ Theta^T scaled by 0.5*M/(M-m), positivity
+    restored; isotropic (L,1) lengthscales pass through unchanged."""
+    from romcomma_tpu.rom.rom import ROM
+    ls = np.array([[1.0, 2.0, 4.0]])
+    theta = np.eye(3)[[2, 0, 1]]              # permutation rotation
+    out = ROM._rotate_lengthscales(ls, theta)
+    np.testing.assert_allclose(out, [[4.0, 1.0, 2.0]])
+    out_g = ROM._rotate_lengthscales(ls, theta, guessed=True)
+    np.testing.assert_allclose(out_g, [[4.0, 1.0, 2.0]]
+                               * (0.5 * 3 / (3 - np.arange(3.0))))
+    iso = ROM._rotate_lengthscales(np.array([[2.0]]), theta)
+    np.testing.assert_allclose(iso, [[2.0]])
+    # a reflecting rotation cannot produce negative lengthscales
+    neg = ROM._rotate_lengthscales(ls, -np.eye(3))
+    assert np.all(neg > 0)
+
+
+def test_rom_gp_initializer_strategies(tmp_root):
+    """Every exposed GP_Initializer strategy (reference rom/old.py:31-38)
+    drives the ROM loop to a finite history; unknown names raise."""
+    from romcomma_tpu.rom.rom import ROM
+    repo = _linear_repo(tmp_root)
+    fold = Fold(repo, 0)
+    for strategy in ('current', 'original_with_guessed_lengthscales'):
+        rom = ROM(f'rom_{strategy}', fold, iterations=1, m=1,
+                  sample_size=256, maxiter=30, gp_initializer=strategy)
+        meta = rom.calibrate()
+        assert np.isfinite(meta['S_m'])
+        assert len(meta['history']) >= 2
+    rom = ROM('rom_bad', fold, iterations=1, m=1, sample_size=256,
+              maxiter=5, gp_initializer='nope')
+    with pytest.raises(ValueError):
+        rom.calibrate()
