@@ -14,7 +14,9 @@ host-paced factorized error engine (bounded dispatches for tunnelled
 runtimes).  The CPU oracle shares the same posterior arrays so the reported
 deviation isolates the engine arithmetic.
 
-Usage:  python benchmarks/error_gsa.py [N] [M] [n_chunk]
+Usage:  python benchmarks/error_gsa.py [N] [M] [n_chunk] [oracle] [mixed]
+        mixed: '' (backend default: 'ff' on accelerators), 'f64' (pure),
+        'ff', 'f32'.
 Prints one JSON line: backend, wall times, max |acc - cpu| error.
 """
 
@@ -33,7 +35,7 @@ import numpy as np
 
 
 def main(N: int = 8192, M: int = 30, n_chunk: int = 0,
-         oracle: int = 1) -> dict:
+         oracle: int = 1, intervals_mixed: 'bool | str | None' = None) -> dict:
     import jax
     import jax.numpy as jnp
     from romcomma_tpu.parallel import distributed as dist
@@ -58,7 +60,8 @@ def main(N: int = 8192, M: int = 30, n_chunk: int = 0,
 
     t0 = time.time()
     acc = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X, kind=kinds,
-                            n_chunk=n_chunk, error=True)
+                            n_chunk=n_chunk, error=True,
+                            intervals_mixed=intervals_mixed)
     t_acc = time.time() - t0
     print(f'accelerator error-GSA done in {t_acc:.1f}s '
           f'(phases {dgp.last_gsa_timings})', flush=True)
@@ -126,6 +129,12 @@ def main(N: int = 8192, M: int = 30, n_chunk: int = 0,
     return result
 
 
+def _mixed_arg(v: str):
+    return {'': None, 'f64': False, 'ff': 'ff', 'f32': True}[v]
+
+
 if __name__ == '__main__':
-    args = [int(a) for a in sys.argv[1:]]
+    args = [int(a) for a in sys.argv[1:5]]
+    if len(sys.argv) > 5:
+        args.append(_mixed_arg(sys.argv[5]))
     main(*args)

@@ -331,20 +331,34 @@ def covariant_upper_lml(x: jnp.ndarray, lengthscales: jnp.ndarray,
     block = block or COVARIANT_UPPER_BLOCK
     block = min(block, -(-LN // 128) * 128)
     Npad = -(-LN // block) * block
-    unit = rbf_gram_covariant_unit(x, lengthscales).reshape(LN, LN)
-    unit_p = jnp.zeros((Npad, Npad), dt).at[:LN, :LN].set(jnp.asarray(unit, dt))
-    y_p = jnp.zeros((Npad, 1), dt).at[:LN, :].set(
-        jnp.asarray(y.T.reshape(LN, 1), dt))
     r = jnp.arange(Npad)
     blk = jnp.where(r < LN, r // N, L)                      # block row index
-    onehot = (blk[:, None] == jnp.arange(L + 1)[None, :]).astype(dt)
     # sample position within a block; unique negatives on padding rows so the
     # noise term's delta_nm never fires there
     posn = jnp.where(r < LN, r % N, -(r + 1))
-    pad_idx = jnp.arange(LN, Npad)
 
-    chol = jax.jit(partial(blocked.cholesky_blocked_upper, block=block),
-                   donate_argnums=(0,))
+    @jax.jit
+    def _build_unit():
+        # ONE fused program (peak: sqdist temp + output) — the eager
+        # op-by-op build held 3-4 (Npad,Npad) temporaries and OOM'd the
+        # 16 GB chip near LN~32k.
+        u = (jnp.asarray(x, dt)[None, :, :]
+             / jnp.asarray(lengthscales, dt)[:, None, :]).reshape(LN, M)
+        u = jnp.zeros((Npad, M), dt).at[:LN].set(u)   # pad rows at origin
+        sq = jnp.sum(u * u, axis=-1)
+        d = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+            u, u.T, precision=jax.lax.Precision.HIGHEST)
+        live = (r < LN).astype(dt)
+        return jnp.exp(-0.5 * jnp.maximum(d, 0.0)) * (live[:, None]
+                                                      * live[None, :])
+
+    unit_p = _build_unit()
+    y_p = jnp.zeros((Npad, 1), dt).at[:LN, :].set(
+        jnp.asarray(y.T.reshape(LN, 1), dt))
+
+    chol = jax.jit(partial(blocked.cholesky_blocked_upper_2level, block=block,
+                           super_block=3584),   # measured TPU win, see
+                   donate_argnums=(0,))         # DistributedGP.DENSE_SUPER_BLOCK
     fwd = jax.jit(partial(blocked.solve_upper_t, block=block))
     bwd = jax.jit(partial(blocked.solve_upper, block=block))
     inv = jax.jit(partial(blocked.invert_upper_blocked, block=block,
@@ -354,15 +368,20 @@ def covariant_upper_lml(x: jnp.ndarray, lengthscales: jnp.ndarray,
     const = -0.5 * LN * math.log(2.0 * math.pi)
 
     @jax.jit
-    def assemble(F, noise_cov):
+    def assemble(unit, F, noise_cov):
+        # unit is an ARGUMENT (not a closure constant): closure constants
+        # can be materialized into the program image. The (L+1,L+1)-indexed
+        # gathers fuse into the single elementwise combine; the pad tail's
+        # unit diagonal rides the same expression (no scatter copy).
         F_ext = jnp.zeros((L + 1, L + 1), dt).at[:L, :L].set(jnp.asarray(F, dt))
         N_ext = jnp.zeros((L + 1, L + 1), dt).at[:L, :L].set(
             jnp.asarray(noise_cov, dt))
-        Fbig = onehot @ F_ext @ onehot.T
-        Nbig = onehot @ N_ext @ onehot.T
         eqn = posn[:, None] == posn[None, :]
-        K = unit_p * Fbig + jnp.where(eqn, Nbig, jnp.zeros((), dt))
-        return K.at[pad_idx, pad_idx].set(1.0)              # identity tail
+        pad_eye = ((r >= LN)[:, None]) & (r[:, None] == r[None, :])
+        return (unit * F_ext[blk[:, None], blk[None, :]]
+                + jnp.where(eqn, N_ext[blk[:, None], blk[None, :]],
+                            jnp.zeros((), dt))
+                + pad_eye.astype(dt))
 
     def _value(U, z):
         value = -0.5 * jnp.sum(z * z) - logdiag(U) + const
@@ -373,7 +392,7 @@ def covariant_upper_lml(x: jnp.ndarray, lengthscales: jnp.ndarray,
     arangeL = jnp.arange(L)
 
     @jax.jit
-    def grads_stream(V, alpha):
+    def grads_stream(unit, V, alpha):
         a_full = alpha[:, 0]
 
         def body(t, acc):
@@ -386,7 +405,7 @@ def covariant_upper_lml(x: jnp.ndarray, lengthscales: jnp.ndarray,
                                    precision=jax.lax.Precision.HIGH)
             a_s = jax.lax.dynamic_slice(alpha, (r0, jnp.int32(0)), (strip, 1))
             Bbar = 0.5 * (a_s * a_full[None, :] - kinv_cols.T)   # (strip,Npad)
-            unit_rows = jax.lax.dynamic_slice(unit_p, (r0, jnp.int32(0)),
+            unit_rows = jax.lax.dynamic_slice(unit, (r0, jnp.int32(0)),
                                               (strip, Npad))
             colblock = (Bbar * unit_rows)[:, :LN].reshape(strip, L, N).sum(-1)
             rowblk = (((gidx[:, None] // N) == arangeL[None, :])
@@ -404,12 +423,12 @@ def covariant_upper_lml(x: jnp.ndarray, lengthscales: jnp.ndarray,
 
     @jax.custom_vjp
     def lml(F, noise_cov):
-        U = chol(assemble(F, noise_cov))
+        U = chol(assemble(unit_p, F, noise_cov))
         z = fwd(U, y_p)
         return _value(U, z)
 
     def lml_fwd(F, noise_cov):
-        U = chol(assemble(F, noise_cov))
+        U = chol(assemble(unit_p, F, noise_cov))
         z = fwd(U, y_p)
         value = _value(U, z)
         alpha = bwd(U, z)
@@ -418,7 +437,7 @@ def covariant_upper_lml(x: jnp.ndarray, lengthscales: jnp.ndarray,
 
     def lml_bwd(res, gbar):
         alpha, V = res
-        dF, dnz = grads_stream(V, alpha)
+        dF, dnz = grads_stream(unit_p, V, alpha)
         return gbar * dF, gbar * dnz
 
     lml.defvjp(lml_fwd, lml_bwd)

@@ -213,9 +213,17 @@ def cholesky_blocked_upper_2level(a: jnp.ndarray, block: int = 256,
     differentiable."""
     N = a.shape[-1]
     B = block
-    SB = max(super_block, B)
-    SB = _round_up(SB, B)
-    Npad = _round_up(N, SB)
+    Npad = _round_up(N, B)
+    # Snap SB DOWN to a multiple of B dividing Npad: re-padding an input
+    # that is already block-aligned (the engine's staged gram) would hold a
+    # second (Npad',Npad') buffer next to the donated one — a 19 GB HBM OOM
+    # at N=50k (measured). Worst case SB degenerates to B (= right-looking).
+    SB = max(min(super_block, Npad), B)
+    NBpad = Npad // B
+    sb_blocks = SB // B
+    while NBpad % sb_blocks:
+        sb_blocks -= 1
+    SB = sb_blocks * B
     A = _pad_spd(a, Npad)
     NS = Npad // SB
     NBm = SB // B

@@ -370,6 +370,13 @@ class DistributedGP:
     #: per-panel triangular inverse to 1024x1024 — more f32 conditioning
     #: exposure on near-breakdown grams — so 512 stays the default.
     DENSE_BLOCK: int = 512
+    #: super-panel rows of the two-level left-looking Cholesky
+    #: (ops/blocked.cholesky_blocked_upper_2level — snapped down to a
+    #: divisor of Npad inside the kernel). Measured f32 TPU vs the
+    #: right-looking kernel: N=50000 7.85 -> 4.82 s (SB 3584), N=20000
+    #: 0.63 -> 0.39 s (SB 2048) — the deferred trailing updates issue as
+    #: (SB,SB)@(SB,Npad) matmuls at full MXU rate.
+    DENSE_SUPER_BLOCK: int = 3584
 
     def __init__(self, N: int, mesh: Mesh | None = None, block: int = 256,
                  dtype=None, dense_kernels: bool = False):
@@ -398,7 +405,9 @@ class DistributedGP:
             from romcomma_tpu.ops import blocked
             bb = max(block, min(self.DENSE_BLOCK, self.plan.Npad))
             self._chol = jax.jit(
-                functools.partial(blocked.cholesky_blocked_upper, block=bb),
+                functools.partial(blocked.cholesky_blocked_upper_2level,
+                                  block=bb,
+                                  super_block=self.DENSE_SUPER_BLOCK),
                 donate_argnums=(0,))
             self._fwd = jax.jit(functools.partial(blocked.solve_upper_t, block=bb))
             self._bwd = jax.jit(functools.partial(blocked.solve_upper, block=bb))
