@@ -339,18 +339,27 @@ def covariant_upper_lml(x: jnp.ndarray, lengthscales: jnp.ndarray,
 
     @jax.jit
     def _build_unit():
-        # ONE fused program (peak: sqdist temp + output) — the eager
-        # op-by-op build held 3-4 (Npad,Npad) temporaries and OOM'd the
-        # 16 GB chip near LN~32k.
+        # ONE program (peak: one (Npad,Npad) temp + output). On TPU the
+        # cross term goes through the fused Pallas tile kernel: XLA lowers
+        # the thin-contraction (Npad,M)@(M,Npad) jnp matmul into a
+        # broadcast-and-reduce holding an (8,Npad,Npad) HLO temp — 33 GB
+        # at LN~32k, a compile-time OOM (measured, chain5 2026-08-18).
+        # The eager op-by-op build before this held 3-4 (Npad,Npad)
+        # temporaries and OOM'd the 16 GB chip the same way.
+        from romcomma_tpu.ops import gram as gram_mod
         u = (jnp.asarray(x, dt)[None, :, :]
              / jnp.asarray(lengthscales, dt)[:, None, :]).reshape(LN, M)
         u = jnp.zeros((Npad, M), dt).at[:LN].set(u)   # pad rows at origin
-        sq = jnp.sum(u * u, axis=-1)
-        d = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
-            u, u.T, precision=jax.lax.Precision.HIGHEST)
         live = (r < LN).astype(dt)
-        return jnp.exp(-0.5 * jnp.maximum(d, 0.0)) * (live[:, None]
-                                                      * live[None, :])
+        if gram_mod._use_pallas(u):
+            from romcomma_tpu.ops import pallas_kernels
+            unit = pallas_kernels.unit_gram(u, u)
+        else:
+            sq = jnp.sum(u * u, axis=-1)
+            d = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+                u, u.T, precision=jax.lax.Precision.HIGHEST)
+            unit = jnp.exp(-0.5 * jnp.maximum(d, 0.0))
+        return unit * (live[:, None] * live[None, :])
 
     unit_p = _build_unit()
     y_p = jnp.zeros((Npad, 1), dt).at[:LN, :].set(

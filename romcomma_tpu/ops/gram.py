@@ -98,7 +98,19 @@ def rbf_gram_covariant(x1: jnp.ndarray, x2: jnp.ndarray, lengthscales: jnp.ndarr
 
 def rbf_gram_covariant_unit(x: jnp.ndarray, lengthscales: jnp.ndarray) -> jnp.ndarray:
     """Unit-variance covariant gram (L,N,L,N) — the cacheable factor the
-    reference reuses when only the variance trains (gpf/kernels.py:74-104)."""
+    reference reuses when only the variance trains (gpf/kernels.py:74-104).
+
+    On TPU the (LN,M)@(M,LN) cross term MUST go through the fused Pallas
+    tile kernel: XLA lowers the thin-contraction (M ~ 10-30) matmul of the
+    jnp fallback into a broadcast-and-reduce that materializes an
+    (8, LN, LN) HLO temp — 33 GB at LN=32k, an instant compile-time OOM
+    (measured, chain5 2026-08-18)."""
+    if _use_pallas(x, lengthscales):
+        from romcomma_tpu.ops import pallas_kernels
+        L, M = lengthscales.shape
+        N = x.shape[0]
+        u = (x[None, :, :] / lengthscales[:, None, :]).reshape(L * N, M)
+        return pallas_kernels.unit_gram(u, u).reshape(L, N, L, N)
     L, M = lengthscales.shape
     N = x.shape[0]
     u = (x[None, :, :] / lengthscales[:, None, :]).reshape(L * N, M)

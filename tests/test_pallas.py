@@ -91,3 +91,46 @@ def test_dispatch_routes_to_pallas_when_forced():
     x64 = x.astype(jnp.float64)
     out64 = gram.rbf_gram(x64, x64, jnp.ones(2), 1.0)
     assert out64.dtype == jnp.float64
+
+
+def test_covariant_unit_gram_pallas_route_matches_oracle():
+    """rbf_gram_covariant_unit routes through the fused Pallas kernel on
+    accelerator backends (the jnp thin-matmul build materializes an
+    (8,LN,LN) HLO temp on TPU — a compile-time OOM at LN~32k)."""
+    x = _rand((23, 6), 11)
+    ls = jnp.asarray(np.random.default_rng(12).uniform(0.5, 2.0, (3, 6)),
+                     jnp.float32)
+    L, N = 3, 23
+    u = (x[None, :, :] / ls[:, None, :]).reshape(L * N, 6)
+    want = jnp.exp(-0.5 * gram._sqdist(u, u)).reshape(L, N, L, N)
+    got = gram.rbf_gram_covariant_unit(x, ls)   # _INTERPRET forces the route
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_covariant_upper_lml_pallas_unit_build_matches_builtin():
+    """covariant_upper_lml's padded unit-gram build takes the Pallas route
+    under interpret mode and the custom-VJP LML still matches the builtin
+    covariant objective (value and F/noise gradients)."""
+    from romcomma_tpu.models import gp
+    from romcomma_tpu.models import params as P
+
+    rng = np.random.default_rng(13)
+    L, N, M = 2, 45, 4
+    X = rng.standard_normal((N, M))
+    Y = np.stack([np.sin((l + 1.0) * X[:, 0]) for l in range(L)], axis=1)
+    raw = P.covariant_init(np.eye(L), np.full((L, M), 1.5), 0.05 * np.eye(L))
+    mask = P.covariant_mask()
+    x = jnp.asarray(X, jnp.float32)
+    y = jnp.asarray(Y, jnp.float32)
+    obj_up, _ = gp._covariant_objective_upper(raw, mask, x, y, block=128)
+    obj_bi, _ = gp._covariant_objective(
+        jax.tree_util.tree_map(lambda t: t.astype(jnp.float32), raw),
+        mask, x, y, ls_frozen=True)
+    raw32 = jax.tree_util.tree_map(lambda t: t.astype(jnp.float32), raw)
+    v_up, g_up = jax.value_and_grad(obj_up)(raw32)
+    v_bi, g_bi = jax.value_and_grad(obj_bi)(raw32)
+    np.testing.assert_allclose(float(v_up), float(v_bi), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_up),
+                    jax.tree_util.tree_leaves(g_bi)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
