@@ -4,8 +4,10 @@ f32 two-float-split exp), and plain f32 (gsa_dtype) — with |dS| vs the f64
 reference. Skips training: hyperparameters are fixed at plausible values.
 
 Usage:  python benchmarks/gsa_intervals.py [N] [M] [modes]
-        modes: comma list of f64,mixed,ff,f32 (default 'f64,mixed');
-        'ff' is the float-float (~3e-11) tier (gsa.base.ff_exp_nonpos)
+        modes: comma list of f64,mixed,ff,f32,default (default 'f64,mixed');
+        'ff' is the float-float (~3e-11) tier (gsa.base.ff_exp_nonpos);
+        'default' exercises the backend policy (accelerators: f32 planes
+        + f64 quadform accumulation)
 Prints one JSON line per mode.
 """
 
@@ -41,6 +43,8 @@ def main(N: int = 20000, M: int = 30, modes: str = 'f64,mixed'):
         kw = ({'intervals_mixed': False} if mode == 'f64' else
               {'intervals_mixed': True} if mode == 'mixed' else
               {'intervals_mixed': 'ff'} if mode == 'ff' else
+              {} if mode == 'default' else   # backend policy (accelerators:
+                                             # f32 planes + f64 accumulation)
               {'gsa_dtype': np.float32, 'intervals_mixed': False})
         t0 = time.time()
         S = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, X,

@@ -352,12 +352,15 @@ class ClosedSobol(Calibrator):
     def _intervals_finalize(self, pack, acc, specs, slices
                             ) -> 'Tuple[list, jnp.ndarray]':
         """V columns (list aligned with ``slices``) from accumulated chunk
-        quadforms, with the per-slice inverse determinants applied."""
+        quadforms, with the per-slice inverse determinants applied. Under
+        the f64-accumulation tier (``intervals_acc_f64``) the quadforms
+        arrive float64 and everything from here on promotes to f64."""
         qf_s, qf_p, qf_f = acc
+        adt = qf_s.dtype
         V_single = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_s, pack['inv_single'])
         V_prefix = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_p, pack['inv_prefix'])
         V_suffix = jnp.einsum('mlLjJ, lLjJm -> mlj', qf_f, pack['inv_suffix'])
-        s_sum = jnp.einsum('lLN -> l', pack['g'])
+        s_sum = jnp.einsum('lLN -> l', pack['g'].astype(adt))
         V_empty = jnp.einsum('l, j -> lj', s_sum, s_sum)
         columns = []
         for spec, m in zip(specs, slices):
@@ -402,9 +405,12 @@ class ClosedSobol(Calibrator):
         chunk = self._intervals_chunk()
         pack = self._intervals_pack(chunk)
         nc = pack['Gq'].shape[0]
+        acc_dtype = (jnp.float64 if self.meta.get('intervals_acc_f64', False)
+                     else self.G.dtype)
         chunk_body = _intervals_body(need, self._intervals_exp_mode(),
-                                     (l, L, N, M), self.G.dtype)
-        zero_qf = jnp.zeros((M, l, L, l, L), dtype=self.G.dtype)
+                                     (l, L, N, M), self.G.dtype,
+                                     acc_dtype=acc_dtype)
+        zero_qf = jnp.zeros((M, l, L, l, L), dtype=acc_dtype)
 
         if host_paced:
             import jax
@@ -424,14 +430,22 @@ class ClosedSobol(Calibrator):
 
 
 def _intervals_body(need: Dict[str, bool], exp_mode,
-                    dims: Tuple[int, int, int, int], dtype):
+                    dims: Tuple[int, int, int, int], dtype, acc_dtype=None):
     """The factorized interval pass's chunk step as a PURE function
     ``body(pack, acc, xs) -> acc`` of the per-output tensor pack
     (:meth:`ClosedSobol._intervals_pack`) — so independent outputs stack on
-    a leading axis and the step vmaps over it. ``dims`` = (l, L, N, M)."""
+    a leading axis and the step vmaps over it. ``dims`` = (l, L, N, M).
+
+    ``acc_dtype`` (default: the plane dtype) is the dtype of the reduced
+    per-chunk quadforms and their across-chunk accumulation — the f32-planes
+    fast tier keeps the O(N*c) plane arithmetic float32 (full-rate on TPU,
+    where f64 is emulated) but accumulates the (M,l,L,l,L) quadforms in
+    float64, protecting the cancellation-sensitive across-chunk sums and
+    the shift-undo exp at negligible cost."""
     from jax import lax
     from romcomma_tpu.gsa.base import shifted_exp
     l, L, N, M = dims
+    acc_dtype = dtype if acc_dtype is None else acc_dtype
 
     def e_step(Gp1, Phi1, PsiPhi1, Gq1):
         """Per-dim exponent plane (l,L,N,j,J,c)."""
@@ -451,13 +465,14 @@ def _intervals_body(need: Dict[str, bool], exp_mode,
             """Quadform of exp(E) over (N, c) — plane axes 2 and 5."""
             if exp_mode is None:
                 return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ',
-                                  g, jnp.exp(E), gq_c)
+                                  g, jnp.exp(E), gq_c).astype(acc_dtype)
             plane, c_max = shifted_exp(E, (2, 5), exp_mode)
             q = jnp.einsum('lLN, lLNjJc, jJc -> lLjJ', g, plane, gq_c)
-            return q * jnp.exp(c_max[:, :, 0, :, :, 0])
+            return (q.astype(acc_dtype)
+                    * jnp.exp(c_max[:, :, 0, :, :, 0].astype(acc_dtype)))
 
         if need['single'] or need['prefix']:
-            zero = jnp.zeros((l, L, l, L), dtype=dtype)
+            zero = jnp.zeros((l, L, l, L), dtype=acc_dtype)
 
             def fwd(E, xs_m):
                 e = e_step(*xs_m)
@@ -519,9 +534,12 @@ def marginalize_intervals_stacked(cals: 'List[ClosedSobol]',
     packs = [c._intervals_pack(chunk) for c in cals]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *packs)
     nc = packs[0]['Gq'].shape[0]
-    body = _intervals_body(need, exp_mode, (l, L, N, M), first.G.dtype)
+    acc_dtype = (jnp.float64 if first.meta.get('intervals_acc_f64', False)
+                 else first.G.dtype)
+    body = _intervals_body(need, exp_mode, (l, L, N, M), first.G.dtype,
+                           acc_dtype=acc_dtype)
     vbody = jax.vmap(body)
-    zero = jnp.zeros((O, M, l, L, l, L), dtype=first.G.dtype)
+    zero = jnp.zeros((O, M, l, L, l, L), dtype=acc_dtype)
     acc = (zero, zero, zero)
     if host_paced:
         step = jax.jit(vbody)

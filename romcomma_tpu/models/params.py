@@ -84,7 +84,15 @@ def _chol_init(cov: np.ndarray):
         diag = np.maximum(diag, CHOLESKY_DIAGONAL_LOWER_BOUND * (1 + 1e-6))
     raw_diag = positive_inverse(diag, CHOLESKY_DIAGONAL_LOWER_BOUND)
     lower = pack_tril_strict(chol)
-    return jnp.asarray(np.asarray(raw_diag)), jnp.asarray(lower)
+    # The factorization above runs in f64 for robustness, but the RAW
+    # PARAMS must land at the framework working dtype: x64 capability is
+    # always on, so an f64 leaf here silently promotes the entire
+    # covariant chain to emulated f64 on TPU under ROMCOMMA_X64=0
+    # (measured: the f64 thin-matmul gram build emulates as f32 pair
+    # temps of (8,LN,LN) — a compile-time OOM at LN~24k).
+    dt = FLOAT()
+    return (jnp.asarray(np.asarray(raw_diag, dtype=dt)),
+            jnp.asarray(np.asarray(lower, dtype=dt)))
 
 
 def covariant_init(kernel_cov: np.ndarray, lengthscales: np.ndarray,

@@ -934,23 +934,34 @@ class DistributedGP:
         t_posterior = time.time() - t0
         N, M = self.plan.N, X.shape[1]
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
-        f64 = jnp.float64 if (gsa_dtype is None or error) else jnp.dtype(gsa_dtype)
-        # Mixed interval precision (f64 exponents/reductions, overflow-safe
-        # shifted fast exp — gsa.base.shifted_exp): default ON for f64
-        # interval passes on accelerator backends, where the emulated-f64
-        # transcendental dominates the pass. NO-ERROR passes use the f32
-        # tier — measured N=20000/M=30 TPU: intervals 133 s vs 221 s pure
-        # f64, |dS| 5.3e-6 absolute (gsa_dtype=float32 is the max-speed
-        # opt-in: 49 s, |dS| 4.9e-6, but f32 exponent accumulation/
-        # reductions — less headroom in extreme-lengthscale regimes). The
-        # ERROR path defaults to the float-float 'ff' tier (~3e-11
-        # relative, no f64 transcendental): T = sqrt of a near-cancelling
-        # quadform difference that amplifies plane noise ~1e3, so f32's
-        # ~6e-8 floors near-zero T at ~3e-3 while 'ff' keeps every T
-        # within ~1e-7 of the f64 oracle. intervals_mixed=False forces
-        # pure f64 exp; 'ff'/True select a tier explicitly.
+        on_accel = jax.default_backend() != 'cpu'
+        # Interval-pass precision policy (all deltas vs the f64 oracle,
+        # benchmarks/gsa_intervals.py):
+        #   NO-ERROR on accelerators: f32 planes + f64 quadform
+        #   accumulation (intervals_acc_f64). The emulated-f64 exponent
+        #   arithmetic dominates the pass on TPU — measured N=50000/M=30:
+        #   pure f64 921 s, mixed (f64 exponents + shifted-f32 exp) 705 s,
+        #   plain f32 29 s at |dS| 1.9e-5 vs mixed's 1.26e-5; N=20000:
+        #   221 / 133 / 49 s at |dS| 4.9e-6 vs mixed's 5.3e-6. f32 planes
+        #   cost NOTHING in measured accuracy, and the f64 accumulation
+        #   tier protects the cancellation-sensitive across-chunk sums
+        #   where plain f32 had the least headroom. gsa_dtype=float32
+        #   opts into pure f32; gsa_dtype=np.float64 forces f64 planes
+        #   (then intervals_mixed picks the exp tier, default shifted-f32).
+        #   All f32-tier exps are log-sum-exp-shifted — a naive f32 exp
+        #   overflows at E > 88, reached at N=50k.
+        #   ERROR passes stay f64 planes with the float-float 'ff' exp
+        #   tier (~3e-11): T = sqrt of a near-cancelling quadform
+        #   difference that amplifies plane noise ~1e3, so f32's ~6e-8
+        #   floors near-zero T at ~3e-3 while 'ff' keeps every T within
+        #   ~1e-7 of the f64 oracle.
+        if gsa_dtype is None and not error and on_accel:
+            f64 = jnp.float32
+            meta['intervals_acc_f64'] = True
+        else:
+            f64 = (jnp.float64 if (gsa_dtype is None or error)
+                   else jnp.dtype(gsa_dtype))
         if intervals_mixed is None:
-            on_accel = jax.default_backend() != 'cpu'
             intervals_mixed = (('ff' if error else True)
                                if on_accel and f64 == jnp.float64 else False)
         meta['intervals_mixed'] = intervals_mixed
@@ -1046,11 +1057,17 @@ class DistributedGP:
         kinds = (kind,) if isinstance(kind, str) else tuple(kind)
         L_out = ls.shape[0]
         N, M = self.plan.N, X.shape[1]
-        f64 = jnp.float64 if gsa_dtype is None else jnp.dtype(gsa_dtype)
-        if intervals_mixed is None:
-            intervals_mixed = (f64 == jnp.float64
-                               and jax.default_backend() != 'cpu')
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
+        on_accel = jax.default_backend() != 'cpu'
+        # Same precision policy as sobol_indices: f32 planes + f64 quadform
+        # accumulation on accelerators (no-error pass), f64 otherwise.
+        if gsa_dtype is None and on_accel:
+            f64 = jnp.float32
+            meta['intervals_acc_f64'] = True
+        else:
+            f64 = jnp.float64 if gsa_dtype is None else jnp.dtype(gsa_dtype)
+        if intervals_mixed is None:
+            intervals_mixed = (f64 == jnp.float64 and on_accel)
         meta['intervals_mixed'] = bool(intervals_mixed)
         t0 = time.time()
         alphas = []

@@ -482,3 +482,69 @@ def test_distributed_sobol_error_mode_matches_direct():
             np.testing.assert_allclose(out['T']['total'][m],
                                        float(np.asarray(want_suf['T'])[0, 0]),
                                        rtol=1e-5, atol=1e-7)
+
+
+def _calibrator_f32(n_chunk=32, N=300, M=4, L=2, seed=0, **meta_extra):
+    """f32-plane calibrator on the same posterior as _calibrator (hyper
+    arrays cast; the posterior solve itself stays f64, as in production
+    where the refined alpha feeds the f32 interval pass)."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(N, M))
+    y = np.stack([np.sin(x[:, 0]) + x[:, 1], x[:, 2] ** 2], axis=-1)[:, :L]
+    y = y + 0.05 * rng.standard_normal((N, L))
+    raw = variant_init(np.full(L, 1.0), np.full((L, M), 1.2), np.full(L, 0.05))
+    K_cho, K_inv_Y = gp.posterior_factors_variant(raw, jnp.asarray(x),
+                                                  jnp.asarray(y))
+    c = variant_constrain(raw)
+    f32 = jnp.float32
+    return ClosedSobol.from_arrays(
+        F=c['variance'][None, :].astype(f32), K_cho=K_cho.astype(f32),
+        K_inv_Y=K_inv_Y.astype(f32), Lambda=c['lengthscales'].astype(f32),
+        X=jnp.asarray(x, f32), is_F_diagonal=True, L=L, M=M, N=N,
+        n_chunk=n_chunk, **meta_extra)
+
+
+def test_marginalize_intervals_f32_planes_f64_accumulation():
+    """The accelerator no-error default (f32 planes + f64 quadform
+    accumulation, meta intervals_acc_f64) matches the pure-f64 pass to
+    f32-plane accuracy and returns float64 V — measured on TPU at
+    N=50000/M=30 this tier runs the interval pass 29 s vs 921 s pure f64
+    at |dS| 1.9e-5 (benchmarks/gsa_intervals.py, BASELINE.md)."""
+    oracle = _calibrator(n_chunk=32, N=300, M=4)
+    slices = tuple([(m, m + 1) for m in range(4)]
+                   + [(0, m + 1) for m in range(4)] + [(1, 4), (0, 4)])
+    want = oracle.marginalize_intervals(slices)
+    cal = _calibrator_f32(intervals_acc_f64=True)
+    got = cal.marginalize_intervals(slices, host_paced=True)
+    assert got['V'].dtype == jnp.float64
+    np.testing.assert_allclose(np.asarray(got['S']), np.asarray(want['S']),
+                               rtol=0.0, atol=1e-4)
+    # plain f32 accumulation stays available (gsa_dtype=float32 opt-in)
+    cal32 = _calibrator_f32()
+    got32 = cal32.marginalize_intervals(slices, host_paced=True)
+    assert got32['V'].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got32['S']), np.asarray(want['S']),
+                               rtol=0.0, atol=1e-4)
+
+
+def test_stacked_intervals_f64_accumulation_matches_single():
+    """marginalize_intervals_stacked under the f64-accumulation tier is
+    numerically identical to the per-calibrator pass at MATCHED chunk
+    (the stacked pass shrinks its chunk by the output count, so the single
+    passes here are built at that same chunk — different chunking only
+    reorders f32 plane sums, ~1e-6 relative noise)."""
+    from romcomma_tpu.gsa.calibrators import marginalize_intervals_stacked
+    slices = tuple([(m, m + 1) for m in range(4)] + [(0, 4)])
+    cals = [_calibrator_f32(seed=s, n_chunk=128, intervals_acc_f64=True,
+                            defer_V=True) for s in (0, 3)]
+    stacked = marginalize_intervals_stacked(cals, slices, host_paced=True)
+    for seed, out in zip((0, 3), stacked):
+        # stacked chunk = max(64, 128 // 2) = 64; build the single-output
+        # oracle at that exact chunk so the op sequence is identical.
+        single_cal = _calibrator_f32(seed=seed, n_chunk=64,
+                                     intervals_acc_f64=True, defer_V=True)
+        single = single_cal.marginalize_intervals(slices, host_paced=True)
+        assert out['V'].dtype == jnp.float64
+        np.testing.assert_allclose(np.asarray(out['V']),
+                                   np.asarray(single['V']),
+                                   rtol=1e-12, atol=1e-15)
