@@ -960,14 +960,25 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
             # program is a multi-minute single execution the runtime kills;
             # drive the interval pass's chunk loop from the host instead
             # (bounded dispatches — the same route DistributedGP.
-            # sobol_indices takes) and default the interval planes to a
-            # shifted fast transcendental (emulated-f64 exp dominates):
-            # f32 (~6e-8) for pure-V passes, float-float 'ff' (~3e-11,
-            # keeps near-zero T within ~1e-7 of the f64 oracle) when
-            # standard errors are computed.
+            # sobol_indices takes) and apply the same precision policy:
+            # NO-ERROR passes run f32 planes + f64 quadform accumulation
+            # (the emulated-f64 exponent arithmetic dominates on TPU —
+            # measured 29 s vs 921 s f64 at N=50k/M=30, |dS| 1.9e-5,
+            # benchmarks/gsa_intervals.py); ERROR passes stay f64 planes
+            # with the float-float 'ff' exp tier (~3e-11 — near-zero T
+            # floors at ~3e-3 under f32 planes).
             if jax.default_backend() != 'cpu':
-                meta.setdefault('intervals_mixed',
-                                'ff' if is_error_calculated else True)
+                if is_error_calculated:
+                    meta.setdefault('intervals_mixed', 'ff')
+                else:
+                    if 'intervals_acc_f64' not in meta:
+                        meta['intervals_acc_f64'] = True
+                        arrays = {k: v.astype(jnp.float32)
+                                  for k, v in arrays.items()}
+                    # f32 planes need no exp tier (same policy as
+                    # DistributedGP.sobol_indices) — the shifted-f32 exp
+                    # only matters when the EXPONENTS are f64.
+                    meta.setdefault('intervals_mixed', False)
             else:
                 meta.setdefault('intervals_mixed', False)
             cal = cls.from_arrays(is_F_diagonal=is_F_diagonal,

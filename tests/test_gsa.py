@@ -1,5 +1,6 @@
 """GSA tests: analytic Ishigami oracle plus structural invariants."""
 
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 import pytest
@@ -162,3 +163,36 @@ def test_gsa_columns_padding_branches():
     assert list(GSA._columns(3, 2, [1])) == [1, 3]
     assert list(GSA._columns(3, 4, [0, 1])) == [-1, 0, 1, 3]
     assert list(GSA._columns(3, 3, [0, 1, 2])) == [0, 1, 2]
+
+
+def test_whole_kind_accelerator_tier_matches_f64(trained_repo, monkeypatch):
+    """The host-paced whole-kind route's accelerator precision policy
+    (f32 planes + f64 quadform accumulation, the DistributedGP default)
+    matches the CPU f64 route to f32-plane accuracy — exercised on the CPU
+    backend by monkeypatching the backend string, the same fake-backend
+    strategy the mesh tests use."""
+    import jax
+    from romcomma_tpu.data.storage import Fold
+    from romcomma_tpu.models.gpr import MOGP
+    from romcomma_tpu.gsa import calibrators as C
+
+    fold = Fold(trained_repo, 0)
+    gp = MOGP('gpr.v.a', fold, is_read=True, is_covariant=False,
+              is_isotropic=False)
+    kinds = {'first_order': tuple((m, m + 1) for m in range(3)),
+             'total': tuple((m + 1, 3) for m in range(3))}
+    want, _ = C.marginalize_all_kinds(gp, dict(kinds), False)
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    got, extras = C.marginalize_all_kinds(gp, dict(kinds), False,
+                                          host_paced=True, gsa_on_cpu=False)
+    assert got['first_order']['V'].dtype == jnp.float64   # f64 accumulation
+    # Tolerance note: at this tiny N the f32 planes are cancellation-limited
+    # (K_inv_Y sums amplify plane noise ~1e3 — measured ~5e-3 here), while
+    # the production envelope never engages the tier below N=16384 (small N
+    # auto-routes to host f64) and the at-scale deltas vs the f64 oracle are
+    # |dS| 4.9e-6 (N=20k) / 1.9e-5 (N=50k) — BASELINE.md. This test pins the
+    # PLUMBING (tier engages, f64 accumulation, parity to f32 accuracy).
+    for k in kinds:
+        np.testing.assert_allclose(np.asarray(got[k]['S']),
+                                   np.asarray(want[k]['S']),
+                                   rtol=0.0, atol=2e-2, err_msg=k)
