@@ -53,6 +53,14 @@ class Likelihood(Model):
         """Resolve trainability flags only (reference gpr/models.py:71-80)."""
         return dict(self.META) | kwargs
 
+    def mo_gaussian(self):
+        """The math-layer MOGaussian over this model's stored noise variance
+        (reference gpr/models.py:59: ``mf.likelihoods.MOGaussian(...)``).
+        A variant (1, L) frame becomes the diagonal (L, L) covariance."""
+        from romcomma_tpu.models.likelihoods import MOGaussian
+        v = self._data.variance.df.values
+        return MOGaussian(np.diag(v[0]) if v.shape[0] == 1 else v)
+
 
 class GPR(Model):
     """Persistent GP regression model (reference gpr/models.py:88-321)."""
