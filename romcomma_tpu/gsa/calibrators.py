@@ -1065,6 +1065,16 @@ class ClosedSobolWithRotation(ClosedSobol):
     leading closed index through a Cayley parameterization of SO(M)
     (:meth:`optimize_theta`), replacing the reference's dormant
     random-exploration heuristic (rom/old.py ``N_explore``).
+
+    **Standard errors under rotation**: this class computes V/S only — it is
+    the in-optimization objective.  The W/T error analog in a rotated basis
+    is obtained BY COMPOSITION, not by full-matrix re-derivation of the
+    Omega/Upsilon/psi error families: the ROM loop persists Theta into the
+    fold (cumulative ``Fold.X_rotation``) and retrains, after which the
+    rotated basis IS the axis-aligned basis of the new model, so
+    :class:`ClosedSobolWithError` applies exactly
+    (``ROM.calibrate(is_error_calculated=True)``;
+    tests/test_rom.py::test_rom_error_gsa_in_rotated_basis).
     """
 
     def V_rotated(self, P: jnp.ndarray) -> jnp.ndarray:
