@@ -40,9 +40,19 @@ def main(N: int = 20000, M: int = 30, modes: str = 'f64,mixed'):
 
     rows = []
     for mode in modes.split(','):
-        kw = ({'intervals_mixed': False} if mode == 'f64' else
-              {'intervals_mixed': True} if mode == 'mixed' else
-              {'intervals_mixed': 'ff'} if mode == 'ff' else
+        # gsa_dtype=float64 is REQUIRED to force f64 planes: with
+        # gsa_dtype=None the accelerator policy in sobol_indices engages
+        # the f32-planes + f64-accumulation tier regardless of
+        # intervals_mixed (an earlier revision of this table relied on
+        # gsa_dtype=None defaulting to f64 — on accelerators it no longer
+        # does, and the three "f64/mixed/default" modes silently ran the
+        # SAME tier, agreeing to 0.0 exactly).
+        kw = ({'gsa_dtype': np.float64, 'intervals_mixed': False}
+              if mode == 'f64' else
+              {'gsa_dtype': np.float64, 'intervals_mixed': True}
+              if mode == 'mixed' else
+              {'gsa_dtype': np.float64, 'intervals_mixed': 'ff'}
+              if mode == 'ff' else
               {} if mode == 'default' else   # backend policy (accelerators:
                                              # f32 planes + f64 accumulation)
               {'gsa_dtype': np.float32, 'intervals_mixed': False})

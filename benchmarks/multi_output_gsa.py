@@ -49,6 +49,14 @@ def main(N: int = 8192, M: int = 30, L: int = 3, mode: str = 'all') -> dict:
     noise = np.full(L, 0.05)
     kinds = ('first_order', 'total')
 
+    # Warm protocol: the new no-error default tier makes the WARM interval
+    # pass a few seconds at this N, so one-time XLA compiles (tens of
+    # seconds through the tunnel) would dominate a single-pass comparison
+    # and invert the verdict. Each route runs twice; the second (warm) pass
+    # is the reported number, the first is recorded as *_cold_s.
+    t0 = time.time()
+    stacked = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X, kind=kinds)
+    t_stacked_cold = time.time() - t0
     t0 = time.time()
     stacked = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X, kind=kinds)
     t_stacked = time.time() - t0
@@ -57,18 +65,25 @@ def main(N: int = 8192, M: int = 30, L: int = 3, mode: str = 'all') -> dict:
     out = {'bench': 'multi_output_gsa', 'N': N, 'M': M, 'L': L,
            'backend': jax.default_backend(),
            't_stacked_s': round(t_stacked, 1),
+           't_stacked_cold_s': round(t_stacked_cold, 1),
            'stacked_timings': stacked_timings,
            'S1_per_output': [[round(stacked[l]['first_order'][m], 4)
                               for m in range(3)] for l in range(L)]}
     if mode == 'all':
+        def run_seq():
+            return [dgp.sobol_indices(ls[l], s2[l], noise[l], x_dev,
+                                      y_dev[:, l:l + 1], X, kind=kinds)
+                    for l in range(L)]
         t0 = time.time()
-        seq = [dgp.sobol_indices(ls[l], s2[l], noise[l], x_dev,
-                                 y_dev[:, l:l + 1], X, kind=kinds)
-               for l in range(L)]
+        seq = run_seq()
+        t_seq_cold = time.time() - t0
+        t0 = time.time()
+        seq = run_seq()
         t_seq = time.time() - t0
         d = max(abs(stacked[l][k][m] - seq[l][k][m])
                 for l in range(L) for k in kinds for m in range(M))
         out.update({'t_sequential_s': round(t_seq, 1),
+                    't_sequential_cold_s': round(t_seq_cold, 1),
                     'speedup': round(t_seq / t_stacked, 2),
                     'max_dS_vs_sequential': float(f'{d:.3e}')})
     print(json.dumps(out), flush=True)
