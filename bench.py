@@ -88,9 +88,14 @@ def bench_scale(N: int = 8192, M: int = 30, L: int = 1, maxiter: int = 50) -> di
     from romcomma_tpu.models import gp
     from romcomma_tpu.models.params import variant_init, variant_mask
 
+    from romcomma_tpu.base.definitions import FLOAT
+
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((N, M)))
-    y = jnp.asarray(rng.standard_normal((N, L)))
+    # FLOAT() pins the declared fast path: x64 capability is always ON, so
+    # jnp.asarray of a float64 numpy array would otherwise silently run the
+    # whole descent in emulated f64 on TPU.
+    x = jnp.asarray(rng.standard_normal((N, M)), FLOAT())
+    y = jnp.asarray(rng.standard_normal((N, L)), FLOAT())
     raw = variant_init(np.full(L, 2.0), np.full((L, M), 5.0), np.full(L, 0.05))
     mask = variant_mask()
     t0 = time.time()
@@ -119,9 +124,14 @@ def bench_scale_gsa(N: int = 8192, M: int = 30) -> dict:
     from romcomma_tpu.models.params import variant_init, variant_constrain
     from romcomma_tpu.gsa.calibrators import ClosedSobol
 
+    from romcomma_tpu.base.definitions import FLOAT
+
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((N, M)))
-    y = jnp.asarray(np.sin(np.asarray(x[:, :1])) + 0.1 * rng.standard_normal((N, 1)))
+    # FLOAT() as in bench_scale: keep the declared f32 fast path (an f64
+    # input array would run the interval planes in emulated f64 on TPU).
+    x = jnp.asarray(rng.standard_normal((N, M)), FLOAT())
+    y = jnp.asarray(np.sin(np.asarray(x[:, :1]))
+                    + 0.1 * rng.standard_normal((N, 1)), FLOAT())
     raw = variant_init(np.ones(1), np.full((1, M), 2.0), np.full(1, 0.05))
 
     def run():
