@@ -15,8 +15,11 @@ runtimes).  The CPU oracle shares the same posterior arrays so the reported
 deviation isolates the engine arithmetic.
 
 Usage:  python benchmarks/error_gsa.py [N] [M] [n_chunk] [oracle] [mixed]
+                                       [fast_v]
         mixed: '' (backend default: 'ff' on accelerators), 'f64' (pure),
         'ff', 'f32'.
+        fast_v: 1 = gsa_dtype=float32 (the base V pass runs the f32-planes
+        + f64-accumulation tier; the W/T sweep stays f64 — |dT| <= 1.4e-5).
 Prints one JSON line: backend, wall times, max |acc - cpu| error.
 """
 
@@ -35,7 +38,8 @@ import numpy as np
 
 
 def main(N: int = 8192, M: int = 30, n_chunk: int = 0,
-         oracle: int = 1, intervals_mixed: 'bool | str | None' = None) -> dict:
+         oracle: int = 1, intervals_mixed: 'bool | str | None' = None,
+         fast_v: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     from romcomma_tpu.parallel import distributed as dist
@@ -61,7 +65,8 @@ def main(N: int = 8192, M: int = 30, n_chunk: int = 0,
     t0 = time.time()
     acc = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X, kind=kinds,
                             n_chunk=n_chunk, error=True,
-                            intervals_mixed=intervals_mixed)
+                            intervals_mixed=intervals_mixed,
+                            **({'gsa_dtype': np.float32} if fast_v else {}))
     t_acc = time.time() - t0
     print(f'accelerator error-GSA done in {t_acc:.1f}s '
           f'(phases {dgp.last_gsa_timings})', flush=True)
@@ -137,4 +142,6 @@ if __name__ == '__main__':
     args = [int(a) for a in sys.argv[1:5]]
     if len(sys.argv) > 5:
         args.append(_mixed_arg(sys.argv[5]))
+    if len(sys.argv) > 6:
+        args.append(int(sys.argv[6]))
     main(*args)

@@ -102,6 +102,7 @@ class ClosedSobol(Calibrator):
         self.meta = meta
         self.L, self.M, self.N = L, M, N
         self.Ms = (0, self.M)
+        self.F_input = F          # pre-reshape copy (fast_V twin construction)
         self.F, self.K_cho, self.K_inv_Y = F, K_cho, K_inv_Y
         self.is_F_diagonal = is_F_diagonal
         if self.is_F_diagonal:
@@ -809,7 +810,30 @@ class ClosedSobolWithError(ClosedSobol):
         extra = not hasattr(self, 'V') and (0, self.M) not in slices
         eff = slices + ((0, self.M),) if extra else slices
         eff_specs = specs + [('prefix', self.M)] if extra else specs
-        base = super().marginalize_intervals(eff, host_paced)
+        if self.meta.get('fast_V', False) and self.is_F_diagonal:
+            # fast_V: the base V pass runs in the f32-planes +
+            # f64-accumulation tier on a throwaway twin while the error
+            # sweep below stays f64 — V only feeds the S ratios and the T
+            # normalizers (V[1]/V[4]/per-slice Vm), where its ~6e-6
+            # relative error lands as \|dT\| ~ 1.4e-5 against the all-f64
+            # oracle (measured N=2048/M=10; near-zero T unaffected at
+            # ~1e-12). On TPU this removes the emulated-f64 V pass — 167 s
+            # of a 740 s N=20000 error run.
+            twin_meta = {k: self.meta[k] for k in ('n_chunk',)
+                         if k in self.meta}
+            f32 = jnp.float32
+            twin = ClosedSobol.from_arrays(
+                F=jnp.asarray(self.F_input, f32),
+                K_cho=jnp.zeros((1, 1, 1), f32),
+                K_inv_Y=jnp.asarray(self.K_inv_Y, f32),
+                Lambda=jnp.asarray(self.Lambda, f32),
+                X=jnp.asarray(self.X, f32),
+                is_F_diagonal=True, L=self.L, M=self.M, N=self.N,
+                defer_V=True, intervals_acc_f64=True, **twin_meta)
+            base = {k: jnp.asarray(v, jnp.float64) for k, v in
+                    twin.marginalize_intervals(eff, host_paced).items()}
+        else:
+            base = super().marginalize_intervals(eff, host_paced)
         if not hasattr(self, 'V'):
             self._adopt_V(base['V'][..., eff.index((0, self.M))])
         base |= factorized_errors.intervals(self, eff, eff_specs,

@@ -892,7 +892,14 @@ class DistributedGP:
         where f64 is emulated.
 
         ``error``: also compute the Sobol' standard errors W/T through the
-        factorized scan engine (gsa/factorized_errors.py; always f64). The
+        factorized scan engine (gsa/factorized_errors.py; always f64 planes
+        for the W/T sweep itself — but pass ``gsa_dtype=np.float32`` to opt
+        the BASE V pass into the f32-planes + f64-accumulation tier
+        (meta fast_V), removing the emulated-f64 V pass from the run.
+        Deltas vs the all-f64 oracle are N- and conditioning-dependent:
+        dT <= 1.4e-5 / dS ~ 6e-6 at N=2048/M=10 with unit hypers;
+        dS ~ 2.6e-4 / dT ~ 5.5e-5 on a trained tight-lengthscale Ishigami
+        posterior at N=120, where the ratio cancellations average less). The
         psi integrals need the dense Cholesky factor of K in ORIGINAL row
         order, which is refactorized in f64 on the host CPU (one-shot
         analytics cost; the distributed factor is block-cyclic-permuted and
@@ -961,6 +968,16 @@ class DistributedGP:
         else:
             f64 = (jnp.float64 if (gsa_dtype is None or error)
                    else jnp.dtype(gsa_dtype))
+            if error and gsa_dtype is not None and \
+                    jnp.dtype(gsa_dtype) == jnp.float32:
+                # Opt-in fast error mode: the W/T sweep keeps f64 planes +
+                # 'ff' exp (T needs them — see the policy note above), but
+                # the base V pass runs the f32-planes + f64-accumulation
+                # tier on a twin calibrator (calibrators.py fast_V).
+                # Measured vs the all-f64 oracle at N=2048/M=10:
+                # |dT| <= 1.4e-5, |dS| ~ 6e-6; on TPU it removes the
+                # emulated-f64 V pass (~167 s of a ~740 s N=20k error run).
+                meta['fast_V'] = True
         if intervals_mixed is None:
             intervals_mixed = (('ff' if error else True)
                                if on_accel and f64 == jnp.float64 else False)

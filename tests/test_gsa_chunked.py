@@ -484,6 +484,34 @@ def test_distributed_sobol_error_mode_matches_direct():
                                        rtol=1e-5, atol=1e-7)
 
 
+def test_distributed_sobol_error_fast_V_matches_f64():
+    """error=True with gsa_dtype=float32 opts into fast_V: the base V pass
+    runs the f32-planes + f64-accumulation tier on a twin calibrator while
+    the W/T sweep stays f64. Pin S/T agreement with the all-f64 default
+    (measured |dT| <= 1.4e-5 at N=2048/M=10; the margin here covers the
+    weaker averaging at test N)."""
+    import jax.numpy as jnp
+    from romcomma_tpu.parallel import distributed as dist
+
+    rng = np.random.default_rng(11)
+    N, M = 128, 4
+    x = rng.normal(size=(N, M))
+    y = np.sin(x[:, :1]) + 0.3 * x[:, 1:2] ** 2 + 0.05 * rng.standard_normal((N, 1))
+    dgp = dist.DistributedGP(N, dist.make_n_mesh(), block=16)
+    x_dev, y_dev = dgp.stage(x, y)
+    ls, s2, nz = jnp.ones(M), jnp.asarray(1.0), jnp.asarray(0.05)
+    kw = dict(kind=('first_order', 'total'), error=True, is_T_partial=False)
+    full = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, x, **kw)
+    fast = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, x,
+                             gsa_dtype=np.float32, **kw)
+    for k in ('first_order', 'total'):
+        for m in range(M):
+            np.testing.assert_allclose(fast['S'][k][m], full['S'][k][m],
+                                       rtol=2e-4, atol=1e-6)
+            np.testing.assert_allclose(fast['T'][k][m], full['T'][k][m],
+                                       rtol=2e-3, atol=1e-4)
+
+
 def _calibrator_f32(n_chunk=32, N=300, M=4, L=2, seed=0, **meta_extra):
     """f32-plane calibrator on the same posterior as _calibrator (hyper
     arrays cast; the posterior solve itself stays f64, as in production
