@@ -135,14 +135,27 @@ def bench_scale_gsa(N: int = 8192, M: int = 30) -> dict:
     raw = variant_init(np.ones(1), np.full((1, M), 2.0), np.full(1, 0.05))
 
     def run():
-        K_cho, K_inv_Y = gp.posterior_factors_variant(raw, x, y)
+        # Mirror the production accelerator tier (DistributedGP.sobol_indices
+        # no-error default): every calibrator input at FLOAT() — the f64
+        # K_inv_Y from posterior_factors_variant would otherwise promote the
+        # whole quadform chain to emulated f64 on TPU — with the f32-planes +
+        # f64-accumulation tier and defer_V (V_M comes from the appended
+        # (0, M) prefix slice of the same factorized pass).
+        _, K_inv_Y = gp.posterior_factors_variant(raw, x, y)
         c = variant_constrain(raw)
-        cal = ClosedSobol.from_arrays(F=c['variance'][None, :], K_cho=K_cho,
-                                      K_inv_Y=K_inv_Y, Lambda=c['lengthscales'],
-                                      X=x, is_F_diagonal=True, L=1, M=M, N=N)
+        f32_acc = FLOAT() != np.float64
+        cal = ClosedSobol.from_arrays(
+            F=jnp.asarray(c['variance'][None, :], FLOAT()),
+            K_cho=jnp.zeros((1, 1, 1), FLOAT()),
+            K_inv_Y=jnp.asarray(K_inv_Y, FLOAT()),
+            Lambda=jnp.asarray(c['lengthscales'], FLOAT()),
+            X=x, is_F_diagonal=True, L=1, M=M, N=N,
+            defer_V=True, intervals_acc_f64=f32_acc)
         slices = tuple([(m, m + 1) for m in range(M)]     # first_order
-                       + [(m + 1, M) for m in range(M)])  # total (shared pass)
-        S = np.asarray(cal.marginalize_intervals(slices)['S'])[0, 0]
+                       + [(m + 1, M) for m in range(M)]   # total (shared pass)
+                       + [(0, M)])                        # V_M normalizer
+        V = np.asarray(cal.marginalize_intervals(slices)['V'])[0, 0]
+        S = V[:-1] / V[-1]
         return S
 
     t0 = time.time()
@@ -171,11 +184,17 @@ def main():
     if not fallback:
         # stderr-only scale diagnostics; disproportionately slow on the
         # CPU fallback (a fused 50-iteration N=8192 descent) and not part
-        # of the reported metric.
-        scale = bench_scale()
-        print(f'scale bench: {scale}', file=sys.stderr, flush=True)
-        gsa_scale = bench_scale_gsa()
-        print(f'scale GSA bench: {gsa_scale}', file=sys.stderr, flush=True)
+        # of the reported metric. Never allowed to kill the headline JSON
+        # line — a diagnostic crash is reported and skipped.
+        import traceback
+        for name, fn in (('scale bench', bench_scale),
+                         ('scale GSA bench', bench_scale_gsa)):
+            try:
+                print(f'{name}: {fn()}', file=sys.stderr, flush=True)
+            except Exception:
+                traceback.print_exc()
+                print(f'{name} FAILED (diagnostic only, continuing)',
+                      file=sys.stderr, flush=True)
     print(json.dumps({'metric': 'installation_test steady-state wall-clock',
                       'value': round(steady, 2), 'unit': 's',
                       'vs_baseline': round(BASELINE_SECONDS / steady, 3)}),

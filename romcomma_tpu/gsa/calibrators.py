@@ -197,7 +197,11 @@ class ClosedSobol(Calibrator):
             acc = acc + jnp.einsum('lLN, lLNjJc, jJc -> lj', self.g0KY, H.pdf, g_c)
             return acc, None
 
-        V0 = jnp.zeros((l, l), dtype=G.dtype)
+        # Carry dtype must match the body einsum's promotion: g0KY arrives
+        # float64 from posterior_factors_* even when the planes (G, Phi) are
+        # float32 (the declared fast path), and the quadform accumulates at
+        # the promoted dtype — a G.dtype carry then fails the scan typecheck.
+        V0 = jnp.zeros((l, l), dtype=jnp.result_type(G.dtype, self.g0KY.dtype))
         V, _ = lax.scan(body, V0, (G_ch, g_ch))
         return V
 

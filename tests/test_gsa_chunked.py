@@ -555,6 +555,35 @@ def test_marginalize_intervals_f32_planes_f64_accumulation():
                                rtol=0.0, atol=1e-4)
 
 
+def test_chunked_V_mixed_dtype_carry():
+    """Regression: f32 planes (X/Lambda/F at FLOAT()) with the f64 K_inv_Y
+    that posterior_factors_variant always returns promote the chunked-V
+    quadform to float64 — the lax.scan carry must be initialized at the
+    promoted dtype, not G.dtype (crashed bench.py's scale-GSA diagnostic
+    with a scan carry-type mismatch on TPU)."""
+    rng = np.random.default_rng(0)
+    N, M, L = 90, 4, 1
+    x = rng.normal(size=(N, M))
+    y = np.sin(x[:, :1]) + 0.05 * rng.standard_normal((N, 1))
+    raw = variant_init(np.ones(L), np.full((L, M), 1.2), np.full(L, 0.05))
+    K_cho, K_inv_Y = gp.posterior_factors_variant(raw, jnp.asarray(x),
+                                                  jnp.asarray(y))
+    c = variant_constrain(raw)
+    f32 = jnp.float32
+    mixed = ClosedSobol.from_arrays(
+        F=c['variance'][None, :].astype(f32), K_cho=K_cho.astype(f32),
+        K_inv_Y=K_inv_Y,                      # f64 — the promotion source
+        Lambda=c['lengthscales'].astype(f32), X=jnp.asarray(x, f32),
+        is_F_diagonal=True, L=L, M=M, N=N, n_chunk=32)
+    assert mixed.V[0].dtype == jnp.float64
+    oracle = ClosedSobol.from_arrays(
+        F=c['variance'][None, :], K_cho=K_cho, K_inv_Y=K_inv_Y,
+        Lambda=c['lengthscales'], X=jnp.asarray(x),
+        is_F_diagonal=True, L=L, M=M, N=N, n_chunk=32)
+    np.testing.assert_allclose(np.asarray(mixed.S), np.asarray(oracle.S),
+                               rtol=0.0, atol=1e-4)
+
+
 def test_stacked_intervals_f64_accumulation_matches_single():
     """marginalize_intervals_stacked under the f64-accumulation tier is
     numerically identical to the per-calibrator pass at MATCHED chunk
