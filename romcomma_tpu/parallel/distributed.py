@@ -819,7 +819,8 @@ class DistributedGP:
     #: Cholesky (~1 min at 20k, ~14 min at 50k) — infeasible past ~20k.
     PSI_SOLVER_MIN_N: int = 16384
 
-    def make_psi_solver(self, ls, s2, noise, x_dev, refine: int = 3):
+    def make_psi_solver(self, ls, s2, noise, x_dev, refine: int = 3,
+                        factor=None):
         """K⁻¹-application in ORIGINAL row order for the error-GSA psi
         integrals (gsa/factorized_errors.py psi_solver mode): ONE
         working-dtype factorization on this engine + safeguarded f64
@@ -828,11 +829,21 @@ class DistributedGP:
         factorized error engine pairs (raw, K⁻¹-solved) factors so every
         mu_psi quadform is f1ᵀ K⁻¹ f2, replacing the K_cho half-solves.
 
+        ``factor``: an already-computed engine factor of THIS (ls, s2,
+        noise, x_dev) gram (e.g. posterior_alpha's second return) — reused
+        verbatim. Passing it is mandatory practice at large N: a second
+        (Npad, Npad) factorization while the first factor is still resident
+        is exactly 2 dense buffers — 20 GB at N=50k f32, an HBM OOM on one
+        v5e chip (measured, chain10); reuse keeps the peak at one.
+
         Returns fn(factor (..., N) f64) -> K⁻¹ factor, f64, same shape.
         Eager-only (called from the host-paced error pass)."""
         ls, s2, noise = self._cast_hypers(x_dev, ls, s2, noise)
-        K = self._gram(x_dev, ls, s2, noise)
-        Lf = self._chol(K)
+        if factor is None:
+            K = self._gram(x_dev, ls, s2, noise)
+            Lf = self._chol(K)
+        else:
+            Lf = factor
         residual = self._residual_f64()
         pl_ = self.plan
         f64 = jnp.float64
@@ -936,8 +947,12 @@ class DistributedGP:
                     for l in range(ls_arr.shape[0])]
         kinds = (kind,) if isinstance(kind, str) else tuple(kind)
         t0 = time.time()
-        alpha_stored, _ = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
+        alpha_stored, L_post = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
         alpha = from_stored(self.plan, np.asarray(alpha_stored))       # (N,1)
+        if not error:
+            # Drop the factor eagerly — only the error psi solver needs it,
+            # and at N=50k it is a 10 GB resident buffer.
+            del L_post
         t_posterior = time.time() - t0
         N, M = self.plan.N, X.shape[1]
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
@@ -990,9 +1005,14 @@ class DistributedGP:
             if use_device:
                 # Device psi solver: no dense f64 (N,N) anywhere — the f32
                 # engine factor + f64-refined FULL solves (VERDICT r2 #3).
-                meta['psi_solver'] = self.make_psi_solver(ls, s2, noise, x_dev)
+                # The posterior factor is the SAME gram's factor: reuse it
+                # so exactly one (Npad, Npad) buffer is ever resident.
+                meta['psi_solver'] = self.make_psi_solver(ls, s2, noise, x_dev,
+                                                          factor=L_post)
+                del L_post
                 K_cho = jnp.zeros((1, 1, 1), f64)
             else:
+                del L_post
                 from romcomma_tpu.ops.gram import rbf_gram
                 from romcomma_tpu.ops.linalg import add_diag
                 from romcomma_tpu.ops.linalg import cholesky as dense_cholesky
