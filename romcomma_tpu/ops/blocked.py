@@ -192,7 +192,8 @@ def cholesky_blocked_upper(a: jnp.ndarray, block: int = 256) -> jnp.ndarray:
 
 
 def cholesky_blocked_upper_2level(a: jnp.ndarray, block: int = 256,
-                                  super_block: int = 2048) -> jnp.ndarray:
+                                  super_block: int = 2048,
+                                  precision=None) -> jnp.ndarray:
     """Two-level LEFT-LOOKING upper Cholesky: a = U^T U.
 
     The TPU answer to classical look-ahead (SURVEY §7 hard part 2, VERDICT
@@ -210,7 +211,16 @@ def cholesky_blocked_upper_2level(a: jnp.ndarray, block: int = 256,
     Same conventions as cholesky_blocked_upper: row-slab access only (the
     donated input's {1,0} layout is preserved), padding rows carry a unit
     diagonal, strict lower garbage masked and zeroed on return, NOT
-    differentiable."""
+    differentiable.
+
+    ``precision``: matmul precision of the TRAILING UPDATES only (the super
+    slab accumulation and the micro rank-B updates — ~all the flops); the
+    panel scaling matmul stays HIGHEST (O(N^2 B) flops, and its rows are
+    divided by the pivots, where rounding is least forgiving). None means
+    HIGHEST (true f32 on TPU). lax.Precision.HIGH (bf16x3) is the measured
+    fast tier for the gradient strips; see benchmarks/chol_2level.py for
+    its factor-quality probe before adopting it anywhere."""
+    upd_prec = lax.Precision.HIGHEST if precision is None else precision
     N = a.shape[-1]
     B = block
     Npad = _round_up(N, B)
@@ -240,8 +250,7 @@ def cholesky_blocked_upper_2level(a: jnp.ndarray, block: int = 256,
         def acc_t(t, slab):
             rows_t = lax.dynamic_slice(A, _i32(t * SB, 0), (SB, Npad))
             cols_t = lax.dynamic_slice(rows_t, _i32(0, S0), (SB, SB))
-            return slab - jnp.matmul(cols_t.T, rows_t,
-                                     precision=lax.Precision.HIGHEST)
+            return slab - jnp.matmul(cols_t.T, rows_t, precision=upd_prec)
 
         slab = lax.fori_loop(0, s, acc_t, slab)
 
@@ -261,8 +270,7 @@ def cholesky_blocked_upper_2level(a: jnp.ndarray, block: int = 256,
             def upd_tile(t, slab):
                 tr0 = t * Cm
                 cols = lax.dynamic_slice(U_k, _i32(0, S0 + tr0), (B, Cm))
-                upd = jnp.matmul(cols.T, U_k,
-                                 precision=lax.Precision.HIGHEST)   # (Cm,Npad)
+                upd = jnp.matmul(cols.T, U_k, precision=upd_prec)   # (Cm,Npad)
                 keep = (tr0 + tile_idx)[:, None] >= r0 + B
                 cur = lax.dynamic_slice(slab, _i32(tr0, 0), (Cm, Npad))
                 return lax.dynamic_update_slice(
