@@ -442,6 +442,102 @@ def invert_upper_blocked(U: jnp.ndarray, block: int = 256,
     return jnp.triu(A)[..., :N, :N]
 
 
+def invert_upper_blocked_2level(U: jnp.ndarray, block: int = 256,
+                                super_block: int = 3584,
+                                precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """V = U^{-1}, the two-level sibling of ``invert_upper_blocked``.
+
+    Bottom-up over SB-row super panels: the diagonal (SB,SB) block is
+    inverted by the usual B-wide micro recursion (tiny — ~SB²·N of the
+    N³/3 total flops), then the whole off-diagonal row lands as TWO large
+    matmuls (Schur form): V[s, s+1:] = -V_ss · (U[s, s+1:] · V[s+1:, s+1:]).
+    Both contraction and output widths are lax.switch-narrowed to the
+    widest static segment containing the live columns (the masked rows make
+    the narrowed product exact, as in ``invert_upper_blocked``), so the
+    MXU sees ~NS big (SB,W)(W,W) products instead of NB serial B-row
+    sweeps. Same conventions: row-major in place (donate U), padding rows
+    carry a unit diagonal, NOT differentiable."""
+    N = U.shape[-1]
+    B = block
+    Npad = _round_up(N, B)
+    # Snap SB to a multiple of B dividing Npad (cholesky_blocked_upper_2level
+    # discipline: never re-pad an already-aligned donated buffer).
+    SB = max(min(super_block, Npad), B)
+    NBpad = Npad // B
+    sb_blocks = SB // B
+    while NBpad % sb_blocks:
+        sb_blocks -= 1
+    SB = sb_blocks * B
+    NS = Npad // SB
+    NBm = SB // B
+    if Npad != N:
+        A = jnp.zeros((Npad, Npad), dtype=U.dtype).at[:N, :N].set(U)
+        idx = jnp.arange(N, Npad)
+        A = A.at[idx, idx].set(1.0)
+    else:
+        A = U
+    eye_b = jnp.eye(B, dtype=U.dtype)
+    col_idx = jnp.arange(Npad)
+    scol_idx = jnp.arange(SB)
+    seg_starts = _width_segments(NS, SB)
+
+    def invert_diag(D):
+        """Micro bottom-up inverse of one (SB,SB) upper block, in place."""
+
+        def micro(i, D):
+            r0 = ((NBm - 1 - i) * B).astype(jnp.int32)
+            row = lax.dynamic_slice(D, _i32(r0, 0), (B, SB))
+            Dkk = lax.dynamic_slice(row, _i32(0, r0), (B, B))
+            Vkk = lax.linalg.triangular_solve(Dkk, eye_b, left_side=True,
+                                              lower=False)
+            row_m = jnp.where(scol_idx[None, :] >= r0 + B, row, 0.0)
+            T = jnp.matmul(row_m, D, precision=precision)        # (B,SB)
+            new = -jnp.matmul(Vkk, T, precision=precision)
+            diag_embed = jnp.matmul(
+                Vkk, (scol_idx[None, :] == r0 + jnp.arange(B)[:, None]
+                      ).astype(D.dtype),
+                precision=lax.Precision.HIGHEST)
+            new = jnp.where(scol_idx[None, :] >= r0 + B, new, diag_embed)
+            return lax.dynamic_update_slice(D, new, _i32(r0, 0))
+
+        return lax.fori_loop(0, NBm, micro, D)
+
+    def super_step(i, A):
+        s = NS - 1 - i
+        S0 = (s * SB).astype(jnp.int32)
+        slab = lax.dynamic_slice(A, _i32(S0, 0), (SB, Npad))
+        V_ss = invert_diag(lax.dynamic_slice(slab, _i32(0, S0), (SB, SB)))
+        # Only already-inverted rows (>= S0+SB) may contribute; the masked
+        # slab makes the segment-narrowed contraction exact.
+        slab_m = jnp.where(col_idx[None, :] >= S0 + SB, slab, 0.0)
+        seg = _segment_index(seg_starts, S0)
+
+        def branch(S):
+            W = Npad - S
+
+            def br(A):
+                Vb = lax.dynamic_slice(A, _i32(S, S), (W, W))
+                T = jnp.matmul(lax.dynamic_slice(slab_m, _i32(0, S), (SB, W)),
+                               Vb, precision=precision)          # (SB,W)
+                row = jnp.zeros((SB, Npad), A.dtype)
+                return lax.dynamic_update_slice(
+                    row, -jnp.matmul(V_ss, T, precision=precision),
+                    _i32(0, S))
+
+            return br
+
+        row = lax.switch(seg, [branch(S) for S in seg_starts], A)
+        # cols in [S, S0+SB) of the product are exact zeros (V is upper);
+        # stamp V_ss on the diagonal block and zero everything left of it.
+        row = jnp.where(col_idx[None, :] >= S0 + SB, row, 0.0)
+        row = lax.dynamic_update_slice(row, V_ss, _i32(0, S0))
+        row = jnp.where(col_idx[None, :] >= S0, row, 0.0)
+        return lax.dynamic_update_slice(A, row, _i32(S0, 0))
+
+    A = lax.fori_loop(0, NS, super_step, A)
+    return jnp.triu(A)[..., :N, :N]
+
+
 def trsm_blocked(L: jnp.ndarray, y: jnp.ndarray, trans: bool = False,
                  block: int = 256) -> jnp.ndarray:
     """Solve L z = y (or L^T z = y with trans=True) for lower-triangular L

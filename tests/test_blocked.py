@@ -175,6 +175,30 @@ def test_invert_upper_blocked_matches_oracle(N, B):
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.parametrize('N,B,SB', [(64, 16, 32), (200, 32, 96), (256, 32, 300),
+                                    (200, 64, 64)])
+def test_two_level_kernels_match_oracle(N, B, SB):
+    """Two-level Cholesky and two-level inverse (super-panel Schur form)
+    against the dense oracles — SB spanning: dividing Npad, snapped down
+    (non-dividing), clamped above Npad, and degenerate SB == B
+    (right-looking). Also exercises the trailing-update precision knob
+    (HIGH == HIGHEST on CPU, so results must be identical)."""
+    from jax import lax
+    a = _spd(N, seed=7)
+    want_U = np.asarray(jnp.linalg.cholesky(a).T)
+    for prec in (None, lax.Precision.HIGH):
+        U = np.asarray(blocked.cholesky_blocked_upper_2level(
+            a, block=B, super_block=SB, precision=prec))
+        np.testing.assert_allclose(U, np.triu(want_U), rtol=1e-9, atol=1e-9)
+    V = np.asarray(blocked.invert_upper_blocked_2level(
+        jnp.asarray(U), block=B, super_block=SB))
+    np.testing.assert_allclose(V, np.triu(np.linalg.inv(U)),
+                               rtol=1e-8, atol=1e-9)
+    assert np.abs(np.triu(V) - V).max() == 0.0
+    np.testing.assert_allclose(V @ V.T, np.linalg.inv(np.asarray(a)),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_multi_tile_and_segmented_paths(monkeypatch):
     """Force small column tiles (C = B) so the tile loops run MANY tiles
     and the triangular inverse's lax.switch width segments take every
