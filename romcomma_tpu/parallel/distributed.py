@@ -377,6 +377,18 @@ class DistributedGP:
     #: 0.63 -> 0.39 s (SB 2048) — the deferred trailing updates issue as
     #: (SB,SB)@(SB,Npad) matmuls at full MXU rate.
     DENSE_SUPER_BLOCK: int = 3584
+    #: trailing-update matmul precision of the two-level Cholesky. None =
+    #: HIGHEST (true f32). The factor feeds EVERYTHING (value, posterior,
+    #: gradient), so a faster tier must clear the factor-quality probe of
+    #: benchmarks/chol_2level.py before being set here.
+    CHOL_PRECISION = None
+    #: triangular-inverse kernel selection: the two-level super-panel Schur
+    #: variant (ops/blocked.invert_upper_blocked_2level) vs the
+    #: segment-narrowed row sweep. Both run at GRAD_PRECISION (the inverse
+    #: feeds only gradient reductions). benchmarks/inv_2level.py is the
+    #: head-to-head.
+    INV_TWO_LEVEL: bool = False
+    INV_SUPER_BLOCK: int = 3584
 
     def __init__(self, N: int, mesh: Mesh | None = None, block: int = 256,
                  dtype=None, dense_kernels: bool = False):
@@ -407,7 +419,8 @@ class DistributedGP:
             self._chol = jax.jit(
                 functools.partial(blocked.cholesky_blocked_upper_2level,
                                   block=bb,
-                                  super_block=self.DENSE_SUPER_BLOCK),
+                                  super_block=self.DENSE_SUPER_BLOCK,
+                                  precision=self.CHOL_PRECISION),
                 donate_argnums=(0,))
             self._fwd = jax.jit(functools.partial(blocked.solve_upper_t, block=bb))
             self._bwd = jax.jit(functools.partial(blocked.solve_upper, block=bb))
@@ -418,8 +431,11 @@ class DistributedGP:
             # construction cannot silently mix precisions between the
             # inverse and the V V^T strips
             self._grad_precision = self.GRAD_PRECISION
+            inv_kernel = (functools.partial(blocked.invert_upper_blocked_2level,
+                                            super_block=self.INV_SUPER_BLOCK)
+                          if self.INV_TWO_LEVEL else blocked.invert_upper_blocked)
             self._inv = jax.jit(
-                functools.partial(blocked.invert_upper_blocked, block=bb,
+                functools.partial(inv_kernel, block=bb,
                                   precision=self._grad_precision),
                 donate_argnums=(0,))
             self._engine = 'upper'

@@ -329,6 +329,35 @@ def test_dense_kernels_engine_matches_block_cyclic():
                                    rtol=1e-6, atol=1e-9)
 
 
+def test_two_level_inverse_knob_matches_default_engine(monkeypatch):
+    """INV_TWO_LEVEL swaps the streaming gradient's V = U^{-1} kernel for
+    the super-panel Schur variant; the LML value is untouched and the
+    gradient agrees to kernel roundoff."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(17)
+    Nn, M = 170, 4
+    x = rng.normal(size=(Nn, M))
+    y = np.sin(x[:, :1]) + 0.05 * rng.standard_normal((Nn, 1))
+    ls = jnp.asarray(np.full(M, 1.4))
+    s2, nz = jnp.asarray(1.1), jnp.asarray(0.05)
+
+    outs = []
+    for two_level in (False, True):
+        monkeypatch.setattr(dist.DistributedGP, 'INV_TWO_LEVEL', two_level)
+        monkeypatch.setattr(dist.DistributedGP, 'INV_SUPER_BLOCK', 96)
+        dgp = dist.DistributedGP(Nn, dist.make_n_mesh(1), block=32,
+                                 dense_kernels=True)
+        x_dev, y_dev = dgp.stage(x, y)
+        v, g = jax.value_and_grad(
+            lambda p: dgp._lml(p[0], p[1], p[2], x_dev, y_dev))((ls, s2, nz))
+        outs.append((float(v), jax.device_get(g)))
+    np.testing.assert_allclose(outs[1][0], outs[0][0], rtol=1e-12)
+    for a, b in zip(outs[1][1], outs[0][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
+
+
 def test_calibrate_multi_matches_per_output():
     """Joint vmapped L-output descent (calibrate_multi) reaches the same
     hyperparameters and LMLs as L independent descents — on the 8-device
