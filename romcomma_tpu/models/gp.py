@@ -365,12 +365,19 @@ def covariant_upper_lml(x: jnp.ndarray, lengthscales: jnp.ndarray,
     y_p = jnp.zeros((Npad, 1), dt).at[:LN, :].set(
         jnp.asarray(y.T.reshape(LN, 1), dt))
 
+    # Kernel selection mirrors DistributedGP's dense-engine knobs so one
+    # measured adoption governs both chains (variant large-N and covariant).
+    from romcomma_tpu.parallel.distributed import DistributedGP as _DGP
     chol = jax.jit(partial(blocked.cholesky_blocked_upper_2level, block=block,
-                           super_block=3584),   # measured TPU win, see
-                   donate_argnums=(0,))         # DistributedGP.DENSE_SUPER_BLOCK
+                           super_block=_DGP.DENSE_SUPER_BLOCK,
+                           precision=_DGP.CHOL_PRECISION),
+                   donate_argnums=(0,))
     fwd = jax.jit(partial(blocked.solve_upper_t, block=block))
     bwd = jax.jit(partial(blocked.solve_upper, block=block))
-    inv = jax.jit(partial(blocked.invert_upper_blocked, block=block,
+    inv_kernel = (partial(blocked.invert_upper_blocked_2level,
+                          super_block=_DGP.INV_SUPER_BLOCK)
+                  if _DGP.INV_TWO_LEVEL else blocked.invert_upper_blocked)
+    inv = jax.jit(partial(inv_kernel, block=block,
                           precision=jax.lax.Precision.HIGH),
                   donate_argnums=(0,))
     logdiag = jax.jit(lambda U: jnp.sum(jnp.log(jnp.diagonal(U))))
