@@ -377,16 +377,26 @@ class DistributedGP:
     #: 0.63 -> 0.39 s (SB 2048) — the deferred trailing updates issue as
     #: (SB,SB)@(SB,Npad) matmuls at full MXU rate.
     DENSE_SUPER_BLOCK: int = 3584
-    #: trailing-update matmul precision of the two-level Cholesky. None =
-    #: HIGHEST (true f32). The factor feeds EVERYTHING (value, posterior,
-    #: gradient), so a faster tier must clear the factor-quality probe of
-    #: benchmarks/chol_2level.py before being set here.
-    CHOL_PRECISION = None
+    #: trailing-update matmul precision of the two-level Cholesky. The
+    #: factor feeds EVERYTHING (value, posterior, gradient), so a faster
+    #: tier must clear the factor-quality probe of benchmarks/chol_2level.py
+    #: before being set here. HIGH (bf16_3x) cleared it with factor quality
+    #: IDENTICAL to HIGHEST (f64-oracle strip residual 3.88e-6 at both
+    #: N=20000 and N=50000, same gram) while cutting the factorization
+    #: 0.400 -> 0.248 s at 20k and 4.826 -> 2.631 s at 50k (TPU v5e,
+    #: 2026-08-18) — unlike DEFAULT (bf16_1x), which NaN'd the blocked
+    #: factorization outright (BENCH note b9042db). On CPU, HIGH == HIGHEST
+    #: (true f32 hardware matmuls), so this is accelerator-only behavior.
+    CHOL_PRECISION = lax.Precision.HIGH
     #: triangular-inverse kernel selection: the two-level super-panel Schur
     #: variant (ops/blocked.invert_upper_blocked_2level) vs the
     #: segment-narrowed row sweep. Both run at GRAD_PRECISION (the inverse
-    #: feeds only gradient reductions). benchmarks/inv_2level.py is the
-    #: head-to-head.
+    #: feeds only gradient reductions). Head-to-head on TPU
+    #: (benchmarks/inv_2level.py, 2026-08-18): the row sweep WINS — 0.200
+    #: vs 0.224 s at N=20000 and 1.901 vs 2.312 s at N=50000 (the sweep's
+    #: (B,W)@(W,C) products already saturate the MXU at B=512, and the
+    #: Schur form pays an extra pass over the output) — so the two-level
+    #: variant stays opt-in.
     INV_TWO_LEVEL: bool = False
     INV_SUPER_BLOCK: int = 3584
 
