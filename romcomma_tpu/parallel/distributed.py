@@ -531,6 +531,12 @@ class DistributedGP:
     #: val+grad (scipy L-BFGS-B's descent is insensitive at that level;
     #: the stopping rule uses the f64 host-projected gradient norm).
     GRAD_PRECISION = lax.Precision.HIGH
+    #: streaming backward form: unordered pair tiles (True — exploits the
+    #: symmetry of W = Bbar∘K and the triangular zero-prefixes of V for
+    #: ~2.5x fewer strip flops; _grads_streaming_pairs_fn) vs the per-strip
+    #: full-width sweep (False). Parity pinned by
+    #: tests/test_distributed.py::test_pair_tile_backward_matches_strip.
+    GRAD_PAIR_TILES: bool = False
     #: bytes of simultaneously-live (Npad, Npad) gradient buffers above which
     #: the single-device backward pass streams K^{-1} strips instead of
     #: storing K, K^{-1} and L together (3 full buffers).
@@ -608,6 +614,97 @@ class DistributedGP:
 
         return grads
 
+    def _grads_streaming_pairs_fn(self):
+        """The symmetric pair-tile variant of the streaming V Vᵀ backward.
+
+        The per-strip form computes every K⁻¹ column block at full
+        contraction width: 2·Npad³ flops for a symmetric matrix whose
+        operand V is upper-triangular. This form iterates UNORDERED tile
+        pairs (q >= t) instead: each K⁻¹ block is one
+        (strip,W)@(W,strip) product of two thin V row slabs, with the
+        contraction segment-narrowed to columns >= the widest static
+        start <= t·strip (every omitted column hits a structural zero of
+        the t slab, so the narrowed product is exact — the
+        invert_upper_blocked trick). Off-diagonal blocks enter every
+        reduction with weight 2 (W = Bbar∘K is symmetric because both
+        α αᵀ and V Vᵀ are). Flop count ≈ Npad³/3 + segment waste —
+        ~2.5x fewer than the per-strip form.  Same contract as
+        _grads_streaming_fn(kinv_source='vvt'): grads(V, alpha, x, ...)."""
+        from romcomma_tpu.ops.blocked import _segment_index, _width_segments
+        from romcomma_tpu.ops.gram import rbf_gram
+        pl_ = self.plan
+        Npad = pl_.Npad
+        real = jnp.asarray(pl_.dtype_rows_mask)
+        strip, n_strips = self.grad_strip()
+        pairs = [(q, t) for q in range(n_strips) for t in range(q + 1)]
+        q_of_p = jnp.asarray([q for q, _ in pairs], jnp.int32)
+        t_of_p = jnp.asarray([t for _, t in pairs], jnp.int32)
+        seg_starts = _width_segments(n_strips, strip)
+        prec = self._grad_precision
+
+        @jax.jit
+        def grads(V, alpha, x, ls, s2, noise):
+            dt = V.dtype
+            col_real = real.astype(dt)
+            arangeS = jnp.arange(strip, dtype=jnp.int32)
+
+            def tile(idx):
+                r0 = jnp.minimum(idx * strip, Npad - strip).astype(jnp.int32)
+                gidx = r0 + arangeS
+                # the clamped last tile overlaps earlier rows: mask them out
+                fresh = (gidx >= idx * strip).astype(dt)
+                mask = lax.dynamic_slice(col_real, _i32(r0), (strip,)) * fresh
+                xs = lax.dynamic_slice(x, _i32(r0, 0), (strip, x.shape[1]))
+                a_s = lax.dynamic_slice(alpha, _i32(r0, 0), (strip, 1))[:, 0]
+                Vr = lax.dynamic_slice(V, _i32(r0, 0), (strip, Npad))
+                return r0, gidx, mask, xs, a_s, Vr
+
+            def body(p, acc):
+                dls, ds2, dnoise = acc
+                qi = q_of_p[p]
+                ti = t_of_p[p]
+                rq, gq, mq, xq, aq, Vq = tile(qi)
+                rt, gt, mt, xt, at, Vt = tile(ti)
+                seg = _segment_index(seg_starts, rt)
+
+                def branch(S):
+                    W = Npad - S
+
+                    def br(_):
+                        return jnp.matmul(
+                            lax.dynamic_slice(Vq, _i32(0, S), (strip, W)),
+                            lax.dynamic_slice(Vt, _i32(0, S), (strip, W)).T,
+                            precision=prec)
+
+                    return br
+
+                kinv = lax.switch(seg, [branch(S) for S in seg_starts], 0)
+                K_qt = rbf_gram(xq, xt, ls, s2)
+                mask2 = mq[:, None] * mt[None, :]
+                Bbar = 0.5 * (aq[:, None] * at[None, :] - kinv) * mask2
+                W_qt = Bbar * (K_qt * mask2)
+                w = jnp.where(qi == ti, 1.0, 2.0).astype(dt)
+                ds2 = ds2 + w * jnp.sum(W_qt)
+                # true diagonal entries live only in diagonal pairs (clamped-
+                # tile overlaps are fresh-masked to zero), weight 1 by
+                # construction of the ordered-(i,j) enumeration.
+                eye = (gq[:, None] == gt[None, :]).astype(dt)
+                dnoise = dnoise + jnp.sum(Bbar * eye)
+                rs = jnp.sum(W_qt, axis=1)
+                cs = jnp.sum(W_qt, axis=0)
+                Wx = jnp.matmul(W_qt, xt, precision=lax.Precision.HIGHEST)
+                dls = dls + w * (jnp.einsum('am,a->m', xq * xq, rs)
+                                 + jnp.einsum('bm,b->m', xt * xt, cs)
+                                 - 2.0 * jnp.einsum('am,am->m', xq, Wx))
+                return dls, ds2, dnoise
+
+            zero = (jnp.zeros((x.shape[1],), dt), jnp.zeros((), dt),
+                    jnp.zeros((), dt))
+            dls, ds2, dnoise = lax.fori_loop(0, len(pairs), body, zero)
+            return dls / (ls ** 3), ds2 / s2, dnoise
+
+        return grads
+
     def _itemsize(self) -> int:
         """Bytes per element of the STAGED working dtype — the dtype
         calibrate() actually runs in (``self.dtype`` override, else the
@@ -637,7 +734,9 @@ class DistributedGP:
         # sweeps are latency-bound (measured 25 s/eval at N=50k).
         use_streaming_v2 = pl_.S == 1 and self._engine == 'upper'
         if use_streaming_v2:
-            grads_stream = self._grads_streaming_fn(kinv_source='vvt')
+            grads_stream = (self._grads_streaming_pairs_fn()
+                            if self.GRAD_PAIR_TILES else
+                            self._grads_streaming_fn(kinv_source='vvt'))
         elif use_streaming:
             grads_stream = self._grads_streaming_fn()
         else:

@@ -358,6 +358,36 @@ def test_two_level_inverse_knob_matches_default_engine(monkeypatch):
                                    rtol=1e-6, atol=1e-9)
 
 
+def test_pair_tile_backward_matches_strip(monkeypatch):
+    """GRAD_PAIR_TILES (symmetric unordered-pair tiles, weight-2
+    off-diagonal blocks, segment-narrowed contractions) reproduces the
+    per-strip streaming backward's LML gradient — including the clamped
+    overlapping last tile (N chosen so Npad % strip != 0) and padding."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(23)
+    Nn, M = 230, 4                      # Npad=256, strip=96 -> clamped tile
+    x = rng.normal(size=(Nn, M))
+    y = np.sin(x[:, :1]) + 0.05 * rng.standard_normal((Nn, 1))
+    ls = jnp.asarray(np.full(M, 1.3))
+    s2, nz = jnp.asarray(1.2), jnp.asarray(0.04)
+
+    outs = []
+    for pair_tiles in (False, True):
+        monkeypatch.setattr(dist.DistributedGP, 'GRAD_PAIR_TILES', pair_tiles)
+        monkeypatch.setattr(dist.DistributedGP, 'GRAD_STRIP_COLS', 96)
+        dgp = dist.DistributedGP(Nn, dist.make_n_mesh(1), block=32,
+                                 dense_kernels=True)
+        x_dev, y_dev = dgp.stage(x, y)
+        v, g = jax.value_and_grad(
+            lambda p: dgp._lml(p[0], p[1], p[2], x_dev, y_dev))((ls, s2, nz))
+        outs.append((float(v), jax.device_get(g)))
+    np.testing.assert_allclose(outs[1][0], outs[0][0], rtol=1e-12)
+    for a, b in zip(outs[1][1], outs[0][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
+
+
 def test_calibrate_multi_matches_per_output():
     """Joint vmapped L-output descent (calibrate_multi) reaches the same
     hyperparameters and LMLs as L independent descents — on the 8-device
