@@ -536,7 +536,10 @@ class DistributedGP:
     #: ~2.5x fewer strip flops; _grads_streaming_pairs_fn) vs the per-strip
     #: full-width sweep (False). Parity pinned by
     #: tests/test_distributed.py::test_pair_tile_backward_matches_strip.
-    GRAD_PAIR_TILES: bool = False
+    #: TPU head-to-head (engine_valgrad stream, 2026-08-19): val+grad
+    #: 0.723 -> 0.615 s at N=20000 and 8.789 -> 7.028 s at N=50000,
+    #: gradient l2 agreement ~1e-7 — default ON.
+    GRAD_PAIR_TILES: bool = True
     #: bytes of simultaneously-live (Npad, Npad) gradient buffers above which
     #: the single-device backward pass streams K^{-1} strips instead of
     #: storing K, K^{-1} and L together (3 full buffers).
