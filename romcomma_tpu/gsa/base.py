@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from romcomma_tpu.ops.linalg import tri_solve
 
 
-def shifted_exp(E: jnp.ndarray, axes, mode: str = 'f32') -> tuple:
+def shifted_exp(E: jnp.ndarray, axes, mode: str = 'f32',
+                negate: bool = False) -> tuple:
     """(exp(E - c), c) with c = max(E) over ``axes`` (keepdims) — the
     mixed-precision GSA transcendental.
 
@@ -45,9 +46,19 @@ def shifted_exp(E: jnp.ndarray, axes, mode: str = 'f32') -> tuple:
 
     For float32 inputs the shift is applied directly (exp of the
     non-positive remainder, no split needed — the working dtype IS f32):
-    the f32 fast mode reaches the same E > 88 overflow regime."""
-    c = jnp.max(E, axis=tuple(axes), keepdims=True)
-    r = E - c
+    the f32 fast mode reaches the same E > 88 overflow regime.
+
+    ``negate=True`` treats ``E`` as the POSITIVE quadratic form ``P`` of an
+    exponent ``-P`` (the factorized error sweeps accumulate ``sum d*d``
+    without materializing the negation): the shift becomes ``min(P) - P``
+    (still <= 0) and the returned ``c`` is ``-min(P)``, so callers multiply
+    the reduced plane by ``exp(c)`` exactly as in the default form."""
+    if negate:
+        c = -jnp.min(E, axis=tuple(axes), keepdims=True)
+        r = -c - E
+    else:
+        c = jnp.max(E, axis=tuple(axes), keepdims=True)
+        r = E - c
     if E.dtype != jnp.float64:
         return jnp.exp(r), c
     if mode == 'ff':

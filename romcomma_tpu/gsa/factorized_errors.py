@@ -181,6 +181,12 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         phi_m = jnp.moveaxis(cal.Phi[:, 0, :], -1, 0)      # (M, L)
         # psi per-dim variance phi_l (1 - phi_l phi_i); G-divisor exponent.
         v_psi = phi_m[:, :, None] * (1.0 - phi_m[:, :, None] * phi_m[:, None, :])
+        # Scaled-difference form of every sweep plane: the per-dim exponent
+        # -(a - b)^2 / (2 v) is accumulated as sum of d*d with d = a*s - b*s,
+        # s = sqrt(0.5 / v) folded into the means OUTSIDE the scan — the
+        # emulated-f64 per-element divide and halving multiply (the two most
+        # expensive plane ops on TPU) leave the O(N^2 M) body entirely.
+        s_psi = jnp.sqrt(0.5 / v_psi)                      # (M, L, L)
         eg = _cums(-0.5 * Gm * Gm / phi_m[..., None])      # (M, L, N) per kind
         # Per-kind: q-side Omega weights g0KY * exp(-Egg) (the G-divisor
         # division, aligned on j), Upsilon exponent cums, inverse dets.
@@ -190,6 +196,8 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         for m in mem:
             ecum = _cums(m['e_up'])
             dcum = _cums(jnp.log(m['d']))
+            m['s'] = jnp.sqrt(0.5 / m['v'])                # (M, j, k)
+            m['a_sc'] = m['a'] * m['s'][:, None]           # (M, N, j, k)
             for k in kinds:
                 eup[k].append(ecum[k])
                 invd[k].append(jnp.exp(-dcum[k]))
@@ -200,12 +208,12 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             x = jnp.pad(x, ((0, 0), (0, 0), (0, Npad - N)))
             return jnp.moveaxis(x.reshape(M, L, nc, chunk), 2, 0)
 
-        return {'a': tuple(m['a'] for m in mem),
-                'v': tuple(m['v'] for m in mem),
+        return {'a_sc': tuple(m['a_sc'] for m in mem),
+                's': tuple(m['s'] for m in mem),
                 'eup': {k: tuple(eup[k]) for k in kinds},
                 'invd': {k: tuple(invd[k]) for k in kinds},
                 'invd_psi': invd_psi, 'gw': gw,
-                'Gm': Gm, 'phi_m': phi_m, 'v_psi': v_psi,
+                'Gm': Gm, 'phi_m': phi_m, 's_psi': s_psi,
                 'Gq': pad_chunk(Gm),
                 'gw_c': {k: pad_chunk(gw[k]) for k in kinds},
                 'g0q_c': jnp.moveaxis(jnp.pad(g0q, ((0, 0), (0, Npad - N))
@@ -233,13 +241,15 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         return q * (jnp.exp(c_max[0, :, :, 0]) if out_jk
                     else jnp.exp(c_max[0, :, 0, 0]))
 
-    def psi_quad(pw, g0q_i, E_psi):
-        """liC psi contribution — only the N axis (1) of E_psi (l,N,i,C) is
-        contracted; the C axis survives, so the shift keeps it."""
+    def psi_quad(pw, g0q_i, P_psi):
+        """liC psi contribution from the POSITIVE quadratic plane P_psi
+        (l,N,i,C) — the exponent is ``-P_psi`` (scaled-difference form).
+        Only the N axis (1) is contracted; the C axis survives, so the
+        shift keeps it."""
         if not use_shift:
             return jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i,
-                              jnp.exp(E_psi))
-        plane, c_max = shifted_exp(E_psi, (1,), exp_mode)
+                              jnp.exp(-P_psi))
+        plane, c_max = shifted_exp(P_psi, (1,), exp_mode, negate=True)
         t = jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i, plane)
         return t * jnp.exp(c_max[:, 0, :, :])
 
@@ -247,34 +257,44 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         """All sweeps for one q chunk.  Returns
         {kind: ([member quads (M, ...)], psi contribs (M, l, i, c))}."""
         xs = (Gq_i,                                         # (M, L, c)
-              pre['a'],                                     # (M, N, j, k)
-              pre['v'],                                     # (M, j, k)
+              pre['a_sc'],                                  # (M, N, j, k)
+              pre['s'],                                     # (M, j, k)
               {k: gw_i[k] for k in kinds},                  # (M, L, c)
               {k: pre['gw'][k] for k in kinds},             # (M, L, N) p-side
               {k: eup[k] for k in kinds},                   # (M, N, j, k)
-              pre['Gm'], pre['phi_m'], pre['v_psi'])
+              pre['Gm'], pre['phi_m'], pre['s_psi'])
 
         def init():
-            E_oms = tuple(jnp.zeros((N,) + pre['v'][r].shape[1:] + (chunk,), dt)
+            E_oms = tuple(jnp.zeros((N,) + pre['s'][r].shape[1:] + (chunk,), dt)
                           for r in range(R))
             return (E_oms, jnp.zeros((L, N, L, chunk), dt))
 
         def step(carry, xs_m, emit_kinds, accumulated):
+            # Carries are POSITIVE quadratic accumulations (sum of d*d, the
+            # exponent is their negation): 3 cheap plane ops per dim per
+            # member (sub, mul, add) — the divide and halving multiply are
+            # pre-folded into the scaled means (prep), the negation into
+            # the emission's existing eup fold / shifted_exp(negate=True).
             E_oms, E_psi = carry
-            Gq_m, a_s, v_s, gq_s, pw_s, eup_s, Gm_m, phim, vps = xs_m
-            e_oms = tuple(-0.5 * (a_s[r][..., None] - Gq_m[None, :, None, :]) ** 2
-                          / v_s[r][None, :, :, None] for r in range(R))
+            Gq_m, a_s, s_s, gq_s, pw_s, eup_s, Gm_m, phim, sps = xs_m
+            e_oms = []
+            for r in range(R):
+                d = a_s[r][..., None] \
+                    - (Gq_m[:, None, :] * s_s[r][:, :, None])[None]
+                e_oms.append(d * d)                         # (N, j, k, c)
+            e_oms = tuple(e_oms)
             E_oms = tuple(E + e for E, e in zip(E_oms, e_oms))
-            b = phim[:, None, None] * Gq_m[None, :, :]      # (l, i, c)
-            e_psi = -0.5 * (b[:, None, :, :] - Gm_m[:, :, None, None]) ** 2 \
-                / vps[:, None, :, None]
+            bp = (phim[:, None, None] * Gq_m[None, :, :]) * sps[..., None]
+            Gp = jnp.moveaxis(Gm_m[:, None, :] * sps[..., None], 2, 1)
+            d_psi = Gp[..., None] - bp[:, None, :, :]       # (l, N, i, c)
+            e_psi = d_psi * d_psi
             E_psi = E_psi + e_psi
             ys = {}
             for k in emit_kinds:
                 oms = E_oms if accumulated[k] else e_oms
                 psi = E_psi if accumulated[k] else e_psi
                 ys[k] = (tuple(member_quad(r,
-                                           oms[r] + eup_s[k][r][..., None],
+                                           eup_s[k][r][..., None] - oms[r],
                                            gq_s[k]) for r in range(R)),
                          psi_quad(pw_s[k], g0q_i, psi))
             return (E_oms, E_psi), ys
@@ -290,9 +310,9 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         return out
 
     def zero_acc():
-        return {k: tuple(jnp.zeros((M,) + (pre['v'][r].shape[1],)
+        return {k: tuple(jnp.zeros((M,) + (pre['s'][r].shape[1],)
                                    + (() if layout[r]['out'] == 'j'
-                                      else pre['v'][r].shape[2:]), dt)
+                                      else pre['s'][r].shape[2:]), dt)
                          for r in range(R)) for k in kinds}
 
     if host_paced:

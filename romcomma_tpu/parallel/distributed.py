@@ -945,6 +945,12 @@ class DistributedGP:
     #: of a host dense f64 K_cho build: the host path materializes an f64
     #: (N,N) gram (3.2 GB at N=20k, 20 GB at N=50k) plus a host-CPU
     #: Cholesky (~1 min at 20k, ~14 min at 50k) — infeasible past ~20k.
+    #: On ACCELERATOR backends 'auto' uses the device solver at every N:
+    #: it reuses the posterior factor (~1 s) where the host build measured
+    #: 69.6 s at N=8192 on the tunnelled TPU, at |dS|/|dT| ~5e-9 vs the
+    #: host path's 5e-14 (both far inside the 1e-6 acceptance gate). This
+    #: threshold only governs 'auto' on CPU backends, where native-f64
+    #: host builds are cheap and exact.
     PSI_SOLVER_MIN_N: int = 16384
 
     def make_psi_solver(self, ls, s2, noise, x_dev, refine: int = 3,
@@ -1129,7 +1135,8 @@ class DistributedGP:
         if error:
             use_device = (error_solver == 'device'
                           or (error_solver == 'auto'
-                              and self.plan.N >= self.PSI_SOLVER_MIN_N))
+                              and (on_accel
+                                   or self.plan.N >= self.PSI_SOLVER_MIN_N)))
             if use_device:
                 # Device psi solver: no dense f64 (N,N) anywhere — the f32
                 # engine factor + f64-refined FULL solves (VERDICT r2 #3).

@@ -67,18 +67,126 @@ def _resolve_warm_start(name: str, fold: Fold, full_name: str, is_covariant: boo
     return False
 
 
+def _gpr_fold_batched(name: str, repo: Repository, is_read: Optional[bool],
+                      is_covariant: Optional[bool], is_isotropic: Optional[bool],
+                      kernel_parameters: Optional[Dict], likelihood_variance,
+                      is_tested: bool, **kwargs) -> Optional[List[str]]:
+    """Calibrate each non-covariant model pass of EVERY equal-shape fold as
+    ONE vmapped L-BFGS descent (models.gp.calibrate_variant_folds — the
+    fold-parallel engine the reference's Python fold loop leaves unexploited,
+    reference user/run.py:60-61). The descent core is the same
+    ``_calibrate_variant_core`` the sequential path runs — same objective,
+    same stopping rule — but vmap changes fusion/reduction order, so long
+    descents on multimodal likelihoods may stop at a different (equally
+    valid) optimum than the per-fold loop. Parameters, meta and LML are
+    written back per fold through the standard persistence path.
+
+    Returns the constructed model names, or ``None`` when the workload is
+    ineligible (covariant passes present, unequal fold shapes, large-N
+    folds, or per-fold calibration options that diverge) — the caller then
+    runs the sequential per-fold loop."""
+    import jax
+    import jax.numpy as jnp
+    passes = _model_passes(is_covariant, is_isotropic)
+    if any(covariant for covariant, _ in passes) or len(list(repo.folds)) < 2:
+        return None
+    names: List[str] = []
+    for pass_index, (covariant, isotropic) in enumerate(passes):
+        full_name = _model_name(name, covariant, isotropic)
+        gps, metas, kopts, lopts = [], [], [], []
+        for k in repo.folds:
+            fold = Fold(repo, k)
+            read = is_read if pass_index == 0 else None
+            if read is None:
+                read = _resolve_warm_start(name, fold, full_name, covariant)
+            gp_k = (MOGP(full_name, fold, read, covariant, isotropic) if read else
+                    MOGP(full_name, fold, read, covariant, isotropic,
+                         kernel_parameters, likelihood_variance))
+            meta, ko, lo = gp_k._calibration_options(**{key: (dict(v) if isinstance(v, dict) else v)
+                                                        for key, v in kwargs.items()})
+            gps.append(gp_k)
+            metas.append(meta)
+            kopts.append(ko)
+            lopts.append(lo)
+        # Batch folds in groups of identical (shape, calibration options) —
+        # the improper fold (its N differs) and any odd-shaped folds run
+        # through the standard per-fold calibrate in place.
+        groups: Dict[tuple, List[int]] = {}
+        for i, (g, m, ko, lo) in enumerate(zip(gps, metas, kopts, lopts)):
+            large = g._N >= int(m.get('large_n_threshold', g.LARGE_N_THRESHOLD))
+            key = ('large', i) if large else (
+                g._N, g._M, g._L, int(m.get('maxiter', 5000)),
+                float(m.get('gtol', 1e-16)), str(ko), str(lo))
+            groups.setdefault(key, []).append(i)
+        if pass_index == 0 and not any(len(v) > 1 for v in groups.values()):
+            return None          # nothing to batch: sequential loop instead
+        from romcomma_tpu.models.gp import calibrate_variant_folds
+        from romcomma_tpu.models.params import variant_mask, variant_constrain
+        for key, idxs in groups.items():
+            if len(idxs) < 2:
+                i = idxs[0]
+                with contexts.Timer(f'fold.{gps[i].fold.meta["k"]} {full_name} GPR'):
+                    gps[i].calibrate(**kwargs)
+                    if is_tested:
+                        gps[i].test()
+                continue
+            maxiter, gtol = key[3], key[4]
+            i0 = idxs[0]
+            mask = variant_mask(kernel_variance=kopts[i0]['variance'],
+                                lengthscales=kopts[i0]['lengthscales']['variant'],
+                                noise=lopts[i0]['variance'])
+            raws = jax.tree.map(lambda *leaves: jnp.stack(leaves),
+                                *[gps[i]._variant_raw() for i in idxs])
+            xs = jnp.asarray(np.stack([gps[i]._X for i in idxs]))
+            ys = jnp.asarray(np.stack([gps[i]._Y for i in idxs]))
+            with contexts.Timer(f'fold-batched x{len(idxs)} {full_name} GPR'):
+                raw_opt, lml, iters = calibrate_variant_folds(
+                    raws, mask, xs, ys, maxiter=maxiter, gtol=gtol)
+                c_all, lml, iters = jax.device_get(
+                    (variant_constrain(raw_opt), lml, iters))
+                for j, i in enumerate(idxs):
+                    c_j = jax.tree.map(lambda leaf: leaf[j], c_all)
+                    gps[i]._finish_variant_calibration(
+                        c_j, lml[j], iters[j], metas[i], kopts[i], lopts[i],
+                        recompute_lml=True)
+                    if is_tested:
+                        gps[i].test()
+        names.append(full_name)
+    return names
+
+
 def gpr(name: str, repo: Repository, is_read: Optional[bool], is_covariant: Optional[bool],
         is_isotropic: Optional[bool], ignore_exceptions: bool = False,
         kernel_parameters: Optional[Dict] = None, likelihood_variance=None,
-        is_calibrated: bool = True, is_tested: bool = True, **kwargs) -> List[str]:
+        is_calibrated: bool = True, is_tested: bool = True,
+        fold_parallel: Optional[bool] = None, **kwargs) -> List[str]:
     """Undertake GPR on a Fold, or across every Fold in a Repository.
-    Returns the list of model names constructed (reference run.py:35-102)."""
+    Returns the list of model names constructed (reference run.py:35-102).
+
+    ``fold_parallel`` (repository-level only): calibrate every fold's model
+    in one vmapped descent instead of the per-fold Python loop. ``None``
+    (default) auto-enables when eligible and silently falls back to the
+    sequential loop otherwise; ``False`` forces the sequential loop."""
     if not isinstance(repo, Fold):
-        names: List[str] = []
-        for k in repo.folds:
-            names = gpr(name, Fold(repo, k), is_read, is_covariant, is_isotropic,
-                        ignore_exceptions, kernel_parameters, likelihood_variance,
-                        is_calibrated, is_tested, **kwargs)
+        names_opt: Optional[List[str]] = None
+        if fold_parallel is not False and is_calibrated:
+            try:
+                names_opt = _gpr_fold_batched(name, repo, is_read, is_covariant,
+                                              is_isotropic, kernel_parameters,
+                                              likelihood_variance, is_tested,
+                                              **kwargs)
+            except BaseException:
+                if fold_parallel:       # explicitly requested: surface it
+                    raise
+                names_opt = None        # auto mode: fall back sequentially
+        if names_opt is not None:
+            names = names_opt
+        else:
+            names = []
+            for k in repo.folds:
+                names = gpr(name, Fold(repo, k), is_read, is_covariant, is_isotropic,
+                            ignore_exceptions, kernel_parameters, likelihood_variance,
+                            is_calibrated, is_tested, **kwargs)
         if is_tested:
             results.Collect({'test': {'header': [0, 1]}, 'test_summary': {'header': [0, 1], 'index_col': 0}},
                             {n: {} for n in names}, ignore_exceptions).from_folds(repo, True)

@@ -49,3 +49,58 @@ def test_fold_sharded_matches_batched():
                                rtol=1e-5, atol=1e-5)
     # results really are sharded over the fold axis
     assert 'k' in str(sharded[1].sharding.spec)
+
+
+def test_run_gpr_fold_parallel_wiring(tmp_path):
+    """user.run.gpr(fold_parallel=True) batches the equal-shape fold group
+    through calibrate_variant_folds (the improper fold runs in place through
+    the standard per-fold calibrate) and persists EXACTLY what a direct call
+    of the batched engine produces on the same fresh-initialized parameters.
+
+    Endpoint parity with the sequential loop is NOT asserted: the vmapped
+    and per-fold descents share the same core and stopping rule but line
+    searches flip on roundoff, so long descents may converge to different
+    (equally valid) optima of the same objective — the engine-level
+    equivalence is pinned by test_batched_folds_match_sequential above."""
+    import pandas as pd
+    from romcomma_tpu.data.storage import Repository, Fold
+    from romcomma_tpu.models.gpr import MOGP
+    from romcomma_tpu.models.params import variant_constrain
+    from romcomma_tpu.user import run
+
+    rng = np.random.default_rng(1)
+    N, M = 48, 3
+    X = rng.uniform(size=(N, M))
+    Y = np.sin(2 * X[:, :1]) + 0.5 * X[:, 1:2] ** 2 \
+        + 0.05 * rng.standard_normal((N, 1))
+    cols = pd.MultiIndex.from_tuples([('X', f'x{i}') for i in range(M)]
+                                     + [('Y', 'y0')])
+    df = pd.DataFrame(np.concatenate([X, Y], axis=1), columns=cols)
+    repo = Repository.from_df(tmp_path / 'repo', df)
+    repo.into_K_folds(2)
+
+    # The expected result: the batched engine run directly on the same
+    # fresh-initialized parameters (MOGP init is deterministic).
+    proper = [k for k in repo.folds if Fold(repo, k).N < N]
+    gps = [MOGP('probe', Fold(repo, k), False, False, False) for k in proper]
+    raws = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves),
+                                  *[g._variant_raw() for g in gps])
+    xs = jnp.asarray(np.stack([g._X for g in gps]))
+    ys = jnp.asarray(np.stack([g._Y for g in gps]))
+    raw_opt, lml, _ = gp.calibrate_variant_folds(raws, variant_mask(), xs, ys,
+                                                 maxiter=30)
+    # run.gpr persists the LML recomputed from the WRITTEN (CSV-roundtripped)
+    # parameters; reproduce that from the optimized raws directly.
+    expect = [float(gp.lml_variant(jax.tree_util.tree_map(lambda l: l[i], raw_opt),
+                                   xs[i], ys[i])[0]) for i in range(len(gps))]
+
+    names = run.gpr('par', repo, is_read=False, is_covariant=False,
+                    is_isotropic=False, fold_parallel=True, maxiter=30)
+    assert names == ['par.v.a']
+    for i, k in enumerate(proper):
+        folder = repo.fold_folder(k)
+        par = np.loadtxt(folder / 'par.v.a' / 'likelihood' / 'log_marginal.csv',
+                         delimiter=',', skiprows=1)
+        np.testing.assert_allclose(np.atleast_1d(par)[-1], expect[i],
+                                   rtol=1e-9, atol=1e-9)
+        assert (folder / 'par.v.a' / 'test_summary.csv').exists()
