@@ -45,12 +45,18 @@ def _use_pallas(*arrays) -> bool:
 
 
 def rbf_gram(x1: jnp.ndarray, x2: jnp.ndarray, lengthscales: jnp.ndarray,
-             variance: jnp.ndarray) -> jnp.ndarray:
+             variance: jnp.ndarray, ff_exp: bool = False) -> jnp.ndarray:
     """Single-output ARD-RBF gram: variance * exp(-1/2 ||(x1-x2)/ls||^2).
 
     Args:
         x1: (A,M) inputs. x2: (B,M) inputs.
         lengthscales: (M,) or scalar. variance: scalar.
+        ff_exp: evaluate a float64 gram's exp through the float-float tier
+            (ops.fastmath.ff_exp_nonpos, ~3e-11 relative — the RBF exponent
+            is non-positive by construction) instead of the emulated-f64
+            transcendental; the fast mode for f64 grams on accelerators
+            (refinement residuals rebuild O(N^2) of them per round).
+            Ignored for non-f64 dtypes.
     Returns: (A,B).
     """
     if _use_pallas(x1, x2, lengthscales, variance):
@@ -58,7 +64,11 @@ def rbf_gram(x1: jnp.ndarray, x2: jnp.ndarray, lengthscales: jnp.ndarray,
         return pallas_kernels.rbf_gram_pallas(x1, x2, jnp.asarray(lengthscales),
                                               jnp.asarray(variance))
     ls = jnp.broadcast_to(jnp.asarray(lengthscales), (x1.shape[-1],))
-    return variance * jnp.exp(-0.5 * _sqdist(x1 / ls, x2 / ls))
+    e = -0.5 * _sqdist(x1 / ls, x2 / ls)
+    if ff_exp and e.dtype == jnp.float64:
+        from romcomma_tpu.ops.fastmath import ff_exp_nonpos
+        return variance * ff_exp_nonpos(e)
+    return variance * jnp.exp(e)
 
 
 def rbf_gram_variant(x1: jnp.ndarray, x2: jnp.ndarray, lengthscales: jnp.ndarray,

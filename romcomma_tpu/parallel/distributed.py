@@ -848,6 +848,14 @@ class DistributedGP:
 
     # -- posterior ----------------------------------------------------------- #
 
+    #: evaluate the refinement residual's f64 gram strips through the
+    #: float-float exp tier (ops.fastmath.ff_exp_nonpos, ~3e-11 relative):
+    #: 'auto' (default) engages it on accelerator backends, where the
+    #: O(N^2) emulated-f64 transcendental is the dominant cost of every
+    #: refinement round (posterior_alpha, make_psi_solver), and keeps the
+    #: native-f64 exp on CPU (fast and exact). True/False force.
+    RESIDUAL_FF_EXP = 'auto'
+
     def _residual_f64(self):
         """Jitted distributed residual r = y - K alpha with the gram row-slab
         recomputed in float64 on the fly — the refinement direction for
@@ -855,6 +863,9 @@ class DistributedGP:
         if getattr(self, '_residual_cached', None) is not None:
             return self._residual_cached
         from romcomma_tpu.ops.gram import rbf_gram
+        ff = (jax.default_backend() != 'cpu'
+              if self.RESIDUAL_FF_EXP == 'auto' else bool(self.RESIDUAL_FF_EXP))
+        rbf_gram = functools.partial(rbf_gram, ff_exp=ff)
         pl_, mesh = self.plan, self.mesh
         cB = pl_.c * pl_.B
         Npad = pl_.Npad

@@ -580,3 +580,38 @@ def test_mesh_scale_block_cyclic_end_to_end():
             assert abs(float(S[k][m]) - float(S_ref[k][m])) < 1e-8, (k, m)
     assert S['first_order'][0] > 0.3          # sin(2.5 x0) dominates
     assert sum(S['first_order'].values()) < 1.05
+
+
+def test_residual_ff_exp_tier_matches_exact(problem):
+    """The float-float exp tier of the refinement-residual gram
+    (DistributedGP.RESIDUAL_FF_EXP — the accelerator default, where the
+    emulated-f64 transcendental dominates every refinement round): the
+    residual r = y - K alpha computed with ff_exp grams must match the
+    exact-f64 residual to the tier's ~3e-11 relative accuracy, far inside
+    what the safeguarded refinement loop needs."""
+    p = problem
+    mesh = dist.make_n_mesh()
+    exact = dist.DistributedGP(N, mesh, block=B)
+    ff = dist.DistributedGP(N, mesh, block=B)
+    ff.RESIDUAL_FF_EXP = True           # instance override: force the tier
+    exact.RESIDUAL_FF_EXP = False
+    x_dev, y_dev = exact.stage(p['X'], p['Y'])
+    x64 = jnp.asarray(x_dev, jnp.float64)
+    y64 = jnp.asarray(y_dev, jnp.float64)
+    rng = np.random.default_rng(7)
+    alpha = jnp.asarray(rng.standard_normal(y64.shape))
+    h64 = (jnp.asarray(p['ls'], jnp.float64), jnp.asarray(p['s2'], jnp.float64),
+           jnp.asarray(p['noise'], jnp.float64))
+    r_exact = np.asarray(exact._residual_f64()(x64, y64, alpha, *h64))
+    r_ff = np.asarray(ff._residual_f64()(x64, y64, alpha, *h64))
+    # the K alpha product is O(N * |K| * |alpha|); tier error is relative to it
+    scale = float(np.abs(r_exact).max() + np.abs(np.asarray(y64)).max())
+    assert np.abs(r_ff - r_exact).max() / scale < 1e-9
+    # and the ff-tier posterior still converges to an f64-grade solve
+    a_ff, _ = ff.posterior_alpha(*h64, x_dev, y_dev, refine=2)
+    K = p['K_oracle']
+    a_oracle = np.linalg.solve(K, np.asarray(p['Y']))
+    perm = np.asarray(ff.plan.perm)
+    real = perm < N
+    np.testing.assert_allclose(np.asarray(a_ff)[real, 0], a_oracle[perm[real], 0],
+                               rtol=1e-6, atol=1e-9)
