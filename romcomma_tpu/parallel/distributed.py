@@ -902,12 +902,23 @@ class DistributedGP:
         self._residual_cached = jax.jit(fn)
         return self._residual_cached
 
+    #: relative-residual convergence floor of the posterior refinement:
+    #: once ||y - K alpha|| <= REFINE_RTOL * ||y|| the solve is f64-grade
+    #: for every consumer (the GSA tiers sit at |dS| ~ 1e-5-6) and further
+    #: rounds are pure cost — each one rebuilds an O(N^2) f64 gram on the
+    #: fly (~0.7 s at N=20k, ~4.5 s at 50k on TPU; measured
+    #: benchmarks/posterior_phase.py: round 1 already lands at 6e-11
+    #: relative on the benchmark posterior, round 2 at 2e-14).
+    REFINE_RTOL: float = 1e-9
+
     def posterior_alpha(self, ls, s2, noise, x_dev, y_dev, refine: int = 2):
         """alpha = K⁻¹ y (stored order, replicated, float64) and L (row-
-        sharded). When the working dtype is f32, ``refine`` rounds of
+        sharded). When the working dtype is f32, up to ``refine`` rounds of
         mixed-precision iterative refinement (f32 factor, f64 residuals
         against an on-the-fly f64 gram) recover f64-grade accuracy — an f32
-        solve alone breaks down once cond(K) ~ N s2/noise nears 1/eps_f32."""
+        solve alone breaks down once cond(K) ~ N s2/noise nears 1/eps_f32.
+        Rounds stop early once the true residual reaches REFINE_RTOL
+        relative to ||y||."""
         ls, s2, noise = self._cast_hypers(x_dev, ls, s2, noise)
         K = self._gram(x_dev, ls, s2, noise)
         L = self._chol(K)
@@ -927,7 +938,10 @@ class DistributedGP:
         # true (f64) residual instead of trusting a fixed iteration count.
         r = residual(x64, y64, alpha, ls64, s264, n64)
         best_alpha, best_norm = alpha, float(jnp.linalg.norm(r))
+        tol = self.REFINE_RTOL * float(jnp.linalg.norm(y64))
         for _ in range(refine):
+            if best_norm <= tol:
+                break
             d = self._bwd(L, self._fwd(L, jnp.asarray(r, x_dev.dtype)))
             alpha = alpha + jnp.asarray(d, f64)
             r = residual(x64, y64, alpha, ls64, s264, n64)
@@ -1006,7 +1020,10 @@ class DistributedGP:
                 Lf, jnp.asarray(rhs, x_dev.dtype))), f64)
             r = residual(x64, y64, z, *hyp64)
             best, best_norm = z, float(jnp.linalg.norm(r))
+            tol = self.REFINE_RTOL * float(jnp.linalg.norm(y64))
             for _ in range(refine):
+                if best_norm <= tol:
+                    break
                 d = self._bwd(Lf, self._fwd(Lf, jnp.asarray(r, x_dev.dtype)))
                 z = z + jnp.asarray(d, f64)
                 r = residual(x64, y64, z, *hyp64)

@@ -615,3 +615,42 @@ def test_residual_ff_exp_tier_matches_exact(problem):
     real = perm < N
     np.testing.assert_allclose(np.asarray(a_ff)[real, 0], a_oracle[perm[real], 0],
                                rtol=1e-6, atol=1e-9)
+
+
+def test_posterior_refine_early_stop(problem):
+    """REFINE_RTOL convergence stop: each refinement round rebuilds an
+    O(N^2) f64 gram on the fly, so once the true residual is at the
+    f64-grade floor further rounds are pure cost. A converged solve must
+    stop invoking the residual (observed via a counting wrapper) and still
+    match the f64 oracle; an effectively-disabled tolerance must return the
+    plain working-dtype solve untouched."""
+    p = problem
+    # f32 working dtype: the refinement path only exists off-f64
+    gp = dist.DistributedGP(N, dist.make_n_mesh(), block=B, dtype=np.float32)
+    x_dev, y_dev = gp.stage(p['X'], p['Y'])
+    hyp = gp._cast_hypers(x_dev, p['ls'], p['s2'], p['noise'])
+
+    calls = []
+    inner = gp._residual_f64()
+    gp._residual_cached = lambda *a: (calls.append(1), inner(*a))[1]
+    a1, _ = gp.posterior_alpha(*hyp, x_dev, y_dev, refine=5)
+    n_with_default = len(calls)
+    assert n_with_default <= 4          # converged long before 5 rounds
+
+    # a huge tolerance accepts the unrefined solve after one residual check
+    calls.clear()
+    gp.REFINE_RTOL = np.inf
+    a0, _ = gp.posterior_alpha(*hyp, x_dev, y_dev, refine=5)
+    assert len(calls) == 1
+
+    # oracle on the f32-rounded inputs the engine actually staged
+    X32 = jnp.asarray(p['X'].astype(np.float32), jnp.float64)
+    K32 = np.asarray(rbf_gram(X32, X32, jnp.asarray(p['ls'], jnp.float64),
+                              jnp.asarray(p['s2'], jnp.float64))
+                     + np.float64(p['noise']) * jnp.eye(N))
+    a_oracle = np.linalg.solve(K32, np.asarray(p['Y'], np.float32)
+                               .astype(np.float64))
+    perm = np.asarray(gp.plan.perm)
+    real = perm < N
+    np.testing.assert_allclose(np.asarray(a1)[real, 0], a_oracle[perm[real], 0],
+                               rtol=1e-6, atol=1e-8)
