@@ -40,6 +40,7 @@ from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from romcomma_tpu.ops.linalg import tri_solve
@@ -145,6 +146,13 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     factors K-solved (reference calibrators.py:290-322 semantics).
     """
     kinds = tuple(k for k in KINDS if need.get(k) or k == 'prefix')
+    # 'prefix' always participates (its (0, M) column is the full-interval
+    # psi factor and MIXED-W source) but per-dim prefix COLUMNS are consumed
+    # only by CLOSED-kind slices.  When none are requested, emit prefix
+    # once — from the forward scan's final carry — instead of paying an
+    # exp + contraction of the (N, j, k, C) plane at EVERY dim: ~1/3 of all
+    # emission work in the standard first_order+total configuration.
+    prefix_full = bool(need.get('prefix'))
     layout = _member_layout(cal)
     R = len(layout)
     L, _, N, M = cal.G.shape
@@ -223,7 +231,17 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     Gq, gw_c, g0q_c = pre['Gq'], pre['gw_c'], pre['g0q_c']
     eup, invd, invd_psi = pre['eup'], pre['invd'], pre['invd_psi']
 
-    fwd_kinds = tuple(k for k in ('single', 'prefix') if k in kinds)
+    # kinds emitted inside the scans; prefix-last mode narrows every prefix
+    # per-dim array to its final (cumulative-over-all-dims) column so the
+    # emission-time folds/determinants keep one shared code path with a
+    # leading axis of 1.
+    scan_kinds = tuple(k for k in kinds if k != 'prefix' or prefix_full)
+    if not prefix_full:
+        eup = {**eup, 'prefix': tuple(e[M - 1:] for e in eup['prefix'])}
+        invd = {**invd, 'prefix': [d[M - 1:] for d in invd['prefix']]}
+        invd_psi = {**invd_psi, 'prefix': invd_psi['prefix'][M - 1:]}
+
+    fwd_kinds = tuple(k for k in ('single', 'prefix') if k in scan_kinds)
     do_bwd = 'suffix' in kinds
 
     def member_quad(r, Eplane, gq_m):
@@ -255,13 +273,14 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
 
     def run_chunk(Gq_i, gw_i, g0q_i):
         """All sweeps for one q chunk.  Returns
-        {kind: ([member quads (M, ...)], psi contribs (M, l, i, c))}."""
+        {kind: ([member quads (Mk, ...)], psi contribs (Mk, l, i, c))} with
+        Mk = 1 for 'prefix' in prefix-last mode."""
         xs = (Gq_i,                                         # (M, L, c)
               pre['a_sc'],                                  # (M, N, j, k)
               pre['s'],                                     # (M, j, k)
-              {k: gw_i[k] for k in kinds},                  # (M, L, c)
-              {k: pre['gw'][k] for k in kinds},             # (M, L, N) p-side
-              {k: eup[k] for k in kinds},                   # (M, N, j, k)
+              {k: gw_i[k] for k in scan_kinds},             # (M, L, c)
+              {k: pre['gw'][k] for k in scan_kinds},        # (M, L, N) p-side
+              {k: eup[k] for k in scan_kinds},              # (M, N, j, k)
               pre['Gm'], pre['phi_m'], pre['s_psi'])
 
         def init():
@@ -299,9 +318,20 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
                          psi_quad(pw_s[k], g0q_i, psi))
             return (E_oms, E_psi), ys
 
-        _, out = lax.scan(lambda c, x: step(c, x, fwd_kinds,
-                                            {'single': False, 'prefix': True}),
-                          init(), xs)
+        carry, out = lax.scan(lambda c, x: step(c, x, fwd_kinds,
+                                                {'single': False,
+                                                 'prefix': True}),
+                              init(), xs)
+        if not prefix_full:
+            # prefix-last emission: the forward carry after the final dim IS
+            # the full-interval accumulation; one plane exp + contraction
+            # replaces M of them.
+            E_oms, E_psi = carry
+            qp = tuple(member_quad(r,
+                                   eup['prefix'][r][0][..., None] - E_oms[r],
+                                   gw_i['prefix'][M - 1]) for r in range(R))
+            pp = psi_quad(pre['gw']['prefix'][M - 1], g0q_i, E_psi)
+            out = out | {'prefix': (tuple(q[None] for q in qp), pp[None])}
         if do_bwd:
             _, out_b = lax.scan(lambda c, x: step(c, x, ('suffix',),
                                                   {'suffix': True}),
@@ -310,7 +340,8 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         return out
 
     def zero_acc():
-        return {k: tuple(jnp.zeros((M,) + (pre['s'][r].shape[1],)
+        return {k: tuple(jnp.zeros((M if k in scan_kinds else 1,)
+                                   + (pre['s'][r].shape[1],)
                                    + (() if layout[r]['out'] == 'j'
                                       else pre['s'][r].shape[2:]), dt)
                          for r in range(R)) for k in kinds}
@@ -336,7 +367,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         quads, psi_stack = lax.scan(outer, zero_acc(),
                                     (Gq, {k: gw_c[k] for k in kinds}, g0q_c))
         psi = {k: jnp.moveaxis(psi_stack[k], 0, -2
-                               ).reshape(M, L, L, Npad)[..., :N] for k in kinds}
+                               ).reshape(-1, L, L, Npad)[..., :N] for k in kinds}
 
     # Determinants, then the K_cho solve of the psi factors.  In host-paced
     # mode the solve runs on the host CPU in native f64: a (M,l,i)-batched
@@ -366,10 +397,14 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     # psi_solver mode (large N — no dense f64 K_cho anywhere): ONE refined
     # FULL K-solve for every kind's factors at once; K^{-1} f replaces the
     # half-solve L^{-1} f, and the assembly pairs (raw, solved) factors so
-    # every quadform is still exactly f1ᵀ K⁻¹ f2.
-    solved = solver(jnp.stack([psi_raw[k] for k in kinds]))
+    # every quadform is still exactly f1ᵀ K⁻¹ f2.  Kinds concatenate along
+    # the dim axis (ragged in prefix-last mode) and split back by size.
+    sizes = [psi_raw[k].shape[0] for k in kinds]
+    solved = solver(jnp.concatenate([psi_raw[k] for k in kinds], axis=0))
+    offs = np.concatenate([[0], np.cumsum(sizes)])
     return {'layout': layout, 'quads': quads,
-            'psi': {k: solved[i] for i, k in enumerate(kinds)},
+            'psi': {k: solved[offs[i]:offs[i + 1]]
+                    for i, k in enumerate(kinds)},
             'psi_raw': psi_raw}
 
 
@@ -439,21 +474,21 @@ def _w_of(cal, layout, quads_m, pair_m, full_first) -> Dict[str, jnp.ndarray]:
 
 def _full_first(cal, sweep) -> jnp.ndarray:
     """The MIXED-family first factor: the full-interval (0, M) prefix column
-    — raw in psi_solver mode, half-solved otherwise."""
+    (the LAST emitted prefix column — index M-1 in a full prefix sweep, 0 in
+    prefix-last mode) — raw in psi_solver mode, half-solved otherwise."""
     raw = sweep.get('psi_raw')
-    return (raw['prefix'][cal.M - 1] if raw is not None
-            else sweep['psi']['prefix'][cal.M - 1])
+    return (raw['prefix'][-1] if raw is not None
+            else sweep['psi']['prefix'][-1])
 
 
 def _full_cache(cal, sweep) -> Dict[str, Any]:
     """The full-interval (0, M) error quantities from a sweep's prefix
     column: psi_factor, W per family, and Q/T in non-partial mode."""
-    M = cal.M
-    pair_full = _psi_pair(sweep, 'prefix', M - 1)
+    pair_full = _psi_pair(sweep, 'prefix', -1)
     full_W = _w_of(cal, sweep['layout'],
-                   [q[M - 1] for q in sweep['quads']['prefix']],
+                   [q[-1] for q in sweep['quads']['prefix']],
                    pair_full, _full_first(cal, sweep))
-    cache = {'psi_factor': sweep['psi']['prefix'][M - 1], 'W': full_W}
+    cache = {'psi_factor': sweep['psi']['prefix'][-1], 'W': full_W}
     if not cal.meta['is_T_partial']:
         Q = _diag_part(full_W['MIXED']) / (4.0 * cal.V[1] * cal.V[1])
         cache['Q'] = Q[None, ...] + Q[..., None] + 2.0 * jnp.diag(Q)
@@ -476,6 +511,11 @@ def intervals(cal, slices, kinds_idx, V_cols, host_paced: bool = False):
     calibrator's full-interval error cache as a side effect.
     """
     need = {k: any(s[0] == k for s in kinds_idx) for k in KINDS}
+    # A (0, M) full-interval slice classifies as ('prefix', M) — the
+    # defer_V path appends one on every call — but it is served by the
+    # prefix-LAST column; per-dim prefix emission is only needed for
+    # PROPER closed slices (idx < M).
+    need['prefix'] = any(k == 'prefix' and idx < cal.M for k, idx in kinds_idx)
     sweep = error_scan(cal, need, host_paced)
     cache = _full_cache(cal, sweep)
     cal._full_error_cache = cache
@@ -489,7 +529,10 @@ def intervals(cal, slices, kinds_idx, V_cols, host_paced: bool = False):
             W_cols.append(zero)
             T_cols.append(zero)
             continue
-        m = idx - 1 if kind == 'prefix' else idx
+        if kind == 'prefix':
+            m = idx - 1 if need['prefix'] else 0   # prefix-last: one column
+        else:
+            m = idx
         Ws = _w_of(cal, sweep['layout'],
                    [q[m] for q in sweep['quads'][kind]],
                    _psi_pair(sweep, kind, m), full_first)

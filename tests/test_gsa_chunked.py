@@ -605,3 +605,26 @@ def test_stacked_intervals_f64_accumulation_matches_single():
         np.testing.assert_allclose(np.asarray(out['V']),
                                    np.asarray(single['V']),
                                    rtol=1e-12, atol=1e-15)
+
+
+@pytest.mark.parametrize('is_T_partial', [True, False])
+def test_error_intervals_prefix_last_mode(is_T_partial):
+    """The prefix-LAST emission mode (factorized_errors.error_scan
+    prefix_full=False): with no proper closed slice requested — the
+    production first_order+total configuration — the forward scan emits the
+    prefix plane once, from its final carry, instead of at every dim. The
+    W/T columns must match the per-slice oracle, including the appended
+    (0, M) full-interval slice that defer_V classifies as ('prefix', M)."""
+    M = 4
+    cal = _error_calibrator(is_T_partial=is_T_partial, M=M)
+    slices = tuple([(m, m + 1) for m in range(M)]       # first_order
+                   + [(m + 1, M) for m in range(M)]     # total (last empty)
+                   + [(0, M)])                          # full interval
+    got = cal.marginalize_intervals(slices)
+    for i, s in enumerate(slices):
+        want = cal.marginalize(s)
+        for key in ('V', 'S', 'W', 'T'):
+            atol = 1e-7 if key == 'T' else 1e-11
+            np.testing.assert_allclose(
+                np.asarray(got[key][..., i]), np.asarray(want[key]),
+                rtol=1e-9, atol=atol, err_msg=f'{key} {s} partial={is_T_partial}')
