@@ -156,6 +156,16 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     layout = _member_layout(cal)
     R = len(layout)
     L, _, N, M = cal.G.shape
+    # At L=1 EVERY member's per-dim planes coincide (all rank
+    # diagonalizations collapse onto the single output — verified
+    # numerically for both T modes): accumulate and exponentiate ONE shared
+    # plane and derive each member's quad from the 'jk' contraction, whose
+    # output specs are all the same scalar at L=1.  R=2 (partial) / R=3
+    # (non-partial) plane sweeps become 1 in the production single-output
+    # path; XLA cannot CSE the duplicates itself — they live in separate
+    # lax.scan carries.
+    dedup = (L == 1)
+    n_planes = 1 if dedup else R
     dt = cal.G.dtype
     g = cal.g0KY[:, 0, :]                                  # (L, N)
     chunk = _chunk_size(cal, R)
@@ -201,14 +211,17 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         gw = {k: g[None] * jnp.exp(-eg[k]) for k in kinds}  # (M, L, N)
         eup = {k: [] for k in kinds}
         invd = {k: [] for k in kinds}
-        for m in mem:
-            ecum = _cums(m['e_up'])
+        for i, m in enumerate(mem):
             dcum = _cums(jnp.log(m['d']))
+            for k in kinds:
+                invd[k].append(jnp.exp(-dcum[k]))          # per MEMBER
+            if i >= n_planes:                              # dedup: planes of
+                continue                                   # members > 0 alias
+            ecum = _cums(m['e_up'])
             m['s'] = jnp.sqrt(0.5 / m['v'])                # (M, j, k)
             m['a_sc'] = m['a'] * m['s'][:, None]           # (M, N, j, k)
             for k in kinds:
                 eup[k].append(ecum[k])
-                invd[k].append(jnp.exp(-dcum[k]))
         invd_psi = {k: jnp.exp(-_cums(jnp.log(
             jnp.sqrt(v_psi) / jnp.sqrt(phi_m)[:, :, None]))[k]) for k in kinds}
 
@@ -216,8 +229,8 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             x = jnp.pad(x, ((0, 0), (0, 0), (0, Npad - N)))
             return jnp.moveaxis(x.reshape(M, L, nc, chunk), 2, 0)
 
-        return {'a_sc': tuple(m['a_sc'] for m in mem),
-                's': tuple(m['s'] for m in mem),
+        return {'a_sc': tuple(m['a_sc'] for m in mem[:n_planes]),
+                's': tuple(m['s'] for m in mem[:n_planes]),
                 'eup': {k: tuple(eup[k]) for k in kinds},
                 'invd': {k: tuple(invd[k]) for k in kinds},
                 'invd_psi': invd_psi, 'gw': gw,
@@ -244,13 +257,13 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     fwd_kinds = tuple(k for k in ('single', 'prefix') if k in scan_kinds)
     do_bwd = 'suffix' in kinds
 
-    def member_quad(r, Eplane, gq_m):
+    def member_quad(spec, Eplane, gq_m):
         """Quadform of exp(Eplane) — Eplane (N, j, k, C); contraction covers
         N and C always, plus k when the member reduces to 'j'."""
-        eq = f"{layout[r]['p']}N, NjkC, jC -> {layout[r]['out']}"
+        eq = f"{spec['p']}N, NjkC, jC -> {spec['out']}"
         if not use_shift:
             return jnp.einsum(eq, g, jnp.exp(Eplane), gq_m)
-        out_jk = layout[r]['out'] == 'jk'
+        out_jk = spec['out'] == 'jk'
         # the shift must be constant over every CONTRACTED axis of the
         # output (a per-k scale cannot be factored out of a k-sum)
         plane, c_max = shifted_exp(Eplane, (0, 3) if out_jk else (0, 2, 3),
@@ -258,6 +271,21 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         q = jnp.einsum(eq, g, plane, gq_m)
         return q * (jnp.exp(c_max[0, :, :, 0]) if out_jk
                     else jnp.exp(c_max[0, :, 0, 0]))
+
+    #: dedup emission: one 'jk' contraction of the shared plane serves every
+    #: member at L=1 (all output specs are the same scalar; 'j' members sum
+    #: the singleton k axis)
+    _JK = {'p': 'j', 'out': 'jk'}
+
+    def member_quads(oms, eup_cols, gq):
+        """Per-MEMBER quads (tuple of R) from per-PLANE accumulations
+        (tuple of n_planes) and per-plane eup columns (N, j, k)."""
+        if dedup:
+            q_jk = member_quad(_JK, eup_cols[0][..., None] - oms[0], gq)
+            return tuple(q_jk if layout[r]['out'] == 'jk' else q_jk[:, 0]
+                         for r in range(R))
+        return tuple(member_quad(layout[r], eup_cols[r][..., None] - oms[r],
+                                 gq) for r in range(R))
 
     def psi_quad(pw, g0q_i, P_psi):
         """liC psi contribution from the POSITIVE quadratic plane P_psi
@@ -285,7 +313,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
 
         def init():
             E_oms = tuple(jnp.zeros((N,) + pre['s'][r].shape[1:] + (chunk,), dt)
-                          for r in range(R))
+                          for r in range(n_planes))
             return (E_oms, jnp.zeros((L, N, L, chunk), dt))
 
         def step(carry, xs_m, emit_kinds, accumulated):
@@ -297,7 +325,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             E_oms, E_psi = carry
             Gq_m, a_s, s_s, gq_s, pw_s, eup_s, Gm_m, phim, sps = xs_m
             e_oms = []
-            for r in range(R):
+            for r in range(n_planes):
                 d = a_s[r][..., None] \
                     - (Gq_m[:, None, :] * s_s[r][:, :, None])[None]
                 e_oms.append(d * d)                         # (N, j, k, c)
@@ -312,9 +340,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             for k in emit_kinds:
                 oms = E_oms if accumulated[k] else e_oms
                 psi = E_psi if accumulated[k] else e_psi
-                ys[k] = (tuple(member_quad(r,
-                                           eup_s[k][r][..., None] - oms[r],
-                                           gq_s[k]) for r in range(R)),
+                ys[k] = (member_quads(oms, eup_s[k], gq_s[k]),
                          psi_quad(pw_s[k], g0q_i, psi))
             return (E_oms, E_psi), ys
 
@@ -327,9 +353,8 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             # the full-interval accumulation; one plane exp + contraction
             # replaces M of them.
             E_oms, E_psi = carry
-            qp = tuple(member_quad(r,
-                                   eup['prefix'][r][0][..., None] - E_oms[r],
-                                   gw_i['prefix'][M - 1]) for r in range(R))
+            qp = member_quads(E_oms, tuple(e[0] for e in eup['prefix']),
+                              gw_i['prefix'][M - 1])
             pp = psi_quad(pre['gw']['prefix'][M - 1], g0q_i, E_psi)
             out = out | {'prefix': (tuple(q[None] for q in qp), pp[None])}
         if do_bwd:
@@ -340,10 +365,12 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         return out
 
     def zero_acc():
+        def s_of(r):
+            return pre['s'][0 if dedup else r]
         return {k: tuple(jnp.zeros((M if k in scan_kinds else 1,)
-                                   + (pre['s'][r].shape[1],)
+                                   + (s_of(r).shape[1],)
                                    + (() if layout[r]['out'] == 'j'
-                                      else pre['s'][r].shape[2:]), dt)
+                                      else s_of(r).shape[2:]), dt)
                          for r in range(R)) for k in kinds}
 
     if host_paced:

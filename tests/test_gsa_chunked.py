@@ -256,11 +256,14 @@ def _error_calibrator(is_T_partial=True, N=60, M=4, L=2, seed=0):
 
 
 @pytest.mark.parametrize('is_T_partial', [True, False])
-def test_error_intervals_match_per_slice(is_T_partial):
+@pytest.mark.parametrize('L', [2, 1])
+def test_error_intervals_match_per_slice(is_T_partial, L):
     """Factorized W/T interval pass (accumulated width-1 family bundles)
-    reproduces the per-slice error path for every canonical kind."""
+    reproduces the per-slice error path for every canonical kind.  L=1
+    exercises the deduplicated single-plane sweep (every member's per-dim
+    plane coincides at one output); L=2 the full per-member sweep."""
     M = 4
-    cal = _error_calibrator(is_T_partial=is_T_partial, M=M)
+    cal = _error_calibrator(is_T_partial=is_T_partial, M=M, L=L)
     slices = tuple([(m, m + 1) for m in range(M)]
                    + [(0, m + 1) for m in range(M)]
                    + [(m + 1, M) for m in range(M)])   # last is empty
@@ -378,11 +381,12 @@ def test_distributed_sobol_f32_fast_mode():
         np.testing.assert_allclose(b, a, atol=1e-4, rtol=1e-3, err_msg=k)
 
 
-def test_error_scan_host_paced_matches_fused():
+@pytest.mark.parametrize('L', [2, 1])
+def test_error_scan_host_paced_matches_fused(L):
     """The host-paced chunk loop of the error engine (bounded dispatches for
     tunnelled TPU runtimes) matches the fused lax.scan path."""
     M = 4
-    cal = _error_calibrator(M=M, N=50, L=2)
+    cal = _error_calibrator(M=M, N=50, L=L)
     cal.meta['n_chunk'] = 16
     slices = tuple([(m, m + 1) for m in range(M)] + [(0, 2), (1, M), (0, M)])
     fused = cal.marginalize_intervals(slices)
@@ -608,7 +612,8 @@ def test_stacked_intervals_f64_accumulation_matches_single():
 
 
 @pytest.mark.parametrize('is_T_partial', [True, False])
-def test_error_intervals_prefix_last_mode(is_T_partial):
+@pytest.mark.parametrize('L', [2, 1])
+def test_error_intervals_prefix_last_mode(is_T_partial, L):
     """The prefix-LAST emission mode (factorized_errors.error_scan
     prefix_full=False): with no proper closed slice requested — the
     production first_order+total configuration — the forward scan emits the
@@ -616,7 +621,7 @@ def test_error_intervals_prefix_last_mode(is_T_partial):
     W/T columns must match the per-slice oracle, including the appended
     (0, M) full-interval slice that defer_V classifies as ('prefix', M)."""
     M = 4
-    cal = _error_calibrator(is_T_partial=is_T_partial, M=M)
+    cal = _error_calibrator(is_T_partial=is_T_partial, M=M, L=L)
     slices = tuple([(m, m + 1) for m in range(M)]       # first_order
                    + [(m + 1, M) for m in range(M)]     # total (last empty)
                    + [(0, M)])                          # full interval
