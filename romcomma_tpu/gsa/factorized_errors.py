@@ -168,7 +168,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     n_planes = 1 if dedup else R
     dt = cal.G.dtype
     g = cal.g0KY[:, 0, :]                                  # (L, N)
-    chunk = _chunk_size(cal, R)
+    chunk = _chunk_size(cal, n_planes)
     nc = -(-N // chunk)
     Npad = nc * chunk
     # Same mixed-precision policy as ClosedSobol.marginalize_intervals:
@@ -344,19 +344,34 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
                          psi_quad(pw_s[k], g0q_i, psi))
             return (E_oms, E_psi), ys
 
+        def prefix_last(carry, out):
+            # prefix-last emission: the scan carry after ALL dims IS the
+            # full-interval accumulation (forward or reverse — addition
+            # order only); one plane exp + contraction replaces M of them.
+            E_oms, E_psi = carry
+            qp = member_quads(E_oms, tuple(e[0] for e in eup['prefix']),
+                              gw_i['prefix'][M - 1])
+            pp = psi_quad(pre['gw']['prefix'][M - 1], g0q_i, E_psi)
+            return out | {'prefix': (tuple(q[None] for q in qp), pp[None])}
+
+        if do_bwd and not prefix_full:
+            # Single-sweep mode (the production first_order+total config):
+            # 'single' emissions are carry-free, so the reverse (suffix)
+            # scan emits them too, and its final carry is the full-interval
+            # accumulation for the prefix-last column — the forward sweep's
+            # whole accumulation (d*d rebuilds included) is deleted.
+            emit = tuple(k for k in ('single', 'suffix') if k in scan_kinds)
+            carry, out = lax.scan(lambda c, x: step(c, x, emit,
+                                                    {'single': False,
+                                                     'suffix': True}),
+                                  init(), xs, reverse=True)
+            return prefix_last(carry, out)
         carry, out = lax.scan(lambda c, x: step(c, x, fwd_kinds,
                                                 {'single': False,
                                                  'prefix': True}),
                               init(), xs)
         if not prefix_full:
-            # prefix-last emission: the forward carry after the final dim IS
-            # the full-interval accumulation; one plane exp + contraction
-            # replaces M of them.
-            E_oms, E_psi = carry
-            qp = member_quads(E_oms, tuple(e[0] for e in eup['prefix']),
-                              gw_i['prefix'][M - 1])
-            pp = psi_quad(pre['gw']['prefix'][M - 1], g0q_i, E_psi)
-            out = out | {'prefix': (tuple(q[None] for q in qp), pp[None])}
+            out = prefix_last(carry, out)
         if do_bwd:
             _, out_b = lax.scan(lambda c, x: step(c, x, ('suffix',),
                                                   {'suffix': True}),

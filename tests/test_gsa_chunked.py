@@ -633,3 +633,12 @@ def test_error_intervals_prefix_last_mode(is_T_partial, L):
             np.testing.assert_allclose(
                 np.asarray(got[key][..., i]), np.asarray(want[key]),
                 rtol=1e-9, atol=atol, err_msg=f'{key} {s} partial={is_T_partial}')
+    # total-ONLY request: the single-sweep path with no carry-free emission
+    # (suffix + prefix-last, no 'single' kind)
+    tot = cal.marginalize_intervals(tuple((m + 1, M) for m in range(M))
+                                    + ((0, M),))
+    for i, s in enumerate(tuple((m + 1, M) for m in range(M)) + ((0, M),)):
+        want = cal.marginalize(s)
+        np.testing.assert_allclose(
+            np.asarray(tot['T'][..., i]), np.asarray(want['T']),
+            rtol=1e-9, atol=1e-7, err_msg=f'total-only {s}')
