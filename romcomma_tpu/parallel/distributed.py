@@ -1220,7 +1220,11 @@ class DistributedGP:
         S_out = self._kinds_from_V(V_all, kinds, M, kind)
         if not error:
             return S_out
+        t0 = time.time()
+        # forcing T materializes the deferred psi refinement solves (device)
+        # and the host-side W/T assembly einsums — attribute them.
         T_all = np.asarray(out['T'])[0, 0][1:]
+        self.last_gsa_timings['t_assembly_s'] = round(time.time() - t0, 1)
         T_by_kind = {k: {m: float(T_all[i * M + m]) for m in range(M)}
                      for i, k in enumerate(kinds)}
         return {'S': S_out,
