@@ -85,15 +85,17 @@ def _member_layout(cal) -> List[Dict[str, Any]]:
     return layout
 
 
-def _member_arrays(cal) -> List[Dict[str, jnp.ndarray]]:
+def _member_arrays(cal, G, Phi, Upsilon) -> List[Dict[str, jnp.ndarray]]:
     """Traced per-member arrays, aligned with :func:`_member_layout`:
     Omega per-dim N-side mean ``a`` (M, N, j, k) and variance ``v``
     (M, j, k); the Upsilon per-dim (p-side-only) exponent ``e_up``
     (M, N, j, k); the combined per-dim sqrt-determinant ``d`` (M, j, k) of
-    (Omega / G-divisor) * Upsilon."""
-    om_mean, om_var = cal._omega_mean_variance(cal.Ms, cal.G, cal.Phi, cal.Upsilon)
-    up_mean, up_var = cal._upsilon_mean_variance(cal.G, cal.Phi, cal.Upsilon)
-    dg = jnp.sqrt(cal.Phi[:, 0, :])                       # (L, M) G-divisor cho
+    (Omega / G-divisor) * Upsilon.  ``G/Phi/Upsilon`` are passed explicitly
+    (possibly as tracers) so the caller's jitted precompute does NOT bake
+    them into the program as constants."""
+    om_mean, om_var = cal._omega_mean_variance(cal.Ms, G, Phi, Upsilon)
+    up_mean, up_var = cal._upsilon_mean_variance(G, Phi, Upsilon)
+    dg = jnp.sqrt(Phi[:, 0, :])                           # (L, M) G-divisor cho
 
     def equate(tensor, rank_eq, insert_n_axis: bool):
         t = jnp.expand_dims(tensor, 3) if insert_n_axis else tensor
@@ -167,7 +169,6 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     dedup = (L == 1)
     n_planes = 1 if dedup else R
     dt = cal.G.dtype
-    g = cal.g0KY[:, 0, :]                                  # (L, N)
     chunk = _chunk_size(cal, n_planes)
     nc = -(-N // chunk)
     Npad = nc * chunk
@@ -187,16 +188,23 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         getattr(cal, 'meta', {}).get('intervals_mixed', False), dt)
     use_shift = exp_mode is not None
 
-    def prep():
+    def prep(G, Phi, Upsilon, g0, g0KY):
         """Every per-dim array the sweeps consume — member params, per-kind
         emission-time weights/cums/inverse-dets, and padded q chunks.  Runs
         as ONE jitted program in host-paced mode: dozens of eager emulated-
         f64 dispatches (each a fresh remote compile on tunnelled TPU
-        runtimes) collapse into a single compilation."""
-        mem = _member_arrays(cal)
-        g0q = cal.g0[:, 0, :]                              # (L, N) psi q side
-        Gm = jnp.moveaxis(cal.G[:, 0, :, :], -1, 0)        # (M, L, N)
-        phi_m = jnp.moveaxis(cal.Phi[:, 0, :], -1, 0)      # (M, L)
+        runtimes) collapse into a single compilation.  The cal arrays are
+        FORMAL ARGUMENTS, never closure captures: a captured concrete array
+        is baked into the HLO as a constant, which (a) keys the persistent
+        compile cache on the DATA — every new dataset/hyperparameters paid
+        a full recompile — and (b) bloated the serialized executable to
+        hundreds of MB at N=50k (~16 s to load per process through the
+        tunnel's remote compile helper)."""
+        g = g0KY[:, 0, :]                                  # (L, N)
+        mem = _member_arrays(cal, G, Phi, Upsilon)
+        g0q = g0[:, 0, :]                                  # (L, N) psi q side
+        Gm = jnp.moveaxis(G[:, 0, :, :], -1, 0)            # (M, L, N)
+        phi_m = jnp.moveaxis(Phi[:, 0, :], -1, 0)          # (M, L)
         # psi per-dim variance phi_l (1 - phi_l phi_i); G-divisor exponent.
         v_psi = phi_m[:, :, None] * (1.0 - phi_m[:, :, None] * phi_m[:, None, :])
         # Scaled-difference form of every sweep plane: the per-dim exponent
@@ -233,14 +241,15 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
                 's': tuple(m['s'] for m in mem[:n_planes]),
                 'eup': {k: tuple(eup[k]) for k in kinds},
                 'invd': {k: tuple(invd[k]) for k in kinds},
-                'invd_psi': invd_psi, 'gw': gw,
+                'invd_psi': invd_psi, 'gw': gw, 'g': g,
                 'Gm': Gm, 'phi_m': phi_m, 's_psi': s_psi,
                 'Gq': pad_chunk(Gm),
                 'gw_c': {k: pad_chunk(gw[k]) for k in kinds},
                 'g0q_c': jnp.moveaxis(jnp.pad(g0q, ((0, 0), (0, Npad - N))
                                               ).reshape(L, nc, chunk), 1, 0)}
 
-    pre = jax.jit(prep)() if host_paced else prep()
+    pre = (jax.jit(prep) if host_paced else prep)(
+        cal.G, cal.Phi, cal.Upsilon, cal.g0, cal.g0KY)
     Gq, gw_c, g0q_c = pre['Gq'], pre['gw_c'], pre['g0q_c']
     eup, invd, invd_psi = pre['eup'], pre['invd'], pre['invd_psi']
 
@@ -257,62 +266,77 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     fwd_kinds = tuple(k for k in ('single', 'prefix') if k in scan_kinds)
     do_bwd = 'suffix' in kinds
 
-    def member_quad(spec, Eplane, gq_m):
-        """Quadform of exp(Eplane) — Eplane (N, j, k, C); contraction covers
-        N and C always, plus k when the member reduces to 'j'."""
-        eq = f"{spec['p']}N, NjkC, jC -> {spec['out']}"
-        if not use_shift:
-            return jnp.einsum(eq, g, jnp.exp(Eplane), gq_m)
-        out_jk = spec['out'] == 'jk'
-        # the shift must be constant over every CONTRACTED axis of the
-        # output (a per-k scale cannot be factored out of a k-sum)
-        plane, c_max = shifted_exp(Eplane, (0, 3) if out_jk else (0, 2, 3),
-                                   exp_mode)
-        q = jnp.einsum(eq, g, plane, gq_m)
-        return q * (jnp.exp(c_max[0, :, :, 0]) if out_jk
-                    else jnp.exp(c_max[0, :, 0, 0]))
+    # Everything run_chunk consumes besides the per-chunk xs, as ONE pytree
+    # ARGUMENT of the jitted step — closure-captured concrete arrays would be
+    # baked into the HLO as constants (data-keyed compile cache + a multi-
+    # hundred-MB executable at N=50k; see prep's docstring).
+    C = {'a_sc': pre['a_sc'], 's': pre['s'], 'g': pre['g'],
+         'gw_p': {k: pre['gw'][k] for k in scan_kinds},
+         'eup_scan': {k: eup[k] for k in scan_kinds},
+         'Gm': pre['Gm'], 'phi_m': pre['phi_m'], 's_psi': pre['s_psi']}
+    if not prefix_full:
+        C['eup_prefix'] = eup['prefix']
+        C['gw_prefix_last'] = pre['gw']['prefix'][M - 1]
 
-    #: dedup emission: one 'jk' contraction of the shared plane serves every
-    #: member at L=1 (all output specs are the same scalar; 'j' members sum
-    #: the singleton k axis)
-    _JK = {'p': 'j', 'out': 'jk'}
-
-    def member_quads(oms, eup_cols, gq):
-        """Per-MEMBER quads (tuple of R) from per-PLANE accumulations
-        (tuple of n_planes) and per-plane eup columns (N, j, k)."""
-        if dedup:
-            q_jk = member_quad(_JK, eup_cols[0][..., None] - oms[0], gq)
-            return tuple(q_jk if layout[r]['out'] == 'jk' else q_jk[:, 0]
-                         for r in range(R))
-        return tuple(member_quad(layout[r], eup_cols[r][..., None] - oms[r],
-                                 gq) for r in range(R))
-
-    def psi_quad(pw, g0q_i, P_psi):
-        """liC psi contribution from the POSITIVE quadratic plane P_psi
-        (l,N,i,C) — the exponent is ``-P_psi`` (scaled-difference form).
-        Only the N axis (1) is contracted; the C axis survives, so the
-        shift keeps it."""
-        if not use_shift:
-            return jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i,
-                              jnp.exp(-P_psi))
-        plane, c_max = shifted_exp(P_psi, (1,), exp_mode, negate=True)
-        t = jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i, plane)
-        return t * jnp.exp(c_max[:, 0, :, :])
-
-    def run_chunk(Gq_i, gw_i, g0q_i):
+    def run_chunk(C, Gq_i, gw_i, g0q_i):
         """All sweeps for one q chunk.  Returns
         {kind: ([member quads (Mk, ...)], psi contribs (Mk, l, i, c))} with
         Mk = 1 for 'prefix' in prefix-last mode."""
+
+        def member_quad(spec, Eplane, gq_m):
+            """Quadform of exp(Eplane) — Eplane (N, j, k, C); contraction
+            covers N and C always, plus k when the member reduces to 'j'."""
+            eq = f"{spec['p']}N, NjkC, jC -> {spec['out']}"
+            if not use_shift:
+                return jnp.einsum(eq, C['g'], jnp.exp(Eplane), gq_m)
+            out_jk = spec['out'] == 'jk'
+            # the shift must be constant over every CONTRACTED axis of the
+            # output (a per-k scale cannot be factored out of a k-sum)
+            plane, c_max = shifted_exp(Eplane,
+                                       (0, 3) if out_jk else (0, 2, 3),
+                                       exp_mode)
+            q = jnp.einsum(eq, C['g'], plane, gq_m)
+            return q * (jnp.exp(c_max[0, :, :, 0]) if out_jk
+                        else jnp.exp(c_max[0, :, 0, 0]))
+
+        # dedup emission: one 'jk' contraction of the shared plane serves
+        # every member at L=1 (all output specs are the same scalar; 'j'
+        # members sum the singleton k axis)
+        _JK = {'p': 'j', 'out': 'jk'}
+
+        def member_quads(oms, eup_cols, gq):
+            """Per-MEMBER quads (tuple of R) from per-PLANE accumulations
+            (tuple of n_planes) and per-plane eup columns (N, j, k)."""
+            if dedup:
+                q_jk = member_quad(_JK, eup_cols[0][..., None] - oms[0], gq)
+                return tuple(q_jk if layout[r]['out'] == 'jk' else q_jk[:, 0]
+                             for r in range(R))
+            return tuple(member_quad(layout[r],
+                                     eup_cols[r][..., None] - oms[r], gq)
+                         for r in range(R))
+
+        def psi_quad(pw, g0q_i, P_psi):
+            """liC psi contribution from the POSITIVE quadratic plane P_psi
+            (l,N,i,C) — the exponent is ``-P_psi`` (scaled-difference form).
+            Only the N axis (1) is contracted; the C axis survives, so the
+            shift keeps it."""
+            if not use_shift:
+                return jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i,
+                                  jnp.exp(-P_psi))
+            plane, c_max = shifted_exp(P_psi, (1,), exp_mode, negate=True)
+            t = jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i, plane)
+            return t * jnp.exp(c_max[:, 0, :, :])
+
         xs = (Gq_i,                                         # (M, L, c)
-              pre['a_sc'],                                  # (M, N, j, k)
-              pre['s'],                                     # (M, j, k)
+              C['a_sc'],                                    # (M, N, j, k)
+              C['s'],                                       # (M, j, k)
               {k: gw_i[k] for k in scan_kinds},             # (M, L, c)
-              {k: pre['gw'][k] for k in scan_kinds},        # (M, L, N) p-side
-              {k: eup[k] for k in scan_kinds},              # (M, N, j, k)
-              pre['Gm'], pre['phi_m'], pre['s_psi'])
+              C['gw_p'],                                    # (M, L, N) p-side
+              C['eup_scan'],                                # (M, N, j, k)
+              C['Gm'], C['phi_m'], C['s_psi'])
 
         def init():
-            E_oms = tuple(jnp.zeros((N,) + pre['s'][r].shape[1:] + (chunk,), dt)
+            E_oms = tuple(jnp.zeros((N,) + C['s'][r].shape[1:] + (chunk,), dt)
                           for r in range(n_planes))
             return (E_oms, jnp.zeros((L, N, L, chunk), dt))
 
@@ -349,9 +373,9 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             # full-interval accumulation (forward or reverse — addition
             # order only); one plane exp + contraction replaces M of them.
             E_oms, E_psi = carry
-            qp = member_quads(E_oms, tuple(e[0] for e in eup['prefix']),
+            qp = member_quads(E_oms, tuple(e[0] for e in C['eup_prefix']),
                               gw_i['prefix'][M - 1])
-            pp = psi_quad(pre['gw']['prefix'][M - 1], g0q_i, E_psi)
+            pp = psi_quad(C['gw_prefix_last'], g0q_i, E_psi)
             return out | {'prefix': (tuple(q[None] for q in qp), pp[None])}
 
         if do_bwd and not prefix_full:
@@ -393,7 +417,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         quads = zero_acc()
         psi_parts = {k: [] for k in kinds}
         for i in range(int(nc)):
-            out = stepped(Gq[i], {k: gw_c[k][i] for k in kinds}, g0q_c[i])
+            out = stepped(C, Gq[i], {k: gw_c[k][i] for k in kinds}, g0q_c[i])
             quads = {k: tuple(q0 + q1 for q0, q1 in zip(quads[k], out[k][0]))
                      for k in kinds}
             for k in kinds:
@@ -402,7 +426,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     else:
         def outer(acc, xs_i):
             Gq_i, gw_i, g0q_i = xs_i
-            out = run_chunk(Gq_i, gw_i, g0q_i)
+            out = run_chunk(C, Gq_i, gw_i, g0q_i)
             acc = {k: tuple(q0 + q1 for q0, q1 in zip(acc[k], out[k][0]))
                    for k in kinds}
             return acc, {k: out[k][1] for k in kinds}
