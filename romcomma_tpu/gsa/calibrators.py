@@ -417,7 +417,15 @@ class ClosedSobol(Calibrator):
                                      acc_dtype=acc_dtype)
         zero_qf = jnp.zeros((M, l, L, l, L), dtype=acc_dtype)
 
-        if host_paced:
+        mesh = getattr(self, 'gsa_mesh', None)
+        if mesh is not None and mesh.devices.size > 1:
+            # Multi-device: the q-chunk loop shards over the ('n',) mesh —
+            # quadform accumulators psum; host-paced dispatches one slab of
+            # S chunks per host round-trip (gsa/mesh.py).
+            from romcomma_tpu.gsa.mesh import intervals_sweep
+            acc = intervals_sweep(mesh, pack, chunk_body,
+                                  (zero_qf, zero_qf, zero_qf), host_paced)
+        elif host_paced:
             import jax
             step = jax.jit(chunk_body)
             acc = (zero_qf, zero_qf, zero_qf)

@@ -412,7 +412,15 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
                                       else s_of(r).shape[2:]), dt)
                          for r in range(R)) for k in kinds}
 
-    if host_paced:
+    mesh = getattr(cal, 'gsa_mesh', None)
+    if mesh is not None and mesh.devices.size > 1:
+        # Multi-device: q chunks shard over the ('n',) mesh — member quads
+        # psum, psi columns come back sharded in original order; host-paced
+        # dispatches one slab of S chunks per host round-trip (gsa/mesh.py).
+        from romcomma_tpu.gsa.mesh import error_sweep
+        quads, psi = error_sweep(mesh, C, run_chunk, zero_acc, kinds,
+                                 (Gq, gw_c, g0q_c), host_paced, N)
+    elif host_paced:
         stepped = jax.jit(run_chunk)
         quads = zero_acc()
         psi_parts = {k: [] for k in kinds}

@@ -1206,6 +1206,11 @@ class DistributedGP:
             Lambda=jnp.asarray(np.asarray(ls), f64)[None, :],
             X=jnp.asarray(np.asarray(X), f64),
             is_F_diagonal=True, L=1, M=M, N=N, defer_V=True, **meta)
+        if self.mesh.devices.size > 1:
+            # Multi-device: the factorized interval sweeps (V and W/T) shard
+            # their q-chunk loops over the same ('n',) mesh as training —
+            # analytics no longer serializes onto one device (gsa/mesh.py).
+            cal.gsa_mesh = self.mesh
         family = {'first_order': [(m, m + 1) for m in range(M)],
                   'closed': [(0, m + 1) for m in range(M)],
                   'total': [(m + 1, M) for m in range(M)]}

@@ -642,3 +642,28 @@ def test_error_intervals_prefix_last_mode(is_T_partial, L):
         np.testing.assert_allclose(
             np.asarray(tot['T'][..., i]), np.asarray(want['T']),
             rtol=1e-9, atol=1e-7, err_msg=f'total-only {s}')
+
+
+@pytest.mark.parametrize('host_paced', [False, True])
+def test_intervals_mesh_matches_single_device(host_paced):
+    """The mesh-sharded chunk loops (gsa/mesh.py: q chunks distributed over
+    the 8-device ('n',) mesh, quadform accumulators psum'd, psi columns
+    re-assembled in original order) reproduce the single-device V AND W/T
+    sweeps — both the fused lax.scan path and the tunnel-bounded host-paced
+    path (one slab of S chunks per host dispatch).  n_chunk=16 at N=60
+    forces nc=4 chunks padded to 8, so padding columns and multi-chunk
+    devices are both exercised."""
+    from romcomma_tpu.parallel.distributed import make_n_mesh
+    M = 4
+    slices = tuple([(m, m + 1) for m in range(M)] + [(0, 2), (1, M), (0, M)])
+    ref_cal = _error_calibrator(M=M, N=60, L=2)
+    ref_cal.meta['n_chunk'] = 16
+    ref = ref_cal.marginalize_intervals(slices, host_paced=host_paced)
+    mesh_cal = _error_calibrator(M=M, N=60, L=2)
+    mesh_cal.meta['n_chunk'] = 16
+    mesh_cal.gsa_mesh = make_n_mesh()
+    assert mesh_cal.gsa_mesh.devices.size == 8
+    got = mesh_cal.marginalize_intervals(slices, host_paced=host_paced)
+    for key in ('V', 'S', 'W', 'T'):
+        np.testing.assert_allclose(np.asarray(got[key]), np.asarray(ref[key]),
+                                   rtol=1e-12, atol=1e-12, err_msg=key)
