@@ -474,14 +474,26 @@ def _intervals_body(need: Dict[str, bool], exp_mode,
         Gq_cm = jnp.moveaxis(Gq_c, -1, 0)                      # (M,j,J,c)
         dims_m = (pack['Gp_m'], pack['Phi_m'], pack['PsiPhi_m'], Gq_cm)
 
+        def contract(plane):
+            """g- and gq-weighted contraction of a plane over (N, c).
+
+            float64 planes (the pure-f64 oracle and 'mixed'/'ff' tiers)
+            contract as elementwise multiply + reduce: an emulated-f64
+            dot_general runs off the MXU at ~10x the cost of mul + reduce
+            (benchmarks/egsa_ops.py, slope-timed on the TPU). float32
+            planes (the fast tier) keep the einsum — there the contraction
+            IS an MXU matmul and beats the VPU reduction."""
+            if plane.dtype == jnp.float64:
+                col = jnp.sum(plane * g[:, :, :, None, None, None], axis=2)
+                return jnp.einsum('lLjJc, jJc -> lLjJ', col, gq_c)
+            return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ', g, plane, gq_c)
+
         def qf(E):
             """Quadform of exp(E) over (N, c) — plane axes 2 and 5."""
             if exp_mode is None:
-                return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ',
-                                  g, jnp.exp(E), gq_c).astype(acc_dtype)
+                return contract(jnp.exp(E)).astype(acc_dtype)
             plane, c_max = shifted_exp(E, (2, 5), exp_mode)
-            q = jnp.einsum('lLN, lLNjJc, jJc -> lLjJ', g, plane, gq_c)
-            return (q.astype(acc_dtype)
+            return (contract(plane).astype(acc_dtype)
                     * jnp.exp(c_max[:, :, 0, :, :, 0].astype(acc_dtype)))
 
         if need['single'] or need['prefix']:

@@ -285,17 +285,29 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
 
         def member_quad(spec, Eplane, gq_m):
             """Quadform of exp(Eplane) — Eplane (N, j, k, C); contraction
-            covers N and C always, plus k when the member reduces to 'j'."""
-            eq = f"{spec['p']}N, NjkC, jC -> {spec['out']}"
+            covers N and C always, plus k when the member reduces to 'j'.
+
+            The N contraction is an elementwise g-multiply + reduce, NOT an
+            einsum: an emulated-f64 dot_general runs off the MXU at ~10.5 ms
+            per (8192, 2048) plane where mul + reduce costs ~0.3 ms
+            (benchmarks/egsa_ops.py, slope-timed) — the contraction, not the
+            transcendental, dominated the sweep. The tiny surviving
+            (j, k, C) tensor then contracts C (and k for 'j' members) at
+            O(L^2 C) cost."""
+            gN = C['g'].T                                     # (N, L)
+            gal = (gN[:, :, None, None] if spec['p'] == 'j'
+                   else gN[:, None, :, None])                 # align j or k
             if not use_shift:
-                return jnp.einsum(eq, C['g'], jnp.exp(Eplane), gq_m)
+                col = jnp.sum(jnp.exp(Eplane) * gal, axis=0)  # (j, k, C)
+                return jnp.einsum(f"jkC, jC -> {spec['out']}", col, gq_m)
             out_jk = spec['out'] == 'jk'
             # the shift must be constant over every CONTRACTED axis of the
             # output (a per-k scale cannot be factored out of a k-sum)
             plane, c_max = shifted_exp(Eplane,
                                        (0, 3) if out_jk else (0, 2, 3),
                                        exp_mode)
-            q = jnp.einsum(eq, C['g'], plane, gq_m)
+            col = jnp.sum(plane * gal, axis=0)                # (j, k, C)
+            q = jnp.einsum(f"jkC, jC -> {spec['out']}", col, gq_m)
             return q * (jnp.exp(c_max[0, :, :, 0]) if out_jk
                         else jnp.exp(c_max[0, :, 0, 0]))
 
@@ -319,12 +331,15 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             """liC psi contribution from the POSITIVE quadratic plane P_psi
             (l,N,i,C) — the exponent is ``-P_psi`` (scaled-difference form).
             Only the N axis (1) is contracted; the C axis survives, so the
-            shift keeps it."""
+            shift keeps it.  The contraction is an elementwise pw-multiply +
+            reduce over N, not an einsum — same emulated-f64 dot_general
+            avoidance as member_quad (~10x, benchmarks/egsa_ops.py)."""
+            pwN = pw[:, :, None, None]                        # (l, N, 1, 1)
             if not use_shift:
-                return jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i,
-                                  jnp.exp(-P_psi))
+                t = jnp.sum(jnp.exp(-P_psi) * pwN, axis=1)    # (l, i, C)
+                return t * g0q_i[None]
             plane, c_max = shifted_exp(P_psi, (1,), exp_mode, negate=True)
-            t = jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i, plane)
+            t = jnp.sum(plane * pwN, axis=1) * g0q_i[None]
             return t * jnp.exp(c_max[:, 0, :, :])
 
         xs = (Gq_i,                                         # (M, L, c)
