@@ -86,6 +86,24 @@ def exp_mode_of(intervals_mixed, dtype):
 from romcomma_tpu.ops.fastmath import ff_exp_nonpos  # noqa: F401,E402
 
 
+def contract_by_reduce(x) -> bool:
+    """True when float64 plane contractions should run as elementwise
+    multiply + axis reduction instead of a dot_general/einsum.
+
+    On accelerators f64 is emulated and a dot_general runs off the MXU at
+    ~10.5 ms per (8192, 2048) plane vs ~0.3 ms for multiply + reduce
+    (benchmarks/egsa_ops.py, slope-timed).  On the host CPU the einsum
+    lowers to native-f64 BLAS and the ranking INVERTS (~10x the other
+    way, measured) — so the choice follows where the planes live: the
+    concrete placement of ``x`` when it has one, the default backend when
+    ``x`` is a tracer (traced constructors)."""
+    try:
+        return any(d.platform != 'cpu' for d in x.devices())
+    except Exception:                     # tracer — no concrete placement
+        import jax
+        return jax.default_backend() != 'cpu'
+
+
 def diag_det(tensor: jnp.ndarray) -> jnp.ndarray:
     """Determinant of a diagonal tensor stored as its last axis."""
     return jnp.prod(tensor, axis=-1)

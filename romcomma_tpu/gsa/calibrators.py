@@ -412,9 +412,11 @@ class ClosedSobol(Calibrator):
         nc = pack['Gq'].shape[0]
         acc_dtype = (jnp.float64 if self.meta.get('intervals_acc_f64', False)
                      else self.G.dtype)
+        from romcomma_tpu.gsa.base import contract_by_reduce
         chunk_body = _intervals_body(need, self._intervals_exp_mode(),
                                      (l, L, N, M), self.G.dtype,
-                                     acc_dtype=acc_dtype)
+                                     acc_dtype=acc_dtype,
+                                     reduce_contract=contract_by_reduce(self.G))
         zero_qf = jnp.zeros((M, l, L, l, L), dtype=acc_dtype)
 
         mesh = getattr(self, 'gsa_mesh', None)
@@ -443,7 +445,8 @@ class ClosedSobol(Calibrator):
 
 
 def _intervals_body(need: Dict[str, bool], exp_mode,
-                    dims: Tuple[int, int, int, int], dtype, acc_dtype=None):
+                    dims: Tuple[int, int, int, int], dtype, acc_dtype=None,
+                    reduce_contract: bool = False):
     """The factorized interval pass's chunk step as a PURE function
     ``body(pack, acc, xs) -> acc`` of the per-output tensor pack
     (:meth:`ClosedSobol._intervals_pack`) — so independent outputs stack on
@@ -477,13 +480,14 @@ def _intervals_body(need: Dict[str, bool], exp_mode,
         def contract(plane):
             """g- and gq-weighted contraction of a plane over (N, c).
 
-            float64 planes (the pure-f64 oracle and 'mixed'/'ff' tiers)
-            contract as elementwise multiply + reduce: an emulated-f64
-            dot_general runs off the MXU at ~10x the cost of mul + reduce
-            (benchmarks/egsa_ops.py, slope-timed on the TPU). float32
-            planes (the fast tier) keep the einsum — there the contraction
-            IS an MXU matmul and beats the VPU reduction."""
-            if plane.dtype == jnp.float64:
+            float64 planes (the pure-f64 oracle and 'mixed'/'ff' tiers) on
+            ACCELERATORS contract as elementwise multiply + reduce: an
+            emulated-f64 dot_general runs off the MXU at ~10x the cost of
+            mul + reduce (benchmarks/egsa_ops.py, slope-timed on the TPU).
+            On the host CPU — and for float32 planes (the fast tier, an
+            MXU matmul) — the einsum wins ~10x the other way (native BLAS
+            / systolic array), so the form follows ``reduce_contract``."""
+            if reduce_contract and plane.dtype == jnp.float64:
                 col = jnp.sum(plane * g[:, :, :, None, None, None], axis=2)
                 return jnp.einsum('lLjJc, jJc -> lLjJ', col, gq_c)
             return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ', g, plane, gq_c)
@@ -561,8 +565,10 @@ def marginalize_intervals_stacked(cals: 'List[ClosedSobol]',
     nc = packs[0]['Gq'].shape[0]
     acc_dtype = (jnp.float64 if first.meta.get('intervals_acc_f64', False)
                  else first.G.dtype)
+    from romcomma_tpu.gsa.base import contract_by_reduce
     body = _intervals_body(need, exp_mode, (l, L, N, M), first.G.dtype,
-                           acc_dtype=acc_dtype)
+                           acc_dtype=acc_dtype,
+                           reduce_contract=contract_by_reduce(first.G))
     vbody = jax.vmap(body)
     zero = jnp.zeros((O, M, l, L, l, L), dtype=acc_dtype)
     acc = (zero, zero, zero)

@@ -183,10 +183,16 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     # noise ~1e3, so f32's ~6e-8 floors near-zero T at ~3e-3 while 'ff'
     # keeps every T within ~1e-7 of the f64 oracle (tests/test_gsa_chunked
     # .py::test_error_intervals_ff_precision).
-    from romcomma_tpu.gsa.base import shifted_exp, exp_mode_of
+    from romcomma_tpu.gsa.base import (shifted_exp, exp_mode_of,
+                                       contract_by_reduce)
     exp_mode = exp_mode_of(
         getattr(cal, 'meta', {}).get('intervals_mixed', False), dt)
     use_shift = exp_mode is not None
+    # f64 plane contractions: multiply + reduce on accelerators (emulated-
+    # f64 dot_general is ~10x slower off the MXU), einsum on the host CPU
+    # (native-f64 BLAS is ~10x faster than the reduction) — measured both
+    # ways, benchmarks/egsa_ops.py and gsa/base.contract_by_reduce.
+    reduce_contract = contract_by_reduce(cal.G)
 
     def prep(G, Phi, Upsilon, g0, g0KY):
         """Every per-dim array the sweeps consume — member params, per-kind
@@ -287,27 +293,33 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             """Quadform of exp(Eplane) — Eplane (N, j, k, C); contraction
             covers N and C always, plus k when the member reduces to 'j'.
 
-            The N contraction is an elementwise g-multiply + reduce, NOT an
-            einsum: an emulated-f64 dot_general runs off the MXU at ~10.5 ms
-            per (8192, 2048) plane where mul + reduce costs ~0.3 ms
-            (benchmarks/egsa_ops.py, slope-timed) — the contraction, not the
-            transcendental, dominated the sweep. The tiny surviving
-            (j, k, C) tensor then contracts C (and k for 'j' members) at
-            O(L^2 C) cost."""
-            gN = C['g'].T                                     # (N, L)
-            gal = (gN[:, :, None, None] if spec['p'] == 'j'
-                   else gN[:, None, :, None])                 # align j or k
-            if not use_shift:
-                col = jnp.sum(jnp.exp(Eplane) * gal, axis=0)  # (j, k, C)
+            On accelerators the N contraction is an elementwise g-multiply
+            + reduce, NOT an einsum: an emulated-f64 dot_general runs off
+            the MXU at ~10.5 ms per (8192, 2048) plane where mul + reduce
+            costs ~0.3 ms (benchmarks/egsa_ops.py, slope-timed) — the
+            contraction, not the transcendental, dominated the sweep. The
+            tiny surviving (j, k, C) tensor then contracts C (and k for
+            'j' members) at O(L^2 C) cost. On the host CPU the einsum is
+            native-f64 BLAS and wins ~10x the other way."""
+            def quad(eplane):
+                if not reduce_contract:
+                    eq = f"{spec['p']}N, NjkC, jC -> {spec['out']}"
+                    return jnp.einsum(eq, C['g'], eplane, gq_m)
+                gN = C['g'].T                                 # (N, L)
+                gal = (gN[:, :, None, None] if spec['p'] == 'j'
+                       else gN[:, None, :, None])             # align j or k
+                col = jnp.sum(eplane * gal, axis=0)           # (j, k, C)
                 return jnp.einsum(f"jkC, jC -> {spec['out']}", col, gq_m)
+
+            if not use_shift:
+                return quad(jnp.exp(Eplane))
             out_jk = spec['out'] == 'jk'
             # the shift must be constant over every CONTRACTED axis of the
             # output (a per-k scale cannot be factored out of a k-sum)
             plane, c_max = shifted_exp(Eplane,
                                        (0, 3) if out_jk else (0, 2, 3),
                                        exp_mode)
-            col = jnp.sum(plane * gal, axis=0)                # (j, k, C)
-            q = jnp.einsum(f"jkC, jC -> {spec['out']}", col, gq_m)
+            q = quad(plane)
             return q * (jnp.exp(c_max[0, :, :, 0]) if out_jk
                         else jnp.exp(c_max[0, :, 0, 0]))
 
@@ -331,16 +343,21 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             """liC psi contribution from the POSITIVE quadratic plane P_psi
             (l,N,i,C) — the exponent is ``-P_psi`` (scaled-difference form).
             Only the N axis (1) is contracted; the C axis survives, so the
-            shift keeps it.  The contraction is an elementwise pw-multiply +
-            reduce over N, not an einsum — same emulated-f64 dot_general
-            avoidance as member_quad (~10x, benchmarks/egsa_ops.py)."""
-            pwN = pw[:, :, None, None]                        # (l, N, 1, 1)
+            shift keeps it.  On accelerators the contraction is an
+            elementwise pw-multiply + reduce over N, not an einsum — same
+            emulated-f64 dot_general avoidance as member_quad (~10x,
+            benchmarks/egsa_ops.py); the host CPU keeps the BLAS einsum."""
+            def quad(plane):
+                if not reduce_contract:
+                    return jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i,
+                                      plane)
+                t = jnp.sum(plane * pw[:, :, None, None], axis=1)
+                return t * g0q_i[None]                        # (l, i, C)
+
             if not use_shift:
-                t = jnp.sum(jnp.exp(-P_psi) * pwN, axis=1)    # (l, i, C)
-                return t * g0q_i[None]
+                return quad(jnp.exp(-P_psi))
             plane, c_max = shifted_exp(P_psi, (1,), exp_mode, negate=True)
-            t = jnp.sum(plane * pwN, axis=1) * g0q_i[None]
-            return t * jnp.exp(c_max[:, 0, :, :])
+            return quad(plane) * jnp.exp(c_max[:, 0, :, :])
 
         xs = (Gq_i,                                         # (M, L, c)
               C['a_sc'],                                    # (M, N, j, k)
