@@ -1206,6 +1206,8 @@ class DistributedGP:
             Lambda=jnp.asarray(np.asarray(ls), f64)[None, :],
             X=jnp.asarray(np.asarray(X), f64),
             is_F_diagonal=True, L=1, M=M, N=N, defer_V=True, **meta)
+        t_setup = time.time() - t0
+        t0 = time.time()
         if self.mesh.devices.size > 1:
             # Multi-device: the factorized interval sweeps (V and W/T) shard
             # their q-chunk loops over the same ('n',) mesh as training —
@@ -1219,6 +1221,7 @@ class DistributedGP:
         out = cal.marginalize_intervals(tuple(flat), host_paced=True)
         V_all = np.asarray(out['V'])[0, 0]
         self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),
+                                 'setup_s': round(t_setup, 1),
                                  'intervals_s': round(time.time() - t0, 1)}
         if error:
             self.last_gsa_timings['k_cho_s'] = round(t_kcho, 1)

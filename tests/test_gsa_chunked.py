@@ -667,3 +667,38 @@ def test_intervals_mesh_matches_single_device(host_paced):
     for key in ('V', 'S', 'W', 'T'):
         np.testing.assert_allclose(np.asarray(got[key]), np.asarray(ref[key]),
                                    rtol=1e-12, atol=1e-12, err_msg=key)
+
+
+def test_reduce_contract_form_matches_einsum(monkeypatch):
+    """The accelerator f64 plane-contraction form (elementwise multiply +
+    axis reduction — gsa/base.contract_by_reduce picks it when the planes
+    live off-CPU, where an emulated-f64 dot_general is ~10x slower than
+    the reduction) computes the SAME quadforms as the BLAS einsum the CPU
+    keeps.  CPU tests never exercise that branch through the gate, so
+    force it on and pin parity on both the V pass and the W/T sweep."""
+    import romcomma_tpu.gsa.base as gsa_base
+    M = 4
+    slices = tuple([(m, m + 1) for m in range(M)]
+                   + [(m + 1, M) for m in range(M)] + [(0, M)])
+    cal_e = _error_calibrator(M=M, N=60, L=2)
+    ref = cal_e.marginalize_intervals(slices)           # einsum form (CPU)
+    monkeypatch.setattr(gsa_base, 'contract_by_reduce', lambda x: True)
+    cal_r = _error_calibrator(M=M, N=60, L=2)
+    got = cal_r.marginalize_intervals(slices)
+    for key in ('V', 'S', 'W', 'T'):
+        np.testing.assert_allclose(np.asarray(got[key]), np.asarray(ref[key]),
+                                   rtol=1e-12, atol=1e-12, err_msg=key)
+    # the deduplicated L=1 sweep and the plain (no-error) V-only pass
+    cal1 = _error_calibrator(M=M, N=60, L=1)
+    got1 = cal1.marginalize_intervals(slices)
+    plain = _calibrator(N=60, M=M, L=2)
+    got_v = plain.marginalize_intervals(slices)
+    monkeypatch.undo()
+    ref1 = _error_calibrator(M=M, N=60, L=1).marginalize_intervals(slices)
+    ref_v = _calibrator(N=60, M=M, L=2).marginalize_intervals(slices)
+    for key in ('V', 'S', 'W', 'T'):
+        np.testing.assert_allclose(np.asarray(got1[key]),
+                                   np.asarray(ref1[key]),
+                                   rtol=1e-12, atol=1e-12, err_msg=f'L1 {key}')
+    np.testing.assert_allclose(np.asarray(got_v['V']), np.asarray(ref_v['V']),
+                               rtol=1e-12, atol=1e-12)
