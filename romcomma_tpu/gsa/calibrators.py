@@ -834,7 +834,10 @@ class ClosedSobolWithError(ClosedSobol):
                                  f'suffix / empty); got {slices}.')
             outs = [self.marginalize(s) for s in slices]
             return {k: jnp.stack([o[k] for o in outs], axis=-1) for k in outs[0]}
+        import time as _time
         from romcomma_tpu.gsa import factorized_errors
+        timings = {}
+        t0 = _time.time()
         # defer_V: derive the V family from the (0, M) column of the base
         # pass (appending that slice if the caller did not request it).
         extra = not hasattr(self, 'V') and (0, self.M) not in slices
@@ -866,8 +869,12 @@ class ClosedSobolWithError(ClosedSobol):
             base = super().marginalize_intervals(eff, host_paced)
         if not hasattr(self, 'V'):
             self._adopt_V(base['V'][..., eff.index((0, self.M))])
+        timings['v_pass_s'] = round(_time.time() - t0, 1)
+        t0 = _time.time()
         base |= factorized_errors.intervals(self, eff, eff_specs,
                                             base['V'], host_paced)
+        timings['wt_sweep_s'] = round(_time.time() - t0, 1)
+        self.last_interval_timings = timings
         if extra:
             base = {k: v[..., :-1] for k, v in base.items()}
         if 'S' not in base:      # defer_V base returns V only; normalize now

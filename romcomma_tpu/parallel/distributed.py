@@ -1108,6 +1108,7 @@ class DistributedGP:
                                        error_solver=error_solver)
                     for l in range(ls_arr.shape[0])]
         kinds = (kind,) if isinstance(kind, str) else tuple(kind)
+        t_start = time.time()
         t0 = time.time()
         alpha_stored, L_post = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
         alpha = from_stored(self.plan, np.asarray(alpha_stored))       # (N,1)
@@ -1222,7 +1223,11 @@ class DistributedGP:
         V_all = np.asarray(out['V'])[0, 0]
         self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),
                                  'setup_s': round(t_setup, 1),
-                                 'intervals_s': round(time.time() - t0, 1)}
+                                 'intervals_s': round(time.time() - t0, 1),
+                                 'total_s': round(time.time() - t_start, 1)}
+        self.last_gsa_timings.update(
+            {f'iv_{k}': v for k, v in
+             getattr(cal, 'last_interval_timings', {}).items()})
         if error:
             self.last_gsa_timings['k_cho_s'] = round(t_kcho, 1)
         S_out = self._kinds_from_V(V_all, kinds, M, kind)
