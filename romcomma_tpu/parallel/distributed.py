@@ -1087,7 +1087,9 @@ class DistributedGP:
         output and are evaluated sequentially).
         """
         import time
+        t_start = time.time()
         from romcomma_tpu.gsa.calibrators import ClosedSobol, ClosedSobolWithError
+        t_import = time.time() - t_start
         ls_arr = np.asarray(ls)
         if ls_arr.ndim == 2:
             s2_arr = np.asarray(s2).reshape(ls_arr.shape[0])
@@ -1108,7 +1110,6 @@ class DistributedGP:
                                        error_solver=error_solver)
                     for l in range(ls_arr.shape[0])]
         kinds = (kind,) if isinstance(kind, str) else tuple(kind)
-        t_start = time.time()
         t0 = time.time()
         alpha_stored, L_post = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
         alpha = from_stored(self.plan, np.asarray(alpha_stored))       # (N,1)
@@ -1224,6 +1225,7 @@ class DistributedGP:
         self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),
                                  'setup_s': round(t_setup, 1),
                                  'intervals_s': round(time.time() - t0, 1),
+                                 'import_s': round(t_import, 1),
                                  'total_s': round(time.time() - t_start, 1)}
         self.last_gsa_timings.update(
             {f'iv_{k}': v for k, v in
