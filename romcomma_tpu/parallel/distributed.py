@@ -856,6 +856,15 @@ class DistributedGP:
     #: native-f64 exp on CPU (fast and exact). True/False force.
     RESIDUAL_FF_EXP = 'auto'
 
+    #: contract the residual's f64 K-row strips against alpha by elementwise
+    #: multiply + reduce when the RHS is narrow (R <= this) on accelerators:
+    #: an emulated-f64 GEMV runs off the MXU ~10x slower than the reduction
+    #: (benchmarks/egsa_ops.py) while GEMM-shaped R (the psi solver's ~M L^2
+    #: factors) amortizes the MXU's multi-pass f64 emulation and keeps the
+    #: matmul. None = auto (4 on accelerators, 0 — i.e. always the BLAS
+    #: matmul — on CPU); an int forces that threshold on any backend.
+    RESIDUAL_MV_REDUCE_MAX_R = None
+
     def _residual_f64(self):
         """Jitted distributed residual r = y - K alpha with the gram row-slab
         recomputed in float64 on the fly — the refinement direction for
@@ -866,6 +875,9 @@ class DistributedGP:
         ff = (jax.default_backend() != 'cpu'
               if self.RESIDUAL_FF_EXP == 'auto' else bool(self.RESIDUAL_FF_EXP))
         rbf_gram = functools.partial(rbf_gram, ff_exp=ff)
+        mv_max_r = (self.RESIDUAL_MV_REDUCE_MAX_R
+                    if self.RESIDUAL_MV_REDUCE_MAX_R is not None
+                    else (4 if jax.default_backend() != 'cpu' else 0))
         pl_, mesh = self.plan, self.mesh
         cB = pl_.c * pl_.B
         Npad = pl_.Npad
@@ -889,9 +901,16 @@ class DistributedGP:
                 Krow = (Krow * row_real[:, None] * real[None, :]
                         + (jnp.arange(Npad)[None, :] == (b0 + jnp.arange(B))[:, None])
                         * jnp.where(row_real, noise, 1.0)[:, None])
-                return lax.dynamic_update_slice(
-                    r, jnp.matmul(Krow, alpha, precision=lax.Precision.HIGHEST),
-                    _i32(ci * B, 0))
+                if 0 < alpha.shape[1] <= mv_max_r:
+                    # narrow RHS: emulated-f64 GEMV off the MXU — multiply
+                    # + reduce instead (exact f64 elementwise arithmetic)
+                    Ka_row = jnp.stack(
+                        [jnp.sum(Krow * alpha[:, j][None, :], axis=1)
+                         for j in range(alpha.shape[1])], axis=1)
+                else:
+                    Ka_row = jnp.matmul(Krow, alpha,
+                                        precision=lax.Precision.HIGHEST)
+                return lax.dynamic_update_slice(r, Ka_row, _i32(ci * B, 0))
 
             Ka = lax.fori_loop(0, c, body, jnp.zeros_like(y_local))
             return y_local - Ka                                # rows sharded

@@ -654,3 +654,29 @@ def test_posterior_refine_early_stop(problem):
     real = perm < N
     np.testing.assert_allclose(np.asarray(a1)[real, 0], a_oracle[perm[real], 0],
                                rtol=1e-6, atol=1e-8)
+
+
+def test_residual_mv_reduce_matches_matmul(problem):
+    """The narrow-RHS multiply+reduce form of the refinement residual's
+    K-row contraction (RESIDUAL_MV_REDUCE_MAX_R — the accelerator default
+    for R <= 4, where an emulated-f64 GEMV runs off the MXU ~10x slower
+    than the reduction) computes the same residual as the BLAS matmul the
+    CPU keeps, in exact f64 arithmetic."""
+    p = problem
+    mesh = dist.make_n_mesh()
+    mm = dist.DistributedGP(N, mesh, block=B)
+    mv = dist.DistributedGP(N, mesh, block=B)
+    mm.RESIDUAL_MV_REDUCE_MAX_R = 0     # force the matmul form
+    mv.RESIDUAL_MV_REDUCE_MAX_R = 4     # force the reduction form (on CPU)
+    x_dev, y_dev = mm.stage(p['X'], p['Y'])
+    x64 = jnp.asarray(x_dev, jnp.float64)
+    y64 = jnp.asarray(y_dev, jnp.float64)
+    rng = np.random.default_rng(11)
+    alpha = jnp.asarray(rng.standard_normal(y64.shape))
+    h64 = (jnp.asarray(p['ls'], jnp.float64),
+           jnp.asarray(p['s2'], jnp.float64),
+           jnp.asarray(p['noise'], jnp.float64))
+    r_mm = np.asarray(mm._residual_f64()(x64, y64, alpha, *h64))
+    r_mv = np.asarray(mv._residual_f64()(x64, y64, alpha, *h64))
+    scale = float(np.abs(r_mm).max() + np.abs(np.asarray(y64)).max())
+    assert np.abs(r_mv - r_mm).max() / scale < 1e-14
