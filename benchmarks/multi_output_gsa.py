@@ -10,7 +10,11 @@ for ALL outputs — the reference re-runs its eager per-latent loop L times
 
 Usage:  python benchmarks/multi_output_gsa.py [N] [M] [L] [mode]
         mode: 'all' (default) = stacked + sequential head-to-head;
-              'stacked' = stacked only.
+              'stacked' = stacked only;
+              'error_all' / 'error' = the same protocols with error=True
+              (W/T standard errors through the STACKED factorized error
+              sweep — gsa/factorized_errors.error_scan_stacked — vs the
+              sequential per-output error loop).
 Prints one JSON line.
 """
 
@@ -54,25 +58,29 @@ def main(N: int = 8192, M: int = 30, L: int = 3, mode: str = 'all') -> dict:
     # seconds through the tunnel) would dominate a single-pass comparison
     # and invert the verdict. Each route runs twice; the second (warm) pass
     # is the reported number, the first is recorded as *_cold_s.
+    error = mode.startswith('error')
+    kw = dict(kind=kinds, error=True) if error else dict(kind=kinds)
+    S_of = (lambda r: r['S']) if error else (lambda r: r)
+
     t0 = time.time()
-    stacked = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X, kind=kinds)
+    stacked = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X, **kw)
     t_stacked_cold = time.time() - t0
     t0 = time.time()
-    stacked = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X, kind=kinds)
+    stacked = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X, **kw)
     t_stacked = time.time() - t0
     stacked_timings = dict(dgp.last_gsa_timings)
 
     out = {'bench': 'multi_output_gsa', 'N': N, 'M': M, 'L': L,
-           'backend': jax.default_backend(),
+           'error': error, 'backend': jax.default_backend(),
            't_stacked_s': round(t_stacked, 1),
            't_stacked_cold_s': round(t_stacked_cold, 1),
            'stacked_timings': stacked_timings,
-           'S1_per_output': [[round(stacked[l]['first_order'][m], 4)
+           'S1_per_output': [[round(S_of(stacked[l])['first_order'][m], 4)
                               for m in range(3)] for l in range(L)]}
-    if mode == 'all':
+    if mode in ('all', 'error_all'):
         def run_seq():
             return [dgp.sobol_indices(ls[l], s2[l], noise[l], x_dev,
-                                      y_dev[:, l:l + 1], X, kind=kinds)
+                                      y_dev[:, l:l + 1], X, **kw)
                     for l in range(L)]
         t0 = time.time()
         seq = run_seq()
@@ -80,12 +88,16 @@ def main(N: int = 8192, M: int = 30, L: int = 3, mode: str = 'all') -> dict:
         t0 = time.time()
         seq = run_seq()
         t_seq = time.time() - t0
-        d = max(abs(stacked[l][k][m] - seq[l][k][m])
+        d = max(abs(S_of(stacked[l])[k][m] - S_of(seq[l])[k][m])
                 for l in range(L) for k in kinds for m in range(M))
         out.update({'t_sequential_s': round(t_seq, 1),
                     't_sequential_cold_s': round(t_seq_cold, 1),
                     'speedup': round(t_seq / t_stacked, 2),
                     'max_dS_vs_sequential': float(f'{d:.3e}')})
+        if error:
+            dT = max(abs(stacked[l]['T'][k][m] - seq[l]['T'][k][m])
+                     for l in range(L) for k in kinds for m in range(M))
+            out['max_dT_vs_sequential'] = float(f'{dT:.3e}')
     print(json.dumps(out), flush=True)
     return out
 

@@ -557,9 +557,14 @@ def marginalize_intervals_stacked(cals: 'List[ClosedSobol]',
         assert c.G.shape == first.G.shape and c.G.dtype == first.G.dtype, \
             'stacked outputs must share (l, L, N, M) and dtype'
         assert c._intervals_exp_mode() == exp_mode
-    # the vmapped step holds O live plane sets — shrink the chunk to keep
-    # the same total budget as one output's pass
-    chunk = max(64, first._intervals_chunk() // O)
+    # the vmapped step holds O live plane sets — shrink the AUTO chunk to
+    # keep the same total budget as one output's pass; an EXPLICIT
+    # meta['n_chunk'] stays what the caller set (so e.g. n_chunk=0 keeps
+    # the stacked and per-output routes on identical chunk partitions —
+    # bit-level parity instead of summation-reorder deltas)
+    chunk = (first._intervals_chunk()
+             if first.meta.get('n_chunk', None) is not None
+             else max(64, first._intervals_chunk() // O))
     packs = [c._intervals_pack(chunk) for c in cals]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *packs)
     nc = packs[0]['Gq'].shape[0]
@@ -934,6 +939,79 @@ class ClosedSobolWithError(ClosedSobol):
     @property
     def T(self) -> jnp.ndarray:
         return self._full_error()['T']
+
+
+def marginalize_intervals_error_stacked(
+        cals: 'List[ClosedSobolWithError]',
+        slices: 'Tuple[Tuple[int, int], ...]',
+        host_paced: bool = False) -> 'List[Dict[str, jnp.ndarray]]':
+    """Multi-output ``ClosedSobolWithError.marginalize_intervals``: ONE
+    stacked base V pass (:func:`marginalize_intervals_stacked`) plus ONE
+    stacked W/T error sweep (factorized_errors.intervals_stacked, vmapped
+    over the output axis) for independent single-output calibrators sharing
+    X — instead of re-running both O(N^2 M) passes per output (the
+    reference's eager per-latent loop, gpr/models.py:340-342).
+
+    All calibrators must share (L=1, N, M), dtype, defer_V state and the
+    program-shaping meta flags; per-output psi solvers/K_cho factors are
+    applied per calibrator after the shared sweep.  Returns one
+    {'V','S','W','T'} dict per calibrator, numerically identical to
+    per-calibrator ``marginalize_intervals`` calls."""
+    import time as _time
+    from romcomma_tpu.gsa import factorized_errors
+    first = cals[0]
+    slices = tuple(slices)
+    specs = [first._classify_interval(m, first.M) for m in slices]
+    if any(k == 'general' for k, _ in specs):
+        raise ValueError('stacked error interval passes support only '
+                         f'canonical interval slices; got {slices}.')
+    deferred = [not hasattr(c, 'V') for c in cals]
+    assert all(deferred) or not any(deferred), \
+        'stacked outputs must share defer_V state'
+    timings = {}
+    t0 = _time.time()
+    extra = deferred[0] and (0, first.M) not in slices
+    eff = slices + ((0, first.M),) if extra else slices
+    if first.meta.get('fast_V', False) and first.is_F_diagonal:
+        # Same fast_V tier as the single-output path: the base V pass runs
+        # f32 planes + f64 accumulation on throwaway twins while the error
+        # sweep stays f64 (precision notes at ClosedSobolWithError.
+        # marginalize_intervals).
+        f32 = jnp.float32
+        twins = [ClosedSobol.from_arrays(
+            F=jnp.asarray(c.F_input, f32),
+            K_cho=jnp.zeros((1, 1, 1), f32),
+            K_inv_Y=jnp.asarray(c.K_inv_Y, f32),
+            Lambda=jnp.asarray(c.Lambda, f32),
+            X=jnp.asarray(c.X, f32),
+            is_F_diagonal=True, L=c.L, M=c.M, N=c.N,
+            defer_V=True, intervals_acc_f64=True,
+            **{k: c.meta[k] for k in ('n_chunk',) if k in c.meta})
+            for c in cals]
+        bases = [{k: jnp.asarray(v, jnp.float64) for k, v in b.items()}
+                 for b in marginalize_intervals_stacked(twins, eff,
+                                                        host_paced)]
+    else:
+        bases = marginalize_intervals_stacked(cals, eff, host_paced)
+    for c, b in zip(cals, bases):
+        if not hasattr(c, 'V'):
+            c._adopt_V(b['V'][..., eff.index((0, first.M))])
+    timings['v_pass_s'] = round(_time.time() - t0, 1)
+    t0 = _time.time()
+    eff_specs = [first._classify_interval(m, first.M) for m in eff]
+    errs = factorized_errors.intervals_stacked(
+        cals, eff, eff_specs, [b['V'] for b in bases], host_paced)
+    timings['wt_sweep_s'] = round(_time.time() - t0, 1)
+    outs = []
+    for c, b, e in zip(cals, bases, errs):
+        base = dict(b) | e
+        if extra:
+            base = {k: v[..., :-1] for k, v in base.items()}
+        if 'S' not in base:
+            base['S'] = base['V'] / c.V[2][..., None]
+        c.last_interval_timings = dict(timings)
+        outs.append(base)
+    return outs
 
 
 _MARGINALIZE_ALL_CACHE: Dict[Any, Any] = {}

@@ -121,16 +121,18 @@ def _member_arrays(cal, G, Phi, Upsilon) -> List[Dict[str, jnp.ndarray]]:
     return arrays
 
 
-def _chunk_size(cal, n_members: int) -> int:
+def _chunk_size(cal, n_members: int, stack: int = 1) -> int:
     """q-axis chunk size: ~3 live (N, L, L, chunk) planes per member plus
     the psi plane, exp temporaries included.  meta['n_chunk'] overrides
-    (0 = unchunked, the V-pass convention)."""
+    (0 = unchunked, the V-pass convention).  ``stack`` scales the live-plane
+    count for the vmapped multi-output sweep (error_scan_stacked), keeping
+    the same total budget as one output's pass."""
     explicit = cal.meta.get('n_chunk', None)
     if explicit is not None:
         return int(explicit) if explicit else cal.N
     L = cal.G.shape[0]
     budget = cal.V_MEMORY_BUDGET_BYTES // jnp.dtype(cal.X.dtype).itemsize
-    per_col = cal.N * L * L * 3 * (n_members + 1)
+    per_col = cal.N * L * L * 3 * (n_members + 1) * stack
     return int(min(cal.N, max(64, budget // max(per_col, 1))))
 
 
@@ -147,6 +149,32 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     'psi': {kind: (M, l, i, N)}} with determinants applied and the psi
     factors K-solved (reference calibrators.py:290-322 semantics).
     """
+    return _error_scan_group((cal,), need, host_paced)[0]
+
+
+def error_scan_stacked(cals, need: Dict[str, bool], host_paced: bool = False):
+    """ONE factorized error sweep for SEVERAL independent single-output
+    calibrators sharing X: the chunk step is vmapped over the output axis so
+    all outputs stream each q chunk together — the multi-output analog of
+    calibrators.marginalize_intervals_stacked for the W/T error engine.
+    All calibrators must share (L=1, N, M), dtype and the meta flags that
+    shape the program (is_T_partial, intervals_mixed, n_chunk).  Returns one
+    ``error_scan`` result dict per calibrator, numerically identical to
+    per-calibrator sweeps (the vmapped math is the same ops)."""
+    return _error_scan_group(tuple(cals), need, host_paced)
+
+
+def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
+    cal = cals[0]
+    O = len(cals)
+    stacked = O > 1
+    if stacked:
+        for c in cals[1:]:
+            assert c.G.shape == cal.G.shape and c.G.dtype == cal.G.dtype, \
+                'stacked error sweeps must share (L, N, M) and dtype'
+            assert bool(c.meta['is_T_partial']) == bool(cal.meta['is_T_partial'])
+            assert c.meta.get('intervals_mixed', False) == \
+                cal.meta.get('intervals_mixed', False)
     kinds = tuple(k for k in KINDS if need.get(k) or k == 'prefix')
     # 'prefix' always participates (its (0, M) column is the full-interval
     # psi factor and MIXED-W source) but per-dim prefix COLUMNS are consumed
@@ -167,9 +195,10 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     # path; XLA cannot CSE the duplicates itself — they live in separate
     # lax.scan carries.
     dedup = (L == 1)
+    assert L == 1 or not stacked, 'stacked error sweeps require L=1 outputs'
     n_planes = 1 if dedup else R
     dt = cal.G.dtype
-    chunk = _chunk_size(cal, n_planes)
+    chunk = _chunk_size(cal, n_planes, stack=O)
     nc = -(-N // chunk)
     Npad = nc * chunk
     # Same mixed-precision policy as ClosedSobol.marginalize_intervals:
@@ -243,31 +272,43 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             x = jnp.pad(x, ((0, 0), (0, 0), (0, Npad - N)))
             return jnp.moveaxis(x.reshape(M, L, nc, chunk), 2, 0)
 
-        return {'a_sc': tuple(m['a_sc'] for m in mem[:n_planes]),
-                's': tuple(m['s'] for m in mem[:n_planes]),
-                'eup': {k: tuple(eup[k]) for k in kinds},
-                'invd': {k: tuple(invd[k]) for k in kinds},
-                'invd_psi': invd_psi, 'gw': gw, 'g': g,
-                'Gm': Gm, 'phi_m': phi_m, 's_psi': s_psi,
-                'Gq': pad_chunk(Gm),
-                'gw_c': {k: pad_chunk(gw[k]) for k in kinds},
-                'g0q_c': jnp.moveaxis(jnp.pad(g0q, ((0, 0), (0, Npad - N))
-                                              ).reshape(L, nc, chunk), 1, 0)}
+        out = {'a_sc': tuple(m['a_sc'] for m in mem[:n_planes]),
+               's': tuple(m['s'] for m in mem[:n_planes]),
+               'eup': {k: tuple(eup[k]) for k in kinds},
+               'invd': {k: tuple(invd[k]) for k in kinds},
+               'invd_psi': invd_psi, 'gw': gw, 'g': g,
+               'Gm': Gm, 'phi_m': phi_m, 's_psi': s_psi,
+               'Gq': pad_chunk(Gm),
+               'gw_c': {k: pad_chunk(gw[k]) for k in kinds},
+               'g0q_c': jnp.moveaxis(jnp.pad(g0q, ((0, 0), (0, Npad - N))
+                                             ).reshape(L, nc, chunk), 1, 0)}
+        # prefix-last mode narrows every prefix per-dim array to its final
+        # (cumulative-over-all-dims) column HERE — inside the (possibly
+        # vmapped) prep — so the emission-time folds/determinants keep one
+        # shared code path with a dim axis of 1 under any output stacking.
+        if not prefix_full:
+            out['eup'] = {**out['eup'], 'prefix': tuple(
+                e[M - 1:] for e in out['eup']['prefix'])}
+            out['invd'] = {**out['invd'], 'prefix': tuple(
+                d[M - 1:] for d in out['invd']['prefix'])}
+            out['invd_psi'] = {**invd_psi,
+                               'prefix': invd_psi['prefix'][M - 1:]}
+            out['gw_prefix_last'] = gw['prefix'][M - 1]
+        return out
 
-    pre = (jax.jit(prep) if host_paced else prep)(
-        cal.G, cal.Phi, cal.Upsilon, cal.g0, cal.g0KY)
+    if stacked:
+        args = tuple(jnp.stack([getattr(c, a) for c in cals])
+                     for a in ('G', 'Phi', 'Upsilon', 'g0', 'g0KY'))
+        prep_fn = jax.vmap(prep)
+    else:
+        args = (cal.G, cal.Phi, cal.Upsilon, cal.g0, cal.g0KY)
+        prep_fn = prep
+    pre = (jax.jit(prep_fn) if host_paced else prep_fn)(*args)
     Gq, gw_c, g0q_c = pre['Gq'], pre['gw_c'], pre['g0q_c']
     eup, invd, invd_psi = pre['eup'], pre['invd'], pre['invd_psi']
 
-    # kinds emitted inside the scans; prefix-last mode narrows every prefix
-    # per-dim array to its final (cumulative-over-all-dims) column so the
-    # emission-time folds/determinants keep one shared code path with a
-    # leading axis of 1.
+    # kinds emitted inside the scans ('prefix' only in full-prefix mode)
     scan_kinds = tuple(k for k in kinds if k != 'prefix' or prefix_full)
-    if not prefix_full:
-        eup = {**eup, 'prefix': tuple(e[M - 1:] for e in eup['prefix'])}
-        invd = {**invd, 'prefix': [d[M - 1:] for d in invd['prefix']]}
-        invd_psi = {**invd_psi, 'prefix': invd_psi['prefix'][M - 1:]}
 
     fwd_kinds = tuple(k for k in ('single', 'prefix') if k in scan_kinds)
     do_bwd = 'suffix' in kinds
@@ -282,7 +323,7 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
          'Gm': pre['Gm'], 'phi_m': pre['phi_m'], 's_psi': pre['s_psi']}
     if not prefix_full:
         C['eup_prefix'] = eup['prefix']
-        C['gw_prefix_last'] = pre['gw']['prefix'][M - 1]
+        C['gw_prefix_last'] = pre['gw_prefix_last']
 
     def run_chunk(C, Gq_i, gw_i, g0q_i):
         """All sweeps for one q chunk.  Returns
@@ -437,12 +478,26 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
 
     def zero_acc():
         def s_of(r):
-            return pre['s'][0 if dedup else r]
-        return {k: tuple(jnp.zeros((M if k in scan_kinds else 1,)
+            s = pre['s'][0 if dedup else r]
+            return s[0] if stacked else s
+        lead = (O,) if stacked else ()
+        return {k: tuple(jnp.zeros(lead + (M if k in scan_kinds else 1,)
                                    + (s_of(r).shape[1],)
                                    + (() if layout[r]['out'] == 'j'
                                       else s_of(r).shape[2:]), dt)
                          for r in range(R)) for k in kinds}
+
+    # The stacked sweep vmaps the UNCHANGED chunk step over the output axis
+    # (axis 0 of every leaf of C and of the per-chunk xs); the single-output
+    # program keeps its exact round-2 HLO (compile-cache continuity).
+    step_fn = jax.vmap(run_chunk) if stacked else run_chunk
+    chunk_leading = ((lambda t: jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), t))
+                     if stacked else (lambda t: t))
+
+    def _psi_of_stack(pk):
+        # (nc[, O], Mk, l, i, c) -> ([O,] Mk, l, i, nc*c), original order
+        moved = jnp.moveaxis(pk, 0, -2)
+        return moved.reshape(moved.shape[:-2] + (-1,))
 
     mesh = getattr(cal, 'gsa_mesh', None)
     if mesh is not None and mesh.devices.size > 1:
@@ -450,14 +505,17 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
         # psum, psi columns come back sharded in original order; host-paced
         # dispatches one slab of S chunks per host round-trip (gsa/mesh.py).
         from romcomma_tpu.gsa.mesh import error_sweep
-        quads, psi = error_sweep(mesh, C, run_chunk, zero_acc, kinds,
-                                 (Gq, gw_c, g0q_c), host_paced, N)
+        quads, psi = error_sweep(mesh, C, step_fn, zero_acc, kinds,
+                                 chunk_leading((Gq, gw_c, g0q_c)),
+                                 host_paced, N, psi_rank=5 if stacked else 4)
     elif host_paced:
-        stepped = jax.jit(run_chunk)
+        stepped = jax.jit(step_fn)
         quads = zero_acc()
         psi_parts = {k: [] for k in kinds}
+        ix = (lambda x, i: x[:, i]) if stacked else (lambda x, i: x[i])
         for i in range(int(nc)):
-            out = stepped(C, Gq[i], {k: gw_c[k][i] for k in kinds}, g0q_c[i])
+            out = stepped(C, ix(Gq, i), {k: ix(gw_c[k], i) for k in kinds},
+                          ix(g0q_c, i))
             quads = {k: tuple(q0 + q1 for q0, q1 in zip(quads[k], out[k][0]))
                      for k in kinds}
             for k in kinds:
@@ -466,22 +524,21 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
     else:
         def outer(acc, xs_i):
             Gq_i, gw_i, g0q_i = xs_i
-            out = run_chunk(C, Gq_i, gw_i, g0q_i)
+            out = step_fn(C, Gq_i, gw_i, g0q_i)
             acc = {k: tuple(q0 + q1 for q0, q1 in zip(acc[k], out[k][0]))
                    for k in kinds}
             return acc, {k: out[k][1] for k in kinds}
-        quads, psi_stack = lax.scan(outer, zero_acc(),
-                                    (Gq, {k: gw_c[k] for k in kinds}, g0q_c))
-        psi = {k: jnp.moveaxis(psi_stack[k], 0, -2
-                               ).reshape(-1, L, L, Npad)[..., :N] for k in kinds}
+        quads, psi_stack = lax.scan(
+            outer, zero_acc(),
+            chunk_leading((Gq, {k: gw_c[k] for k in kinds}, g0q_c)))
+        psi = {k: _psi_of_stack(psi_stack[k])[..., :N] for k in kinds}
 
     # Determinants, then the K_cho solve of the psi factors.  In host-paced
     # mode the solve runs on the host CPU in native f64: a (M,l,i)-batched
     # f64 TRSM on the TPU broadcasts a full (N,N) K_cho copy PER BATCH
     # ELEMENT (measured 16.9 GB HBM at N=8192, M=30 — an OOM), and the
     # factors are tiny (M L^2 N) to move.
-    solver = cal.meta.get('psi_solver', None)
-    K_cho = cal.K_cho
+    cpu = None
     if host_paced:
         from romcomma_tpu.base.definitions import host_cpu_device
         cpu = host_cpu_device(True)
@@ -491,27 +548,48 @@ def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
             psi = {k: move(psi[k]) for k in kinds}
             invd = {k: [move(x) for x in invd[k]] for k in kinds}
             invd_psi = {k: move(invd_psi[k]) for k in kinds}
-            if solver is None:
-                K_cho = move(K_cho)
     quads = {k: tuple(q * (invd[k][r] if layout[r]['out'] == 'jk'
                            else invd[k][r][..., 0])
                       for r, q in enumerate(quads[k])) for k in kinds}
     psi_raw = {k: psi[k] * invd_psi[k][..., None] for k in kinds}
-    if solver is None:
-        psi_solved = {k: _psi_solve(K_cho, psi_raw[k]) for k in kinds}
-        return {'layout': layout, 'quads': quads, 'psi': psi_solved}
-    # psi_solver mode (large N — no dense f64 K_cho anywhere): ONE refined
-    # FULL K-solve for every kind's factors at once; K^{-1} f replaces the
-    # half-solve L^{-1} f, and the assembly pairs (raw, solved) factors so
-    # every quadform is still exactly f1ᵀ K⁻¹ f2.  Kinds concatenate along
-    # the dim axis (ragged in prefix-last mode) and split back by size.
-    sizes = [psi_raw[k].shape[0] for k in kinds]
-    solved = solver(jnp.concatenate([psi_raw[k] for k in kinds], axis=0))
-    offs = np.concatenate([[0], np.cumsum(sizes)])
-    return {'layout': layout, 'quads': quads,
-            'psi': {k: solved[offs[i]:offs[i + 1]]
-                    for i, k in enumerate(kinds)},
-            'psi_raw': psi_raw}
+
+    sweeps = []
+    for o, cal_o in enumerate(cals):
+        sel = ((lambda t: jax.tree.map(lambda x: x[o], t)) if stacked
+               else (lambda t: t))
+        quads_o, psi_raw_o = sel(quads), sel(psi_raw)
+        solver = cal_o.meta.get('psi_solver', None)
+        if solver is None:
+            # Lazy factory: builds the (factor-holding) solver only when its
+            # output's factors are ready, and releases it before the next
+            # output's build — N resident engine factors at once would be
+            # an HBM OOM at large N (one is ~10 GB at N=50k f32).
+            factory = cal_o.meta.get('psi_solver_factory', None)
+            solver = factory() if factory is not None else None
+        if solver is None:
+            K_cho_o = cal_o.K_cho
+            if cpu is not None:
+                K_cho_o = jax.device_put(K_cho_o, cpu)
+            psi_solved = {k: _psi_solve(K_cho_o, psi_raw_o[k]) for k in kinds}
+            sweeps.append({'layout': layout, 'quads': quads_o,
+                           'psi': psi_solved})
+            continue
+        # psi_solver mode (large N — no dense f64 K_cho anywhere): ONE
+        # refined FULL K-solve for every kind's factors at once; K^{-1} f
+        # replaces the half-solve L^{-1} f, and the assembly pairs
+        # (raw, solved) factors so every quadform is still exactly
+        # f1ᵀ K⁻¹ f2.  Kinds concatenate along the dim axis (ragged in
+        # prefix-last mode) and split back by size.
+        sizes = [psi_raw_o[k].shape[0] for k in kinds]
+        solved = solver(jnp.concatenate([psi_raw_o[k] for k in kinds],
+                                        axis=0))
+        del solver                       # drop the factor before the next o
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        sweeps.append({'layout': layout, 'quads': quads_o,
+                       'psi': {k: solved[offs[i]:offs[i + 1]]
+                               for i, k in enumerate(kinds)},
+                       'psi_raw': psi_raw_o})
+    return sweeps
 
 
 def _psi_solve(K_cho: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
@@ -616,13 +694,37 @@ def intervals(cal, slices, kinds_idx, V_cols, host_paced: bool = False):
     last), used by the non-partial T correction.  Populates the
     calibrator's full-interval error cache as a side effect.
     """
+    need = _need_of(cal, kinds_idx)
+    sweep = error_scan(cal, need, host_paced)
+    return _assemble(cal, sweep, need, kinds_idx, V_cols)
+
+
+def intervals_stacked(cals, slices, kinds_idx, V_cols_list,
+                      host_paced: bool = False):
+    """Multi-output :func:`intervals`: ONE stacked (vmapped-over-outputs)
+    error sweep for independent single-output calibrators sharing X, then
+    per-output W/T assembly.  ``V_cols_list`` holds each calibrator's base-
+    pass V columns, aligned with ``slices``.  Returns one {'W','T'} dict per
+    calibrator."""
+    need = _need_of(cals[0], kinds_idx)
+    sweeps = error_scan_stacked(cals, need, host_paced)
+    return [_assemble(c, s, need, kinds_idx, V)
+            for c, s, V in zip(cals, sweeps, V_cols_list)]
+
+
+def _need_of(cal, kinds_idx) -> Dict[str, bool]:
     need = {k: any(s[0] == k for s in kinds_idx) for k in KINDS}
     # A (0, M) full-interval slice classifies as ('prefix', M) — the
     # defer_V path appends one on every call — but it is served by the
     # prefix-LAST column; per-dim prefix emission is only needed for
     # PROPER closed slices (idx < M).
     need['prefix'] = any(k == 'prefix' and idx < cal.M for k, idx in kinds_idx)
-    sweep = error_scan(cal, need, host_paced)
+    return need
+
+
+def _assemble(cal, sweep, need, kinds_idx, V_cols) -> Dict[str, jnp.ndarray]:
+    """W and T columns of one output from its sweep result; populates the
+    calibrator's full-interval error cache as a side effect."""
     cache = _full_cache(cal, sweep)
     cal._full_error_cache = cache
     full_first = _full_first(cal, sweep)

@@ -102,7 +102,7 @@ def intervals_sweep(mesh: Mesh, pack: Dict, chunk_body, zeros: Tuple,
 # --------------------------------------------------------------------------- #
 
 def error_sweep(mesh: Mesh, C: Dict, run_chunk, zero_acc, kinds: Tuple[str, ...],
-                xs: Tuple, host_paced: bool, N: int):
+                xs: Tuple, host_paced: bool, N: int, psi_rank: int = 4):
     """Run the error-sweep chunk loop over the mesh.
 
     ``xs`` = (Gq (nc, M, L, c), gw_c {kind: (nc, M, L, c)}, g0q_c (nc, L, c))
@@ -110,10 +110,15 @@ def error_sweep(mesh: Mesh, C: Dict, run_chunk, zero_acc, kinds: Tuple[str, ...]
     (quads {kind: tuple}, psi {kind: (Mk, l, i, N)}) — quads psum'd and
     replicated, psi trimmed to N and sharded along its last axis in
     original column order (device d of slab i holds chunk i*S + d).
+
+    ``psi_rank``: rank of each per-chunk psi leaf — 4 (Mk, l, i, c) for the
+    single-output sweep, 5 with the leading output axis of the stacked
+    (vmapped-over-outputs) sweep, whose xs leaves carry the output axis
+    SECOND (chunks stay leading for the 'n' sharding).
     """
     S = mesh.devices.size
     (Gq, gw_c, g0q_c), nc_pad = _pad_chunks(xs, S)
-    psi_specs = {k: P(None, None, None, 'n') for k in kinds}
+    psi_specs = {k: P(*([None] * (psi_rank - 1)), 'n') for k in kinds}
 
     if host_paced:
         def slab(C_a, Gq_s, gw_s, g0q_s):
@@ -145,10 +150,10 @@ def error_sweep(mesh: Mesh, C: Dict, run_chunk, zero_acc, kinds: Tuple[str, ...]
                    for k in kinds}
             return acc, {k: out[k][1] for k in kinds}
         quads_l, psi_stack = lax.scan(outer, zero_acc(), (Gq_l, gw_l, g0q_l))
-        # (nc_loc, Mk, l, i, c) -> (Mk, l, i, nc_loc*c): local columns stay
+        # (nc_loc, ..., c) -> (..., nc_loc*c): local columns stay
         # contiguous, so the sharded global axis is in original chunk order
         psi_l = {k: jnp.moveaxis(psi_stack[k], 0, -2
-                                 ).reshape(psi_stack[k].shape[1:4]
+                                 ).reshape(psi_stack[k].shape[1:psi_rank]
                                            + (-1,)) for k in kinds}
         return _tree_psum(quads_l), psi_l
 

@@ -1118,16 +1118,11 @@ class DistributedGP:
                     ls_arr, s2_arr, nz_arr, x_dev, y_dev, X, kind=kind,
                     n_chunk=n_chunk, gsa_dtype=gsa_dtype,
                     intervals_mixed=intervals_mixed)
-            # The W/T error engine is not batched over outputs yet: each
-            # output pays its own factorized error sweep.
-            return [self.sobol_indices(ls_arr[l], s2_arr[l], nz_arr[l],
-                                       x_dev, y_dev[:, l:l + 1], X,
-                                       kind=kind, n_chunk=n_chunk,
-                                       gsa_dtype=gsa_dtype, error=error,
-                                       is_T_partial=is_T_partial,
-                                       intervals_mixed=intervals_mixed,
-                                       error_solver=error_solver)
-                    for l in range(ls_arr.shape[0])]
+            return self._sobol_indices_multi_error(
+                ls_arr, s2_arr, nz_arr, x_dev, y_dev, X, kind=kind,
+                n_chunk=n_chunk, gsa_dtype=gsa_dtype,
+                is_T_partial=is_T_partial, intervals_mixed=intervals_mixed,
+                error_solver=error_solver)
         kinds = (kind,) if isinstance(kind, str) else tuple(kind)
         t0 = time.time()
         alpha_stored, L_post = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
@@ -1333,6 +1328,121 @@ class DistributedGP:
                                  'outputs': L_out}
         return [self._kinds_from_V(np.asarray(o['V'])[0, 0], kinds, M, kind)
                 for o in outs]
+
+    def _sobol_indices_multi_error(self, ls: np.ndarray, s2: np.ndarray,
+                                   noise: np.ndarray, x_dev, y_dev,
+                                   X: np.ndarray, kind, n_chunk, gsa_dtype,
+                                   is_T_partial, intervals_mixed,
+                                   error_solver):
+        """Multi-output W/T error Sobol' indices in ONE stacked sweep:
+        per-output posterior solves, then ONE stacked base V pass and ONE
+        stacked factorized error sweep (gsa/calibrators.py
+        marginalize_intervals_error_stacked; the chunk steps are vmapped
+        over outputs) — instead of re-running both O(N^2 M) passes per
+        output (the round-3 sequential loop; the reference's per-latent
+        loop is gpr/models.py:340-342).  Numerically identical to L
+        single-output ``sobol_indices(error=True)`` calls (same ops,
+        vmapped).
+
+        Precision policy matches the single-output error path: f64 planes +
+        'ff' exp tier on accelerators for W/T; ``gsa_dtype=np.float32``
+        opts the base V pass into the fast_V f32-planes tier.  The psi
+        solvers are built LAZILY per output (meta['psi_solver_factory'])
+        so at most one (Npad, Npad) engine factor is ever resident — L
+        eager solvers would OOM the chip at large N."""
+        import time
+        t_start = time.time()
+        from romcomma_tpu.gsa.calibrators import (
+            ClosedSobolWithError, marginalize_intervals_error_stacked)
+        kinds = (kind,) if isinstance(kind, str) else tuple(kind)
+        L_out = ls.shape[0]
+        N, M = self.plan.N, X.shape[1]
+        on_accel = jax.default_backend() != 'cpu'
+        meta = {} if n_chunk is None else {'n_chunk': n_chunk}
+        f64 = jnp.float64
+        if gsa_dtype is not None and jnp.dtype(gsa_dtype) == jnp.float32:
+            meta['fast_V'] = True
+        if intervals_mixed is None:
+            intervals_mixed = 'ff' if on_accel else False
+        meta['intervals_mixed'] = intervals_mixed
+        meta['is_T_partial'] = bool(is_T_partial)
+        use_device = (error_solver == 'device'
+                      or (error_solver == 'auto'
+                          and (on_accel or N >= self.PSI_SOLVER_MIN_N)))
+        t_posterior = 0.0
+        t_kcho = 0.0
+        X64 = jnp.asarray(np.asarray(X), f64)
+        cals = []
+        for l in range(L_out):
+            t0 = time.time()
+            a_stored, L_post = self.posterior_alpha(ls[l], s2[l], noise[l],
+                                                    x_dev, y_dev[:, l:l + 1])
+            alpha = from_stored(self.plan, np.asarray(a_stored))
+            # The factor is NOT kept for the psi solver (single-output path
+            # reuses it): L resident (Npad, Npad) factors would OOM at
+            # large N — the lazy factory refactorizes one at a time.
+            del L_post
+            t_posterior += time.time() - t0
+            meta_l = dict(meta)
+            t0 = time.time()
+            if use_device:
+                hyp = (np.asarray(ls[l]).copy(), float(s2[l]),
+                       float(noise[l]))
+                meta_l['psi_solver_factory'] = (
+                    lambda h=hyp: self.make_psi_solver(h[0], h[1], h[2],
+                                                       x_dev))
+                K_cho = jnp.zeros((1, 1, 1), f64)
+            else:
+                from romcomma_tpu.ops.gram import rbf_gram
+                from romcomma_tpu.ops.linalg import add_diag
+                from romcomma_tpu.ops.linalg import cholesky as dense_cholesky
+                cpu = jax.devices('cpu')[0]
+                with jax.default_device(cpu):
+                    K = rbf_gram(X64, X64, jnp.asarray(np.asarray(ls[l]), f64),
+                                 jnp.asarray(float(s2[l]), f64))
+                    K_cho = dense_cholesky(add_diag(
+                        K, jnp.asarray(float(noise[l]), f64)))
+                K_cho = jnp.asarray(np.asarray(K_cho), f64)
+            t_kcho += time.time() - t0
+            cals.append(ClosedSobolWithError.from_arrays(
+                F=jnp.asarray([[float(s2[l])]], f64),
+                K_cho=K_cho,
+                K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N), f64),
+                Lambda=jnp.asarray(np.asarray(ls[l]), f64)[None, :],
+                X=X64, is_F_diagonal=True, L=1, M=M, N=N, defer_V=True,
+                **meta_l))
+        if self.mesh.devices.size > 1:
+            # The stacked W/T sweep shards its q chunks over the ('n',)
+            # mesh (gsa/mesh.py error_sweep, psi_rank=5); the stacked base
+            # V pass is single-device (same as _sobol_indices_multi).
+            for c in cals:
+                c.gsa_mesh = self.mesh
+        family = {'first_order': [(m, m + 1) for m in range(M)],
+                  'closed': [(0, m + 1) for m in range(M)],
+                  'total': [(m + 1, M) for m in range(M)]}
+        flat = [(0, M)] + [s for k in kinds for s in family[k]]
+        t0 = time.time()
+        outs = marginalize_intervals_error_stacked(cals, tuple(flat),
+                                                   host_paced=True)
+        self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),
+                                 'k_cho_s': round(t_kcho, 1),
+                                 'intervals_s': round(time.time() - t0, 1),
+                                 'total_s': round(time.time() - t_start, 1),
+                                 'outputs': L_out}
+        self.last_gsa_timings.update(
+            {f'iv_{k}': v for k, v in
+             getattr(cals[0], 'last_interval_timings', {}).items()})
+        results = []
+        for o in outs:
+            S_out = self._kinds_from_V(np.asarray(o['V'])[0, 0], kinds, M,
+                                       kind)
+            T_all = np.asarray(o['T'])[0, 0][1:]
+            T_by_kind = {k: {m: float(T_all[i * M + m]) for m in range(M)}
+                         for i, k in enumerate(kinds)}
+            results.append({'S': S_out,
+                            'T': (T_by_kind[kind] if isinstance(kind, str)
+                                  else T_by_kind)})
+        return results
 
     # -- calibration ---------------------------------------------------------- #
 

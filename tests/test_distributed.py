@@ -463,6 +463,54 @@ def test_sobol_indices_multi_output():
                                            rtol=1e-10, atol=1e-12)
 
 
+def test_sobol_indices_multi_output_error():
+    """Batched (L,M)/(L,) hyperparameters with error=True -> per-output
+    {'S','T'} structures matching L separate single-output error calls: the
+    ONE-stacked-sweep path (gsa/calibrators.marginalize_intervals_error_
+    stacked + factorized_errors.error_scan_stacked, chunk steps vmapped
+    over outputs).  n_chunk=0 keeps the chunk partition identical between
+    routes so the vmapped math is the same ops.  Runs on the full virtual
+    mesh, covering the sharded error_sweep at psi_rank=5; the second combo
+    covers the lazy per-output psi-solver factory (error_solver='device')
+    and the stacked fast_V twin pass (gsa_dtype=float32)."""
+    rng = np.random.default_rng(47)
+    Nn, M, L = 120, 3, 2
+    X = rng.standard_normal((Nn, M))
+    Y = np.stack([np.sin(X[:, 0]) + 0.2 * X[:, 1],
+                  0.5 * X[:, 1] ** 2], axis=1) \
+        + 0.05 * rng.standard_normal((Nn, L))
+    dgp = dist.DistributedGP(Nn, dist.make_n_mesh(), block=32)
+    x_dev, y_dev = dgp.stage(X, Y)
+    ls = np.full((L, M), 2.0) * np.array([[1.0], [1.5]])
+    s2, nz = np.array([1.0, 0.8]), np.array([0.05, 0.04])
+    # The f64 combo is near-bit-identical (n_chunk=0 pins both routes to
+    # one chunk; the vmapped f64 math is the same ops).  The fast_V combo's
+    # f32 V planes lower to DIFFERENT f32 reduction orders under vmap
+    # (batched einsum tiling), so its route-vs-route deltas sit at the f32
+    # tier's own accuracy (~1e-5 typical, up to ~1e-4 absolute on
+    # near-zero indices here) — the same magnitude the stacked no-error
+    # path pins (BASELINE.md stacked-GSA row: max dS 3.0e-5 vs sequential).
+    for solver, partial, gdt, tolS, tolT in (
+            ('auto', True, None, dict(rtol=1e-10, atol=1e-12),
+             dict(rtol=1e-8, atol=1e-10)),
+            ('device', False, np.float32, dict(rtol=0, atol=2e-4),
+             dict(rtol=0, atol=2e-4))):
+        kw = dict(kind=('first_order', 'total'), error=True,
+                  is_T_partial=partial, n_chunk=0, gsa_dtype=gdt,
+                  error_solver=solver)
+        multi = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, X, **kw)
+        assert isinstance(multi, list) and len(multi) == L
+        for l in range(L):
+            single = dgp.sobol_indices(ls[l], s2[l], nz[l], x_dev,
+                                       y_dev[:, l:l + 1], X, **kw)
+            for k in ('first_order', 'total'):
+                for m in range(M):
+                    np.testing.assert_allclose(
+                        multi[l]['S'][k][m], single['S'][k][m], **tolS)
+                    np.testing.assert_allclose(
+                        multi[l]['T'][k][m], single['T'][k][m], **tolT)
+
+
 def test_mogp_surface_streaming_route(monkeypatch, tmp_path):
     """MOGP.calibrate through the PUBLIC surface with thresholds forced to
     the N=50k production configuration (dense upper engine + streaming-v2

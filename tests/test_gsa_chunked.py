@@ -590,19 +590,18 @@ def test_chunked_V_mixed_dtype_carry():
 
 def test_stacked_intervals_f64_accumulation_matches_single():
     """marginalize_intervals_stacked under the f64-accumulation tier is
-    numerically identical to the per-calibrator pass at MATCHED chunk
-    (the stacked pass shrinks its chunk by the output count, so the single
-    passes here are built at that same chunk — different chunking only
-    reorders f32 plane sums, ~1e-6 relative noise)."""
+    numerically identical to the per-calibrator pass at MATCHED chunk: an
+    EXPLICIT meta['n_chunk'] is honored verbatim by the stacked pass (only
+    the AUTO chunk shrinks by the output count), so stacked and per-output
+    routes share one chunk partition and the op sequence is identical up
+    to the vmap batching."""
     from romcomma_tpu.gsa.calibrators import marginalize_intervals_stacked
     slices = tuple([(m, m + 1) for m in range(4)] + [(0, 4)])
     cals = [_calibrator_f32(seed=s, n_chunk=128, intervals_acc_f64=True,
                             defer_V=True) for s in (0, 3)]
     stacked = marginalize_intervals_stacked(cals, slices, host_paced=True)
     for seed, out in zip((0, 3), stacked):
-        # stacked chunk = max(64, 128 // 2) = 64; build the single-output
-        # oracle at that exact chunk so the op sequence is identical.
-        single_cal = _calibrator_f32(seed=seed, n_chunk=64,
+        single_cal = _calibrator_f32(seed=seed, n_chunk=128,
                                      intervals_acc_f64=True, defer_V=True)
         single = single_cal.marginalize_intervals(slices, host_paced=True)
         assert out['V'].dtype == jnp.float64
