@@ -464,11 +464,15 @@ def _intervals_body(need: Dict[str, bool], exp_mode,
     acc_dtype = dtype if acc_dtype is None else acc_dtype
 
     def e_step(Gp1, Phi1, PsiPhi1, Gq1):
-        """Per-dim exponent plane (l,L,N,j,J,c)."""
-        diff = (Gp1[:, :, :, None, None, None]
-                - Phi1[:, :, None, None, None, None] * Gq1[None, None, None, ...])
-        e = -0.5 * diff * diff / PsiPhi1[:, :, None, :, :, None]
-        return e + 0.5 * (Gp1 * Gp1 / Phi1[..., None])[:, :, :, None, None, None]
+        """Per-dim exponent plane (l,L,j,J,N,c) — the big (N, c) axes stay
+        LAST so the TPU's (8, 128) tiling of the two minor dims lands on
+        them; the previous (l,L,N,j,J,c) layout put (J, c) minor, which at
+        J=1 (the production variant path) pads 8x in memory and compute
+        (measured 16.0 vs 2.0 ms per 'ff' emission on (20000, 1118))."""
+        bq = (Phi1[:, :, None, None, None] * Gq1[None, None])  # (l,L,j,J,c)
+        diff = Gp1[:, :, None, None, :, None] - bq[:, :, :, :, None, :]
+        e = -0.5 * diff * diff / PsiPhi1[:, :, :, :, None, None]
+        return e + 0.5 * (Gp1 * Gp1 / Phi1[..., None])[:, :, None, None, :, None]
 
     def body(pack, acc, xs):
         g = pack['g']                                          # (l,L,N)
@@ -488,18 +492,19 @@ def _intervals_body(need: Dict[str, bool], exp_mode,
             MXU matmul) — the einsum wins ~10x the other way (native BLAS
             / systolic array), so the form follows ``reduce_contract``."""
             if reduce_contract and plane.dtype == jnp.float64:
-                col = jnp.sum(plane * g[:, :, :, None, None, None], axis=2)
+                col = jnp.sum(plane * g[:, :, None, None, :, None], axis=4)
                 return jnp.einsum('lLjJc, jJc -> lLjJ', col, gq_c)
-            return jnp.einsum('lLN, lLNjJc, jJc -> lLjJ', g, plane, gq_c)
+            return jnp.einsum('lLN, lLjJNc, jJc -> lLjJ', g, plane, gq_c)
 
         def qf(E):
-            """Quadform of exp(E) over (N, c) — plane axes 2 and 5."""
+            """Quadform of exp(E) over (N, c) — plane axes 4 and 5."""
             if exp_mode is None:
                 return contract(jnp.exp(E)).astype(acc_dtype)
-            plane, c_max = shifted_exp(E, (2, 5), exp_mode)
+            plane, c_max = shifted_exp(E, (4, 5), exp_mode)
             return (contract(plane).astype(acc_dtype)
-                    * jnp.exp(c_max[:, :, 0, :, :, 0].astype(acc_dtype)))
+                    * jnp.exp(c_max[:, :, :, :, 0, 0].astype(acc_dtype)))
 
+        E0_shape = (l, L) + Gq_c.shape[:2] + (N, Gq_c.shape[2])
         if need['single'] or need['prefix']:
             zero = jnp.zeros((l, L, l, L), dtype=acc_dtype)
 
@@ -509,7 +514,7 @@ def _intervals_body(need: Dict[str, bool], exp_mode,
                 ys = (qf(e) if need['single'] else zero,
                       qf(E) if need['prefix'] else zero)
                 return E, ys
-            E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=dtype)
+            E0 = jnp.zeros(E0_shape, dtype=dtype)
             _, (ys_s, ys_p) = lax.scan(fwd, E0, dims_m)
             if need['single']:
                 acc_s = acc_s + ys_s
@@ -519,7 +524,7 @@ def _intervals_body(need: Dict[str, bool], exp_mode,
             def bwd(E, xs_m):
                 E = E + e_step(*xs_m)
                 return E, qf(E)
-            E0 = jnp.zeros((l, L, N) + Gq_c.shape[:-1], dtype=dtype)
+            E0 = jnp.zeros(E0_shape, dtype=dtype)
             _, ys_f = lax.scan(bwd, E0, dims_m, reverse=True)
             acc_f = acc_f + ys_f
         return (acc_s, acc_p, acc_f)

@@ -87,12 +87,19 @@ def _member_layout(cal) -> List[Dict[str, Any]]:
 
 def _member_arrays(cal, G, Phi, Upsilon) -> List[Dict[str, jnp.ndarray]]:
     """Traced per-member arrays, aligned with :func:`_member_layout`:
-    Omega per-dim N-side mean ``a`` (M, N, j, k) and variance ``v``
+    Omega per-dim N-side mean ``a`` (M, j, k, N) and variance ``v``
     (M, j, k); the Upsilon per-dim (p-side-only) exponent ``e_up``
-    (M, N, j, k); the combined per-dim sqrt-determinant ``d`` (M, j, k) of
+    (M, j, k, N); the combined per-dim sqrt-determinant ``d`` (M, j, k) of
     (Omega / G-divisor) * Upsilon.  ``G/Phi/Upsilon`` are passed explicitly
     (possibly as tracers) so the caller's jitted precompute does NOT bake
-    them into the program as constants."""
+    them into the program as constants.
+
+    N-carrying arrays keep N LAST: every big sweep plane is laid out with
+    (N, chunk) as its trailing axes so the TPU's (8, 128) tiling of the two
+    minor dims lands on the large axes — a (N, 1, 1, C) plane pads its
+    second-minor singleton to 8 and measured ~8x slower per element
+    (0.9/16.0 ms vs 0.4/2.0 ms for carry/'ff'-emission on (20000, 1118),
+    /tmp layout probe, slope-timed)."""
     om_mean, om_var = cal._omega_mean_variance(cal.Ms, G, Phi, Upsilon)
     up_mean, up_var = cal._upsilon_mean_variance(G, Phi, Upsilon)
     dg = jnp.sqrt(Phi[:, 0, :])                           # (L, M) G-divisor cho
@@ -103,19 +110,20 @@ def _member_arrays(cal, G, Phi, Upsilon) -> List[Dict[str, jnp.ndarray]]:
 
     def compact(t, with_n: bool):
         assert t.shape[0] == 1 and t.shape[4] == 1 and t.shape[5] == 1, t.shape
-        t = t[0, :, :, :, 0, 0, :] if with_n else t[0, 0, :, :, 0, 0, :]
-        return jnp.moveaxis(t, -1, 0)                      # M leading
+        if with_n:
+            return jnp.transpose(t[0, :, :, :, 0, 0, :], (3, 1, 2, 0))
+        return jnp.moveaxis(t[0, 0, :, :, 0, 0, :], -1, 0)  # M leading
 
     arrays: List[Dict[str, jnp.ndarray]] = []
     for fam_name, rank_eqs in _families_of(cal):
         for rank_eq in rank_eqs:
-            a = compact(equate(om_mean, rank_eq, False), True)     # (M,N,j,k)
+            a = compact(equate(om_mean, rank_eq, False), True)     # (M,j,k,N)
             v = compact(equate(om_var, rank_eq, True), False)      # (M,j,k)
             a_u = equate(up_mean, rank_eq, False)
             v_u = equate(up_var, rank_eq, True)
-            e_up = compact(-0.5 * (a_u * a_u / v_u), True)          # (M,N,j,k)
+            e_up = compact(-0.5 * (a_u * a_u / v_u), True)          # (M,j,k,N)
             d_u = compact(jnp.sqrt(v_u), False)                     # (M,j,k)
-            assert a.shape[2] == dg.shape[0], (a.shape, dg.shape)   # j == L
+            assert a.shape[1] == dg.shape[0], (a.shape, dg.shape)   # j == L
             d = jnp.sqrt(v) * d_u / dg.T[:, :, None]                # GG on j
             arrays.append({'a': a, 'v': v, 'e_up': e_up, 'd': d})
     return arrays
@@ -262,7 +270,7 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
                 continue                                   # members > 0 alias
             ecum = _cums(m['e_up'])
             m['s'] = jnp.sqrt(0.5 / m['v'])                # (M, j, k)
-            m['a_sc'] = m['a'] * m['s'][:, None]           # (M, N, j, k)
+            m['a_sc'] = m['a'] * m['s'][..., None]         # (M, j, k, N)
             for k in kinds:
                 eup[k].append(ecum[k])
         invd_psi = {k: jnp.exp(-_cums(jnp.log(
@@ -328,10 +336,16 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
     def run_chunk(C, Gq_i, gw_i, g0q_i):
         """All sweeps for one q chunk.  Returns
         {kind: ([member quads (Mk, ...)], psi contribs (Mk, l, i, c))} with
-        Mk = 1 for 'prefix' in prefix-last mode."""
+        Mk = 1 for 'prefix' in prefix-last mode.
+
+        Every big plane is laid out (j, k, N, C) / (l, i, N, C): the TPU
+        tiles the two MINOR axes to (8, 128), so singleton trailing axes —
+        the previous (N, j, k, C) layout at L=1 put (k=1, C) minor — pad
+        8x in memory AND compute (measured 16.0 vs 2.0 ms per 'ff'
+        emission, 0.9 vs 0.4 ms per carry op on (20000, 1118) planes)."""
 
         def member_quad(spec, Eplane, gq_m):
-            """Quadform of exp(Eplane) — Eplane (N, j, k, C); contraction
+            """Quadform of exp(Eplane) — Eplane (j, k, N, C); contraction
             covers N and C always, plus k when the member reduces to 'j'.
 
             On accelerators the N contraction is an elementwise g-multiply
@@ -344,12 +358,12 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
             native-f64 BLAS and wins ~10x the other way."""
             def quad(eplane):
                 if not reduce_contract:
-                    eq = f"{spec['p']}N, NjkC, jC -> {spec['out']}"
+                    eq = f"{spec['p']}N, jkNC, jC -> {spec['out']}"
                     return jnp.einsum(eq, C['g'], eplane, gq_m)
-                gN = C['g'].T                                 # (N, L)
-                gal = (gN[:, :, None, None] if spec['p'] == 'j'
-                       else gN[:, None, :, None])             # align j or k
-                col = jnp.sum(eplane * gal, axis=0)           # (j, k, C)
+                g = C['g']                                    # (L, N)
+                gal = (g[:, None, :, None] if spec['p'] == 'j'
+                       else g[None, :, :, None])              # align j or k
+                col = jnp.sum(eplane * gal, axis=2)           # (j, k, C)
                 return jnp.einsum(f"jkC, jC -> {spec['out']}", col, gq_m)
 
             if not use_shift:
@@ -358,11 +372,11 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
             # the shift must be constant over every CONTRACTED axis of the
             # output (a per-k scale cannot be factored out of a k-sum)
             plane, c_max = shifted_exp(Eplane,
-                                       (0, 3) if out_jk else (0, 2, 3),
+                                       (2, 3) if out_jk else (1, 2, 3),
                                        exp_mode)
             q = quad(plane)
-            return q * (jnp.exp(c_max[0, :, :, 0]) if out_jk
-                        else jnp.exp(c_max[0, :, 0, 0]))
+            return q * (jnp.exp(c_max[:, :, 0, 0]) if out_jk
+                        else jnp.exp(c_max[:, 0, 0, 0]))
 
         # dedup emission: one 'jk' contraction of the shared plane serves
         # every member at L=1 (all output specs are the same scalar; 'j'
@@ -382,36 +396,36 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
 
         def psi_quad(pw, g0q_i, P_psi):
             """liC psi contribution from the POSITIVE quadratic plane P_psi
-            (l,N,i,C) — the exponent is ``-P_psi`` (scaled-difference form).
-            Only the N axis (1) is contracted; the C axis survives, so the
+            (l,i,N,C) — the exponent is ``-P_psi`` (scaled-difference form).
+            Only the N axis (2) is contracted; the C axis survives, so the
             shift keeps it.  On accelerators the contraction is an
             elementwise pw-multiply + reduce over N, not an einsum — same
             emulated-f64 dot_general avoidance as member_quad (~10x,
             benchmarks/egsa_ops.py); the host CPU keeps the BLAS einsum."""
             def quad(plane):
                 if not reduce_contract:
-                    return jnp.einsum('lN, iC, lNiC -> liC', pw, g0q_i,
+                    return jnp.einsum('lN, iC, liNC -> liC', pw, g0q_i,
                                       plane)
-                t = jnp.sum(plane * pw[:, :, None, None], axis=1)
+                t = jnp.sum(plane * pw[:, None, :, None], axis=2)
                 return t * g0q_i[None]                        # (l, i, C)
 
             if not use_shift:
                 return quad(jnp.exp(-P_psi))
-            plane, c_max = shifted_exp(P_psi, (1,), exp_mode, negate=True)
-            return quad(plane) * jnp.exp(c_max[:, 0, :, :])
+            plane, c_max = shifted_exp(P_psi, (2,), exp_mode, negate=True)
+            return quad(plane) * jnp.exp(c_max[:, :, 0, :])
 
         xs = (Gq_i,                                         # (M, L, c)
-              C['a_sc'],                                    # (M, N, j, k)
+              C['a_sc'],                                    # (M, j, k, N)
               C['s'],                                       # (M, j, k)
               {k: gw_i[k] for k in scan_kinds},             # (M, L, c)
               C['gw_p'],                                    # (M, L, N) p-side
-              C['eup_scan'],                                # (M, N, j, k)
+              C['eup_scan'],                                # (M, j, k, N)
               C['Gm'], C['phi_m'], C['s_psi'])
 
         def init():
-            E_oms = tuple(jnp.zeros((N,) + C['s'][r].shape[1:] + (chunk,), dt)
+            E_oms = tuple(jnp.zeros(C['s'][r].shape[1:] + (N, chunk), dt)
                           for r in range(n_planes))
-            return (E_oms, jnp.zeros((L, N, L, chunk), dt))
+            return (E_oms, jnp.zeros((L, L, N, chunk), dt))
 
         def step(carry, xs_m, emit_kinds, accumulated):
             # Carries are POSITIVE quadratic accumulations (sum of d*d, the
@@ -424,13 +438,13 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
             e_oms = []
             for r in range(n_planes):
                 d = a_s[r][..., None] \
-                    - (Gq_m[:, None, :] * s_s[r][:, :, None])[None]
-                e_oms.append(d * d)                         # (N, j, k, c)
+                    - (Gq_m[:, None, None, :] * s_s[r][..., None, None])
+                e_oms.append(d * d)                         # (j, k, N, c)
             e_oms = tuple(e_oms)
             E_oms = tuple(E + e for E, e in zip(E_oms, e_oms))
             bp = (phim[:, None, None] * Gq_m[None, :, :]) * sps[..., None]
-            Gp = jnp.moveaxis(Gm_m[:, None, :] * sps[..., None], 2, 1)
-            d_psi = Gp[..., None] - bp[:, None, :, :]       # (l, N, i, c)
+            Gp = Gm_m[:, None, :] * sps[..., None]          # (l, i, N)
+            d_psi = Gp[..., None] - bp[:, :, None, :]       # (l, i, N, c)
             e_psi = d_psi * d_psi
             E_psi = E_psi + e_psi
             ys = {}
