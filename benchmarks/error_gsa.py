@@ -49,8 +49,12 @@ def main(N: int = 8192, M: int = 30, n_chunk: int = 0,
     X = rng.standard_normal((N, M))
     Y = (np.sin(X[:, :1]) + 0.5 * X[:, 1:2] ** 2
          + 0.1 * rng.standard_normal((N, 1)))
-    ls = jnp.asarray(np.full(M, 2.0))
-    s2, noise = jnp.asarray(1.0), jnp.asarray(0.05)
+    # HOST values, not jnp constants: hypers are cast inside the jitted
+    # programs anyway, and a device-resident tiny constant must be fetched
+    # BACK by sobol_indices — an RPC the axon tunnel intermittently stalls
+    # for minutes (observed 30-440 s; phase label args_fetch_s).
+    ls = np.full(M, 2.0)
+    s2, noise = 1.0, 0.05
     kinds = ('first_order', 'total')
     n_chunk = n_chunk or None
     backend = jax.default_backend()

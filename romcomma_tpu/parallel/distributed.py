@@ -1109,7 +1109,15 @@ class DistributedGP:
         t_start = time.time()
         from romcomma_tpu.gsa.calibrators import ClosedSobol, ClosedSobolWithError
         t_import = time.time() - t_start
+        t0 = time.time()
+        # Device->host fetch of the (tiny) hyperparameters. Labeled because
+        # the axon tunnel intermittently stalls THIS one RPC for minutes
+        # (observed 30-440 s at any N, while every subsequent dispatch runs
+        # at full speed) — an unlabeled stall here polluted whole-run wall
+        # times with no attributable phase. Callers holding host values
+        # (numpy/float) skip the fetch entirely.
         ls_arr = np.asarray(ls)
+        self._t_args_fetch = time.time() - t0
         if ls_arr.ndim == 2:
             s2_arr = np.asarray(s2).reshape(ls_arr.shape[0])
             nz_arr = np.asarray(noise).reshape(ls_arr.shape[0])
@@ -1240,6 +1248,7 @@ class DistributedGP:
                                  'setup_s': round(t_setup, 1),
                                  'intervals_s': round(time.time() - t0, 1),
                                  'import_s': round(t_import, 1),
+                                 'args_fetch_s': round(self._t_args_fetch, 1),
                                  'total_s': round(time.time() - t_start, 1)}
         self.last_gsa_timings.update(
             {f'iv_{k}': v for k, v in
@@ -1325,6 +1334,8 @@ class DistributedGP:
         outs = marginalize_intervals_stacked(cals, tuple(flat), host_paced=True)
         self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),
                                  'intervals_s': round(time.time() - t0, 1),
+                                 'args_fetch_s': round(
+                                     getattr(self, '_t_args_fetch', 0.0), 1),
                                  'outputs': L_out}
         return [self._kinds_from_V(np.asarray(o['V'])[0, 0], kinds, M, kind)
                 for o in outs]
@@ -1427,6 +1438,8 @@ class DistributedGP:
         self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),
                                  'k_cho_s': round(t_kcho, 1),
                                  'intervals_s': round(time.time() - t0, 1),
+                                 'args_fetch_s': round(
+                                     getattr(self, '_t_args_fetch', 0.0), 1),
                                  'total_s': round(time.time() - t_start, 1),
                                  'outputs': L_out}
         self.last_gsa_timings.update(
