@@ -407,8 +407,11 @@ class ClosedSobol(Calibrator):
         need = {k: any(s[0] == k for s in specs)
                 for k in ('single', 'prefix', 'suffix')}
         l, L, N, M = self.G.shape
+        import time as _time
+        _t_pack = _time.time()
         chunk = self._intervals_chunk()
         pack = self._intervals_pack(chunk)
+        _t_pack = _time.time() - _t_pack
         nc = pack['Gq'].shape[0]
         acc_dtype = (jnp.float64 if self.meta.get('intervals_acc_f64', False)
                      else self.G.dtype)
@@ -429,16 +432,26 @@ class ClosedSobol(Calibrator):
                                   (zero_qf, zero_qf, zero_qf), host_paced)
         elif host_paced:
             import jax
+            import time as _time
+            t0 = _time.time()
             step = jax.jit(chunk_body)
             acc = (zero_qf, zero_qf, zero_qf)
             for i in range(int(nc)):
                 acc = step(pack, acc, (pack['Gq'][i], pack['gq'][i]))
+            jax.block_until_ready(acc)
+            self.last_v_sweep_timings = {
+                'chunks': int(nc), 'loop_s': round(_time.time() - t0, 2)}
         else:
             acc, _ = lax.scan(lambda a, xs: (chunk_body(pack, a, xs), None),
                               (zero_qf, zero_qf, zero_qf),
                               (pack['Gq'], pack['gq']))
+        _t_fin = _time.time()
         columns = self._intervals_finalize(pack, acc, specs, slices)
         V = jnp.stack(columns, axis=-1)
+        if hasattr(self, 'last_v_sweep_timings'):
+            self.last_v_sweep_timings['pack_s'] = round(_t_pack, 2)
+            self.last_v_sweep_timings['finalize_s'] = round(
+                _time.time() - _t_fin, 2)
         if not hasattr(self, 'V'):           # defer_V mode: caller normalizes
             return {'V': V}
         return {'V': V, 'S': V / self.V[2][..., None]}
@@ -875,15 +888,22 @@ class ClosedSobolWithError(ClosedSobol):
                 defer_V=True, intervals_acc_f64=True, **twin_meta)
             base = {k: jnp.asarray(v, jnp.float64) for k, v in
                     twin.marginalize_intervals(eff, host_paced).items()}
+            v_detail = getattr(twin, 'last_v_sweep_timings', None)
         else:
             base = super().marginalize_intervals(eff, host_paced)
+            v_detail = getattr(self, 'last_v_sweep_timings', None)
         if not hasattr(self, 'V'):
             self._adopt_V(base['V'][..., eff.index((0, self.M))])
         timings['v_pass_s'] = round(_time.time() - t0, 1)
+        if v_detail:
+            timings.update({f'v_{k}': v for k, v in v_detail.items()})
         t0 = _time.time()
         base |= factorized_errors.intervals(self, eff, eff_specs,
                                             base['V'], host_paced)
         timings['wt_sweep_s'] = round(_time.time() - t0, 1)
+        timings.update({f'e_{k}': v for k, v in
+                        getattr(self, 'last_error_sweep_timings',
+                                {}).items()})
         self.last_interval_timings = timings
         if extra:
             base = {k: v[..., :-1] for k, v in base.items()}

@@ -304,6 +304,9 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
             out['gw_prefix_last'] = gw['prefix'][M - 1]
         return out
 
+    import time as _time
+    _sweep_t = {}
+    _t0 = _time.time()
     if stacked:
         args = tuple(jnp.stack([getattr(c, a) for c in cals])
                      for a in ('G', 'Phi', 'Upsilon', 'g0', 'g0KY'))
@@ -312,6 +315,9 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
         args = (cal.G, cal.Phi, cal.Upsilon, cal.g0, cal.g0KY)
         prep_fn = prep
     pre = (jax.jit(prep_fn) if host_paced else prep_fn)(*args)
+    if host_paced:
+        jax.block_until_ready(pre)
+    _sweep_t['prep_s'] = round(_time.time() - _t0, 2)
     Gq, gw_c, g0q_c = pre['Gq'], pre['gw_c'], pre['g0q_c']
     eup, invd, invd_psi = pre['eup'], pre['invd'], pre['invd_psi']
 
@@ -523,6 +529,7 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
                                  chunk_leading((Gq, gw_c, g0q_c)),
                                  host_paced, N, psi_rank=5 if stacked else 4)
     elif host_paced:
+        _t0 = _time.time()
         stepped = jax.jit(step_fn)
         quads = zero_acc()
         psi_parts = {k: [] for k in kinds}
@@ -535,6 +542,9 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
             for k in kinds:
                 psi_parts[k].append(out[k][1])
         psi = {k: jnp.concatenate(psi_parts[k], axis=-1)[..., :N] for k in kinds}
+        jax.block_until_ready(psi)
+        _sweep_t.update(chunks=int(nc),
+                        loop_s=round(_time.time() - _t0, 2))
     else:
         def outer(acc, xs_i):
             Gq_i, gw_i, g0q_i = xs_i
@@ -552,6 +562,7 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
     # f64 TRSM on the TPU broadcasts a full (N,N) K_cho copy PER BATCH
     # ELEMENT (measured 16.9 GB HBM at N=8192, M=30 — an OOM), and the
     # factors are tiny (M L^2 N) to move.
+    _t0 = _time.time()
     cpu = None
     if host_paced:
         from romcomma_tpu.base.definitions import host_cpu_device
@@ -603,6 +614,10 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
                        'psi': {k: solved[offs[i]:offs[i + 1]]
                                for i, k in enumerate(kinds)},
                        'psi_raw': psi_raw_o})
+    if host_paced:
+        jax.block_until_ready([s['psi'] for s in sweeps])
+    _sweep_t['solve_s'] = round(_time.time() - _t0, 2)
+    cal.last_error_sweep_timings = _sweep_t
     return sweeps
 
 
