@@ -15,11 +15,14 @@ runtimes).  The CPU oracle shares the same posterior arrays so the reported
 deviation isolates the engine arithmetic.
 
 Usage:  python benchmarks/error_gsa.py [N] [M] [n_chunk] [oracle] [mixed]
-                                       [fast_v]
+                                       [fast_v] [warm]
         mixed: '' (backend default: 'ff' on accelerators), 'f64' (pure),
         'ff', 'f32'.
         fast_v: 1 = gsa_dtype=float32 (the base V pass runs the f32-planes
         + f64-accumulation tier; the W/T sweep stays f64 — |dT| <= 1.4e-5).
+        warm: 1 = run the identical call a second time in-process and
+        report it too — the steady-state number served by the memoized
+        sweep programs (what a resident service / multi-fold run.gsa pays).
 Prints one JSON line: backend, wall times, max |acc - cpu| error.
 """
 
@@ -39,7 +42,7 @@ import numpy as np
 
 def main(N: int = 8192, M: int = 30, n_chunk: int = 0,
          oracle: int = 1, intervals_mixed: 'bool | str | None' = None,
-         fast_v: int = 0) -> dict:
+         fast_v: int = 0, warm: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     from romcomma_tpu.parallel import distributed as dist
@@ -72,8 +75,27 @@ def main(N: int = 8192, M: int = 30, n_chunk: int = 0,
                             intervals_mixed=intervals_mixed,
                             **({'gsa_dtype': np.float32} if fast_v else {}))
     t_acc = time.time() - t0
+    acc_phases = dict(dgp.last_gsa_timings)
     print(f'accelerator error-GSA done in {t_acc:.1f}s '
-          f'(phases {dgp.last_gsa_timings})', flush=True)
+          f'(phases {acc_phases})', flush=True)
+    warm_phases = None
+    if warm:
+        # Steady-state pass: same call again in-process — the memoized
+        # programs (gsa/factorized_errors._PROGRAMS, calibrators.
+        # _INTERVALS_PROGRAMS) and warm executables serve it; this is the
+        # number a resident service / multi-fold run.gsa pays per call.
+        t0 = time.time()
+        acc2 = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X, kind=kinds,
+                                 n_chunk=n_chunk, error=True,
+                                 intervals_mixed=intervals_mixed,
+                                 **({'gsa_dtype': np.float32} if fast_v
+                                    else {}))
+        t_warm = time.time() - t0
+        warm_phases = dict(dgp.last_gsa_timings)
+        dS_w = max(abs(acc['S'][k][m] - acc2['S'][k][m])
+                   for k in kinds for m in range(M))
+        print(f'warm error-GSA done in {t_warm:.1f}s '
+              f'(phases {warm_phases}, |dS| vs first {dS_w:.2e})', flush=True)
 
     if not oracle:
         # N=20k+: the CPU f64 oracle alone costs hours; engine arithmetic
@@ -82,7 +104,9 @@ def main(N: int = 8192, M: int = 30, n_chunk: int = 0,
         result = {'N': N, 'M': M, 'backend': backend,
                   'stage_s': round(t_stage, 1),
                   'acc_error_gsa_s': round(t_acc, 1),
-                  'acc_phases': dgp.last_gsa_timings, 'oracle': False,
+                  'acc_phases': acc_phases, 'oracle': False,
+                  **({'warm_error_gsa_s': round(t_warm, 1),
+                      'warm_phases': warm_phases} if warm_phases else {}),
                   'S1_first3': [round(acc['S']['first_order'][m], 4)
                                 for m in range(3)],
                   'T1_first3': [round(acc['T']['first_order'][m], 5)
@@ -128,7 +152,9 @@ def main(N: int = 8192, M: int = 30, n_chunk: int = 0,
             dT = max(dT, abs(acc['T'][k][m] - T_all[1 + i * M + m]))
     result = {'N': N, 'M': M, 'backend': backend, 'stage_s': round(t_stage, 1),
               'acc_error_gsa_s': round(t_acc, 1),
-              'acc_phases': dgp.last_gsa_timings,
+              'acc_phases': acc_phases,
+              **({'warm_error_gsa_s': round(t_warm, 1),
+                  'warm_phases': warm_phases} if warm_phases else {}),
               'cpu_oracle_s': round(t_cpu, 1),
               'max_abs_dS_vs_cpu_f64': float(f'{dS:.3g}'),
               'max_abs_dT_vs_cpu_f64': float(f'{dT:.3g}'),
@@ -147,5 +173,5 @@ if __name__ == '__main__':
     if len(sys.argv) > 5:
         args.append(_mixed_arg(sys.argv[5]))
     if len(sys.argv) > 6:
-        args.append(int(sys.argv[6]))
+        args.extend(int(a) for a in sys.argv[6:8])
     main(*args)

@@ -416,10 +416,9 @@ class ClosedSobol(Calibrator):
         acc_dtype = (jnp.float64 if self.meta.get('intervals_acc_f64', False)
                      else self.G.dtype)
         from romcomma_tpu.gsa.base import contract_by_reduce
-        chunk_body = _intervals_body(need, self._intervals_exp_mode(),
-                                     (l, L, N, M), self.G.dtype,
-                                     acc_dtype=acc_dtype,
-                                     reduce_contract=contract_by_reduce(self.G))
+        chunk_body, chunk_body_jit = _intervals_programs(
+            need, self._intervals_exp_mode(), (l, L, N, M), self.G.dtype,
+            acc_dtype, contract_by_reduce(self.G))
         zero_qf = jnp.zeros((M, l, L, l, L), dtype=acc_dtype)
 
         mesh = getattr(self, 'gsa_mesh', None)
@@ -434,7 +433,7 @@ class ClosedSobol(Calibrator):
             import jax
             import time as _time
             t0 = _time.time()
-            step = jax.jit(chunk_body)
+            step = chunk_body_jit
             acc = (zero_qf, zero_qf, zero_qf)
             for i in range(int(nc)):
                 acc = step(pack, acc, (pack['Gq'][i], pack['gq'][i]))
@@ -455,6 +454,37 @@ class ClosedSobol(Calibrator):
         if not hasattr(self, 'V'):           # defer_V mode: caller normalizes
             return {'V': V}
         return {'V': V, 'S': V / self.V[2][..., None]}
+
+
+#: static signature -> (raw body, jitted body) of the interval chunk step
+_INTERVALS_PROGRAMS: Dict[tuple, tuple] = {}
+
+
+def _intervals_programs(need: Dict[str, bool], exp_mode, dims, dtype,
+                        acc_dtype, reduce_contract: bool,
+                        vmapped: bool = False) -> tuple:
+    """Memoized (raw, jitted) chunk step of the factorized interval pass.
+
+    The body is a pure function of this static signature; rebuilding and
+    re-jitting it per ``marginalize_intervals`` call re-traced, re-lowered
+    and (on tunnelled runtimes) re-deserialized the executable EVERY call —
+    each sobol_indices/GSA invocation constructs a fresh calibrator, so the
+    per-call cost never amortized (measured ~1 s per warm call on CPU and
+    tens of seconds through the remote compile helper at large N). One
+    program serves every calibrator instance with the same signature."""
+    import jax
+    key = (tuple(sorted((k, bool(v)) for k, v in need.items())), exp_mode,
+           tuple(dims), str(dtype), str(acc_dtype), reduce_contract, vmapped)
+    progs = _INTERVALS_PROGRAMS.get(key)
+    if progs is None:
+        body = _intervals_body(need, exp_mode, dims, dtype,
+                               acc_dtype=acc_dtype,
+                               reduce_contract=reduce_contract)
+        if vmapped:
+            body = jax.vmap(body)
+        progs = (body, jax.jit(body))
+        _INTERVALS_PROGRAMS[key] = progs
+    return progs
 
 
 def _intervals_body(need: Dict[str, bool], exp_mode,
@@ -589,14 +619,13 @@ def marginalize_intervals_stacked(cals: 'List[ClosedSobol]',
     acc_dtype = (jnp.float64 if first.meta.get('intervals_acc_f64', False)
                  else first.G.dtype)
     from romcomma_tpu.gsa.base import contract_by_reduce
-    body = _intervals_body(need, exp_mode, (l, L, N, M), first.G.dtype,
-                           acc_dtype=acc_dtype,
-                           reduce_contract=contract_by_reduce(first.G))
-    vbody = jax.vmap(body)
+    vbody, vbody_jit = _intervals_programs(
+        need, exp_mode, (l, L, N, M), first.G.dtype, acc_dtype,
+        contract_by_reduce(first.G), vmapped=True)
     zero = jnp.zeros((O, M, l, L, l, L), dtype=acc_dtype)
     acc = (zero, zero, zero)
     if host_paced:
-        step = jax.jit(vbody)
+        step = vbody_jit
         for i in range(int(nc)):
             acc = step(stacked, acc, (stacked['Gq'][:, i], stacked['gq'][:, i]))
     else:

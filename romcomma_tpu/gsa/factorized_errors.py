@@ -148,88 +148,59 @@ def _chunk_size(cal, n_members: int, stack: int = 1) -> int:
 # The scan engine
 # --------------------------------------------------------------------------- #
 
-def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
-    """Run the factorized error sweep.
+class _StaticSpec:
+    """Array-free stand-in for the calibrator inside the memoized traced
+    closures. The sweep programs consume every array as a FORMAL ARGUMENT
+    (see prep's docstring), and the calibrator methods they call
+    (_omega_mean_variance / _upsilon_mean_variance / _equateRanks) read only
+    static attributes — so one traced + jitted program can serve every
+    calibrator instance with the same static signature. Closing over the
+    calibrator itself would (a) re-trace / re-lower / re-deserialize the
+    programs on EVERY sobol_indices call (each call constructs a fresh
+    calibrator — measured ~1.2 s per warm call on CPU at N=512, and tens of
+    seconds through a tunnelled runtime's remote compile helper), and
+    (b) pin the dead calibrator's arrays in the program cache."""
 
-    ``need`` flags which kinds to emit ('single'/'suffix'; 'prefix' always
-    runs — its (0, M) column is the full-interval psi factor and MIXED-W
-    source).  Returns {'layout', 'quads': {kind: [(M, j[, k]) per member]},
-    'psi': {kind: (M, l, i, N)}} with determinants applied and the psi
-    factors K-solved (reference calibrators.py:290-322 semantics).
-    """
-    return _error_scan_group((cal,), need, host_paced)[0]
+    def __init__(self, cal):
+        cls = type(cal)
+        self.Ms = cal.Ms
+        self.RANK_EQUATIONS = cal.RANK_EQUATIONS
+        self.meta = {k: cal.meta[k] for k in ('is_T_partial',)
+                     if k in cal.meta}
+        self.L, self.M, self.N = cal.L, cal.M, cal.N
+        self._omega = cls._omega_mean_variance
+        self._upsilon = cls._upsilon_mean_variance
+        self._equate = cls._equateRanks
+
+    def _omega_mean_variance(self, *a):
+        return self._omega(self, *a)
+
+    def _upsilon_mean_variance(self, *a):
+        return self._upsilon(self, *a)
+
+    def _equateRanks(self, *a):
+        return self._equate(self, *a)
 
 
-def error_scan_stacked(cals, need: Dict[str, bool], host_paced: bool = False):
-    """ONE factorized error sweep for SEVERAL independent single-output
-    calibrators sharing X: the chunk step is vmapped over the output axis so
-    all outputs stream each q chunk together — the multi-output analog of
-    calibrators.marginalize_intervals_stacked for the W/T error engine.
-    All calibrators must share (L=1, N, M), dtype and the meta flags that
-    shape the program (is_T_partial, intervals_mixed, n_chunk).  Returns one
-    ``error_scan`` result dict per calibrator, numerically identical to
-    per-calibrator sweeps (the vmapped math is the same ops)."""
-    return _error_scan_group(tuple(cals), need, host_paced)
+#: static signature -> {'prep', 'step', 'prep_jit', 'step_jit'}
+_PROGRAMS: Dict[tuple, dict] = {}
 
 
-def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
-    cal = cals[0]
-    O = len(cals)
-    stacked = O > 1
-    if stacked:
-        for c in cals[1:]:
-            assert c.G.shape == cal.G.shape and c.G.dtype == cal.G.dtype, \
-                'stacked error sweeps must share (L, N, M) and dtype'
-            assert bool(c.meta['is_T_partial']) == bool(cal.meta['is_T_partial'])
-            assert c.meta.get('intervals_mixed', False) == \
-                cal.meta.get('intervals_mixed', False)
-    kinds = tuple(k for k in KINDS if need.get(k) or k == 'prefix')
-    # 'prefix' always participates (its (0, M) column is the full-interval
-    # psi factor and MIXED-W source) but per-dim prefix COLUMNS are consumed
-    # only by CLOSED-kind slices.  When none are requested, emit prefix
-    # once — from the forward scan's final carry — instead of paying an
-    # exp + contraction of the (N, j, k, C) plane at EVERY dim: ~1/3 of all
-    # emission work in the standard first_order+total configuration.
-    prefix_full = bool(need.get('prefix'))
-    layout = _member_layout(cal)
-    R = len(layout)
-    L, _, N, M = cal.G.shape
-    # At L=1 EVERY member's per-dim planes coincide (all rank
-    # diagonalizations collapse onto the single output — verified
-    # numerically for both T modes): accumulate and exponentiate ONE shared
-    # plane and derive each member's quad from the 'jk' contraction, whose
-    # output specs are all the same scalar at L=1.  R=2 (partial) / R=3
-    # (non-partial) plane sweeps become 1 in the production single-output
-    # path; XLA cannot CSE the duplicates itself — they live in separate
-    # lax.scan carries.
-    dedup = (L == 1)
-    assert L == 1 or not stacked, 'stacked error sweeps require L=1 outputs'
-    n_planes = 1 if dedup else R
-    dt = cal.G.dtype
-    chunk = _chunk_size(cal, n_planes, stack=O)
+def _make_programs(spec: _StaticSpec, kinds, prefix_full: bool, dedup: bool,
+                   n_planes: int, R: int, layout, chunk: int, dt,
+                   exp_mode, use_shift: bool, reduce_contract: bool):
+    """The two traced programs of the error sweep — ``prep`` (every per-dim
+    array the sweeps consume) and ``run_chunk`` (all sweeps for one q chunk)
+    — as closures over ONLY the static configuration (:class:`_StaticSpec`;
+    every array is a formal argument), so :func:`_error_scan_group` can
+    memoize their jitted forms across calibrator instances."""
+    from romcomma_tpu.gsa.base import shifted_exp
+    L, M, N = spec.L, spec.M, spec.N
     nc = -(-N // chunk)
     Npad = nc * chunk
-    # Same mixed-precision policy as ClosedSobol.marginalize_intervals:
-    # exponent accumulation and reductions stay f64, the pointwise exp of
-    # the big sweep planes goes through a log-sum-exp-shifted fast
-    # transcendental (gsa.base.shifted_exp), the per-plane max undone on
-    # the reduced output by a tiny f64 exp — the emulated-f64
-    # transcendental dominates this pass on TPU. The error path's
-    # accelerator DEFAULT is the 'ff' (float-float, ~3e-11) tier: T is the
-    # sqrt of a near-cancelling quadform difference that amplifies plane
-    # noise ~1e3, so f32's ~6e-8 floors near-zero T at ~3e-3 while 'ff'
-    # keeps every T within ~1e-7 of the f64 oracle (tests/test_gsa_chunked
-    # .py::test_error_intervals_ff_precision).
-    from romcomma_tpu.gsa.base import (shifted_exp, exp_mode_of,
-                                       contract_by_reduce)
-    exp_mode = exp_mode_of(
-        getattr(cal, 'meta', {}).get('intervals_mixed', False), dt)
-    use_shift = exp_mode is not None
-    # f64 plane contractions: multiply + reduce on accelerators (emulated-
-    # f64 dot_general is ~10x slower off the MXU), einsum on the host CPU
-    # (native-f64 BLAS is ~10x faster than the reduction) — measured both
-    # ways, benchmarks/egsa_ops.py and gsa/base.contract_by_reduce.
-    reduce_contract = contract_by_reduce(cal.G)
+    scan_kinds = tuple(k for k in kinds if k != 'prefix' or prefix_full)
+    fwd_kinds = tuple(k for k in ('single', 'prefix') if k in scan_kinds)
+    do_bwd = 'suffix' in kinds
 
     def prep(G, Phi, Upsilon, g0, g0KY):
         """Every per-dim array the sweeps consume — member params, per-kind
@@ -244,7 +215,7 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
         hundreds of MB at N=50k (~16 s to load per process through the
         tunnel's remote compile helper)."""
         g = g0KY[:, 0, :]                                  # (L, N)
-        mem = _member_arrays(cal, G, Phi, Upsilon)
+        mem = _member_arrays(spec, G, Phi, Upsilon)
         g0q = g0[:, 0, :]                                  # (L, N) psi q side
         Gm = jnp.moveaxis(G[:, 0, :, :], -1, 0)            # (M, L, N)
         phi_m = jnp.moveaxis(Phi[:, 0, :], -1, 0)          # (M, L)
@@ -304,41 +275,6 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
             out['gw_prefix_last'] = gw['prefix'][M - 1]
         return out
 
-    import time as _time
-    _sweep_t = {}
-    _t0 = _time.time()
-    if stacked:
-        args = tuple(jnp.stack([getattr(c, a) for c in cals])
-                     for a in ('G', 'Phi', 'Upsilon', 'g0', 'g0KY'))
-        prep_fn = jax.vmap(prep)
-    else:
-        args = (cal.G, cal.Phi, cal.Upsilon, cal.g0, cal.g0KY)
-        prep_fn = prep
-    pre = (jax.jit(prep_fn) if host_paced else prep_fn)(*args)
-    if host_paced:
-        jax.block_until_ready(pre)
-    _sweep_t['prep_s'] = round(_time.time() - _t0, 2)
-    Gq, gw_c, g0q_c = pre['Gq'], pre['gw_c'], pre['g0q_c']
-    eup, invd, invd_psi = pre['eup'], pre['invd'], pre['invd_psi']
-
-    # kinds emitted inside the scans ('prefix' only in full-prefix mode)
-    scan_kinds = tuple(k for k in kinds if k != 'prefix' or prefix_full)
-
-    fwd_kinds = tuple(k for k in ('single', 'prefix') if k in scan_kinds)
-    do_bwd = 'suffix' in kinds
-
-    # Everything run_chunk consumes besides the per-chunk xs, as ONE pytree
-    # ARGUMENT of the jitted step — closure-captured concrete arrays would be
-    # baked into the HLO as constants (data-keyed compile cache + a multi-
-    # hundred-MB executable at N=50k; see prep's docstring).
-    C = {'a_sc': pre['a_sc'], 's': pre['s'], 'g': pre['g'],
-         'gw_p': {k: pre['gw'][k] for k in scan_kinds},
-         'eup_scan': {k: eup[k] for k in scan_kinds},
-         'Gm': pre['Gm'], 'phi_m': pre['phi_m'], 's_psi': pre['s_psi']}
-    if not prefix_full:
-        C['eup_prefix'] = eup['prefix']
-        C['gw_prefix_last'] = pre['gw_prefix_last']
-
     def run_chunk(C, Gq_i, gw_i, g0q_i):
         """All sweeps for one q chunk.  Returns
         {kind: ([member quads (Mk, ...)], psi contribs (Mk, l, i, c))} with
@@ -350,7 +286,7 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
         8x in memory AND compute (measured 16.0 vs 2.0 ms per 'ff'
         emission, 0.9 vs 0.4 ms per carry op on (20000, 1118) planes)."""
 
-        def member_quad(spec, Eplane, gq_m):
+        def member_quad(spec_r, Eplane, gq_m):
             """Quadform of exp(Eplane) — Eplane (j, k, N, C); contraction
             covers N and C always, plus k when the member reduces to 'j'.
 
@@ -364,17 +300,17 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
             native-f64 BLAS and wins ~10x the other way."""
             def quad(eplane):
                 if not reduce_contract:
-                    eq = f"{spec['p']}N, jkNC, jC -> {spec['out']}"
+                    eq = f"{spec_r['p']}N, jkNC, jC -> {spec_r['out']}"
                     return jnp.einsum(eq, C['g'], eplane, gq_m)
                 g = C['g']                                    # (L, N)
-                gal = (g[:, None, :, None] if spec['p'] == 'j'
+                gal = (g[:, None, :, None] if spec_r['p'] == 'j'
                        else g[None, :, :, None])              # align j or k
                 col = jnp.sum(eplane * gal, axis=2)           # (j, k, C)
-                return jnp.einsum(f"jkC, jC -> {spec['out']}", col, gq_m)
+                return jnp.einsum(f"jkC, jC -> {spec_r['out']}", col, gq_m)
 
             if not use_shift:
                 return quad(jnp.exp(Eplane))
-            out_jk = spec['out'] == 'jk'
+            out_jk = spec_r['out'] == 'jk'
             # the shift must be constant over every CONTRACTED axis of the
             # output (a per-k scale cannot be factored out of a k-sum)
             plane, c_max = shifted_exp(Eplane,
@@ -496,6 +432,139 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
             out = out | out_b
         return out
 
+    return prep, run_chunk
+
+
+def error_scan(cal, need: Dict[str, bool], host_paced: bool = False):
+    """Run the factorized error sweep.
+
+    ``need`` flags which kinds to emit ('single'/'suffix'; 'prefix' always
+    runs — its (0, M) column is the full-interval psi factor and MIXED-W
+    source).  Returns {'layout', 'quads': {kind: [(M, j[, k]) per member]},
+    'psi': {kind: (M, l, i, N)}} with determinants applied and the psi
+    factors K-solved (reference calibrators.py:290-322 semantics).
+    """
+    return _error_scan_group((cal,), need, host_paced)[0]
+
+
+def error_scan_stacked(cals, need: Dict[str, bool], host_paced: bool = False):
+    """ONE factorized error sweep for SEVERAL independent single-output
+    calibrators sharing X: the chunk step is vmapped over the output axis so
+    all outputs stream each q chunk together — the multi-output analog of
+    calibrators.marginalize_intervals_stacked for the W/T error engine.
+    All calibrators must share (L=1, N, M), dtype and the meta flags that
+    shape the program (is_T_partial, intervals_mixed, n_chunk).  Returns one
+    ``error_scan`` result dict per calibrator, numerically identical to
+    per-calibrator sweeps (the vmapped math is the same ops)."""
+    return _error_scan_group(tuple(cals), need, host_paced)
+
+
+def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
+    cal = cals[0]
+    O = len(cals)
+    stacked = O > 1
+    if stacked:
+        for c in cals[1:]:
+            assert c.G.shape == cal.G.shape and c.G.dtype == cal.G.dtype, \
+                'stacked error sweeps must share (L, N, M) and dtype'
+            assert bool(c.meta['is_T_partial']) == bool(cal.meta['is_T_partial'])
+            assert c.meta.get('intervals_mixed', False) == \
+                cal.meta.get('intervals_mixed', False)
+    kinds = tuple(k for k in KINDS if need.get(k) or k == 'prefix')
+    # 'prefix' always participates (its (0, M) column is the full-interval
+    # psi factor and MIXED-W source) but per-dim prefix COLUMNS are consumed
+    # only by CLOSED-kind slices.  When none are requested, emit prefix
+    # once — from the forward scan's final carry — instead of paying an
+    # exp + contraction of the (N, j, k, C) plane at EVERY dim: ~1/3 of all
+    # emission work in the standard first_order+total configuration.
+    prefix_full = bool(need.get('prefix'))
+    layout = _member_layout(cal)
+    R = len(layout)
+    L, _, N, M = cal.G.shape
+    # At L=1 EVERY member's per-dim planes coincide (all rank
+    # diagonalizations collapse onto the single output — verified
+    # numerically for both T modes): accumulate and exponentiate ONE shared
+    # plane and derive each member's quad from the 'jk' contraction, whose
+    # output specs are all the same scalar at L=1.  R=2 (partial) / R=3
+    # (non-partial) plane sweeps become 1 in the production single-output
+    # path; XLA cannot CSE the duplicates itself — they live in separate
+    # lax.scan carries.
+    dedup = (L == 1)
+    assert L == 1 or not stacked, 'stacked error sweeps require L=1 outputs'
+    n_planes = 1 if dedup else R
+    dt = cal.G.dtype
+    chunk = _chunk_size(cal, n_planes, stack=O)
+    nc = -(-N // chunk)
+    Npad = nc * chunk
+    # Same mixed-precision policy as ClosedSobol.marginalize_intervals:
+    # exponent accumulation and reductions stay f64, the pointwise exp of
+    # the big sweep planes goes through a log-sum-exp-shifted fast
+    # transcendental (gsa.base.shifted_exp), the per-plane max undone on
+    # the reduced output by a tiny f64 exp — the emulated-f64
+    # transcendental dominates this pass on TPU. The error path's
+    # accelerator DEFAULT is the 'ff' (float-float, ~3e-11) tier: T is the
+    # sqrt of a near-cancelling quadform difference that amplifies plane
+    # noise ~1e3, so f32's ~6e-8 floors near-zero T at ~3e-3 while 'ff'
+    # keeps every T within ~1e-7 of the f64 oracle (tests/test_gsa_chunked
+    # .py::test_error_intervals_ff_precision).
+    from romcomma_tpu.gsa.base import exp_mode_of, contract_by_reduce
+    exp_mode = exp_mode_of(
+        getattr(cal, 'meta', {}).get('intervals_mixed', False), dt)
+    use_shift = exp_mode is not None
+    # f64 plane contractions: multiply + reduce on accelerators (emulated-
+    # f64 dot_general is ~10x slower off the MXU), einsum on the host CPU
+    # (native-f64 BLAS is ~10x faster than the reduction) — measured both
+    # ways, benchmarks/egsa_ops.py and gsa/base.contract_by_reduce.
+    reduce_contract = contract_by_reduce(cal.G)
+    # Memoized programs: one traced + jitted (prep, step) pair per static
+    # signature, shared across calibrator instances — every sobol_indices
+    # call constructs a fresh calibrator, and rebuilding the closures paid
+    # a full retrace + lower (+ executable re-deserialization through the
+    # tunnel's remote compile helper) PER CALL.
+    key = (type(cal).__qualname__, O, L, N, M, str(dt), chunk, kinds,
+           prefix_full, bool(cal.meta['is_T_partial']), exp_mode,
+           reduce_contract)
+    progs = _PROGRAMS.get(key)
+    if progs is None:
+        prep, run_chunk = _make_programs(
+            _StaticSpec(cal), kinds, prefix_full, dedup, n_planes, R,
+            layout, chunk, dt, exp_mode, use_shift, reduce_contract)
+        prep_fn = jax.vmap(prep) if stacked else prep
+        step_fn = jax.vmap(run_chunk) if stacked else run_chunk
+        progs = {'prep': prep_fn, 'step': step_fn,
+                 'prep_jit': jax.jit(prep_fn), 'step_jit': jax.jit(step_fn)}
+        _PROGRAMS[key] = progs
+
+    import time as _time
+    _sweep_t = {}
+    _t0 = _time.time()
+    if stacked:
+        args = tuple(jnp.stack([getattr(c, a) for c in cals])
+                     for a in ('G', 'Phi', 'Upsilon', 'g0', 'g0KY'))
+    else:
+        args = (cal.G, cal.Phi, cal.Upsilon, cal.g0, cal.g0KY)
+    pre = progs['prep_jit' if host_paced else 'prep'](*args)
+    if host_paced:
+        jax.block_until_ready(pre)
+    _sweep_t['prep_s'] = round(_time.time() - _t0, 2)
+    Gq, gw_c, g0q_c = pre['Gq'], pre['gw_c'], pre['g0q_c']
+    eup, invd, invd_psi = pre['eup'], pre['invd'], pre['invd_psi']
+
+    # kinds emitted inside the scans ('prefix' only in full-prefix mode)
+    scan_kinds = tuple(k for k in kinds if k != 'prefix' or prefix_full)
+
+    # Everything run_chunk consumes besides the per-chunk xs, as ONE pytree
+    # ARGUMENT of the jitted step — closure-captured concrete arrays would be
+    # baked into the HLO as constants (data-keyed compile cache + a multi-
+    # hundred-MB executable at N=50k; see prep's docstring).
+    C = {'a_sc': pre['a_sc'], 's': pre['s'], 'g': pre['g'],
+         'gw_p': {k: pre['gw'][k] for k in scan_kinds},
+         'eup_scan': {k: eup[k] for k in scan_kinds},
+         'Gm': pre['Gm'], 'phi_m': pre['phi_m'], 's_psi': pre['s_psi']}
+    if not prefix_full:
+        C['eup_prefix'] = eup['prefix']
+        C['gw_prefix_last'] = pre['gw_prefix_last']
+
     def zero_acc():
         def s_of(r):
             s = pre['s'][0 if dedup else r]
@@ -510,7 +579,7 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
     # The stacked sweep vmaps the UNCHANGED chunk step over the output axis
     # (axis 0 of every leaf of C and of the per-chunk xs); the single-output
     # program keeps its exact round-2 HLO (compile-cache continuity).
-    step_fn = jax.vmap(run_chunk) if stacked else run_chunk
+    step_fn = progs['step']
     chunk_leading = ((lambda t: jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), t))
                      if stacked else (lambda t: t))
 
@@ -530,7 +599,7 @@ def _error_scan_group(cals, need: Dict[str, bool], host_paced: bool):
                                  host_paced, N, psi_rank=5 if stacked else 4)
     elif host_paced:
         _t0 = _time.time()
-        stepped = jax.jit(step_fn)
+        stepped = progs['step_jit']
         quads = zero_acc()
         psi_parts = {k: [] for k in kinds}
         ix = (lambda x, i: x[:, i]) if stacked else (lambda x, i: x[i])
