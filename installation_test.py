@@ -26,9 +26,12 @@ def _phase(label: str):
     if os.environ.get('ROMCOMMA_BENCH_PHASES', '') != '1':
         yield
         return
-    t0 = time.time()
-    yield
-    print(f'  phase {label}: {time.time() - t0:.2f}s', file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        print(f'  phase {label}: {time.perf_counter() - t0:.2f}s',
+              file=sys.stderr, flush=True)
 
 K: int = 2
 Ms: Tuple[int, ...] = (7,)

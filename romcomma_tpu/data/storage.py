@@ -59,7 +59,7 @@ class Frame:
         return 0 == len(self._csv.parts)
 
     def write(self):
-        assert not self.is_empty, 'Cannot write when frame.is_empty.'
+        assert not self.is_empty, 'refusing to write an empty Frame (no csv/df attached).'
         self.df.to_csv(path_or_buf=self._csv, sep=Frame.CSV_OPTIONS['sep'], index=True)
 
     def __repr__(self) -> str:
@@ -183,7 +183,7 @@ class Repository:
         data = self._data.df
         N = data.shape[0]
         if not (1 <= abs(K) <= N):
-            raise IndexError(f'K={K:d} does not lie between 1 and N={N:d} inclusive.')
+            raise IndexError(f'fold count K={K:d} must satisfy 1 <= K <= N={N:d}.')
         for k in range(max(abs(K), self.K) + 1):
             shutil.rmtree(self.fold_folder(k), ignore_errors=True)
         rows = list(range(N))

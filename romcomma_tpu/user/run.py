@@ -13,6 +13,7 @@ Reproduces the reference's recursion and tri-state expansion exactly:
 from __future__ import annotations
 
 import shutil
+import warnings
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -175,10 +176,15 @@ def gpr(name: str, repo: Repository, is_read: Optional[bool], is_covariant: Opti
                                               is_isotropic, kernel_parameters,
                                               likelihood_variance, is_tested,
                                               **kwargs)
-            except BaseException:
+            except Exception as error:
                 if fold_parallel:       # explicitly requested: surface it
                     raise
-                names_opt = None        # auto mode: fall back sequentially
+                # Auto mode: fall back sequentially, but never silently —
+                # a genuine calibration bug or OOM must leave a trace.
+                warnings.warn(f'fold-parallel GPR failed ({type(error).__name__}: '
+                              f'{error}); falling back to the sequential fold loop.',
+                              RuntimeWarning, stacklevel=2)
+                names_opt = None
         if names_opt is not None:
             names = names_opt
         else:

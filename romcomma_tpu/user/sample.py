@@ -38,11 +38,24 @@ class DOE:
                                               **kwargs).random(N)
 
     @staticmethod
-    def full_factorial(N: int, M: int):
-        NM = N // M
-        N1 = N - M * NM
-        return np.concatenate([1 / (2 * N1) + np.linspace(0, 1, N1, False)] +
-                              (M - 1) * [1 / (2 * NM) + np.linspace(0, 1, NM, False)], axis=1)
+    def full_factorial(N: int, M: int) -> np.ndarray:
+        """Centered full-factorial grid with ``N // M`` levels per axis.
+
+        Returns the cartesian product of ``M`` axes, each holding ``N // M``
+        cell-centered levels in [0, 1) — an ``((N//M)**M, M)`` design matrix
+        (exactly ``N`` points when ``M == 1``).
+
+        NOTE (reference quirk, fixed here): the reference implementation
+        (sample.py:69-81) concatenates 1-D level arrays along ``axis=1`` and
+        therefore raises ``AxisError`` for every input — it never produced a
+        design. This is a working re-design of its evident intent.
+        """
+        levels_per_axis = N // M
+        if levels_per_axis < 1:
+            raise ValueError(f'full_factorial needs N >= M, got N={N}, M={M}.')
+        centers = (np.arange(levels_per_axis) + 0.5) / levels_per_axis
+        mesh = np.meshgrid(*(M * (centers,)), indexing='ij')
+        return np.stack([axis.ravel() for axis in mesh], axis=-1)
 
     @staticmethod
     def space_filling_test(X: np.ndarray, o: int) -> Dict[str, float]:
@@ -152,13 +165,24 @@ class Function:
                 'noise': self._noise_variance.magnitude}
 
     def un_rotate_folds(self) -> 'Function':
-        """Create an un-rotated Fold indexed K+1 (reference sample.py:203-211)."""
-        shutil.copytree(self._repo.fold_folder(self._repo.K), self._repo.fold_folder(self._repo.K + 1))
-        fold = Fold(self._repo, self._repo.K + 1)
-        fold.X_rotation = np.transpose(fold.X_rotation)
-        Frame(fold.test_csv, fold.normalization.undo_from(fold.test_data.df))
-        fold = Fold(self._repo, self._repo.K)
-        Frame(self._repo.folder / 'undo_from.csv', fold.normalization.undo_from(fold.test_data.df))
+        """Clone fold ``K`` as an un-rotated fold ``K+1`` (behavioral parity
+        with reference sample.py:203-211, re-expressed).
+
+        The clone's ``X_rotation`` is inverted (transposed), its test data is
+        re-written in raw (de-normalized) units, and fold ``K``'s de-normalized
+        test data is dropped at the repository root as ``undo_from.csv``.
+        """
+        repo, K = self._repo, self._repo.K
+        shutil.copytree(repo.fold_folder(K), repo.fold_folder(K + 1))
+
+        clone = Fold(repo, K + 1)
+        clone.X_rotation = clone.X_rotation.T
+        raw_test = clone.normalization.undo_from(clone.test_data.df)
+        Frame(clone.test_csv, raw_test)
+
+        source = Fold(repo, K)
+        Frame(repo.folder / 'undo_from.csv',
+              source.normalization.undo_from(source.test_data.df))
         return self
 
     def _construct(self, folder: Path | str, X: np.ndarray, function_vector: functions.Vector,
