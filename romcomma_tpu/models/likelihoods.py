@@ -70,6 +70,13 @@ class QuadratureLikelihood:
 
     All quadrature entry points take per-point arrays: Fmu, Fvar (N, L)
     diagonal; Y (N, L).
+
+    PARITY SURFACE: like gpflow's QuadratureLikelihood in the reference,
+    this base has no in-tree production caller — the only shipped
+    likelihood (MOGaussian below) overrides every quadrature method with
+    its closed form, exactly as the reference does. The base exists as the
+    declared extension point for user-defined non-conjugate likelihoods and
+    is pinned against the closed forms in tests/test_likelihoods.py.
     """
 
     def __init__(self, latent_dim: int, observation_dim: int,

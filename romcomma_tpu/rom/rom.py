@@ -141,13 +141,16 @@ class ROM:
     #: trained, 'original' = the iteration-0 optimum) and rotate its
     #: lengthscales into the new input basis, optionally with the
     #: reference's guessed-lengthscale calibration factor
-    #: 0.5*M/(M - arange(M)) (old.py:161-163). The reference's 7th strategy
-    #: (RBF: isotropic pre-fit then ARD broadcast) is not exposed.
+    #: 0.5*M/(M - arange(M)) (old.py:161-163). 'rbf' is the reference's 7th
+    #: strategy (old.py:150-157): calibrate a throwaway ISOTROPIC model on
+    #: the rotated fold, then broadcast its single lengthscale to a full
+    #: (L,M) ARD initialization for the main GP.
     GP_INITIALIZERS = ('warm', 'current', 'original',
                        'current_with_original_kernel',
                        'original_with_current_kernel',
                        'current_with_guessed_lengthscales',
-                       'original_with_guessed_lengthscales')
+                       'original_with_guessed_lengthscales',
+                       'rbf')
 
     @staticmethod
     def _snapshot_params(gp: MOGP) -> Dict[str, np.ndarray]:
@@ -175,11 +178,29 @@ class ROM:
             out = out * (0.5 * M / (M - np.arange(M, dtype=float)))
         return np.maximum(out, 1e-6)
 
+    def _rbf_initializer(self, gp: MOGP, opt_kwargs: Dict[str, Any]):
+        """The reference's 7th GP_Initializer (old.py:150-157): calibrate a
+        throwaway isotropic sibling ``<gp_name>.rbf`` on the (rotated) fold,
+        then seed the main GP with its optimum — the single lengthscale
+        broadcast to a full (L, M) ARD matrix (the reference's
+        ``kernel.make_ard(M)``)."""
+        iso = MOGP(self.gp_name + '.rbf', self.fold, False, self.is_covariant,
+                   True)
+        iso.calibrate(**opt_kwargs)
+        params = self._snapshot_params(iso)
+        ls = np.broadcast_to(params['lengthscales'].reshape(-1, 1),
+                             (gp.L, gp.M)).copy()
+        gp._kernel.data.replace(lengthscales=ls, variance=params['variance'])
+        gp._likelihood.data.replace(variance=params['noise'])
+
     def _apply_gp_initializer(self, gp: MOGP, rotation: np.ndarray,
-                              strategy: str, original: Dict[str, np.ndarray]):
+                              strategy: str, original: Dict[str, np.ndarray],
+                              opt_kwargs: Optional[Dict[str, Any]] = None):
         if strategy not in self.GP_INITIALIZERS:
             raise ValueError(f"Unknown gp_initializer {strategy!r}; "
                              f"choose from {self.GP_INITIALIZERS}")
+        if strategy == 'rbf':
+            return self._rbf_initializer(gp, opt_kwargs or {})
         current = self._snapshot_params(gp)
         params = original if strategy.startswith('original') else current
         ls_src = params['lengthscales']
@@ -215,7 +236,8 @@ class ROM:
             self.fold.X_rotation = rotation
             gp = self._gp(is_read=True)       # warm start from previous params
             if initializer != 'warm':
-                self._apply_gp_initializer(gp, rotation, initializer, original)
+                self._apply_gp_initializer(gp, rotation, initializer, original,
+                                           opt_kwargs)
             gp.calibrate(**opt_kwargs)
             new_score = self._leading_closed_sobol(gp, m)
             self.history.append({'iteration': it, 'S_m': new_score})

@@ -155,12 +155,15 @@ def test_rom_gp_initializer_strategies(tmp_root):
     from romcomma_tpu.rom.rom import ROM
     repo = _linear_repo(tmp_root)
     fold = Fold(repo, 0)
-    for strategy in ('current', 'original_with_guessed_lengthscales'):
+    for strategy in ('current', 'original_with_guessed_lengthscales', 'rbf'):
         rom = ROM(f'rom_{strategy}', fold, iterations=1, m=1,
                   sample_size=256, maxiter=30, gp_initializer=strategy)
         meta = rom.calibrate()
         assert np.isfinite(meta['S_m'])
         assert len(meta['history']) >= 2
+    # 'rbf' (the reference's 7th strategy) leaves its isotropic pre-fit
+    # sibling on disk beside the main model
+    assert (fold.folder / 'gpr.v.a.rbf').is_dir()
     rom = ROM('rom_bad', fold, iterations=1, m=1, sample_size=256,
               maxiter=5, gp_initializer='nope')
     with pytest.raises(ValueError):
