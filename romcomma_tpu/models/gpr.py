@@ -550,17 +550,17 @@ class MOGP(GPR):
         mask3 = ((float(mask.raw_lengthscales), float(mask.raw_variance),
                   float(mask.raw_noise)) if mask is not None else (1.0, 1.0, 1.0))
         mesh = dist.make_n_mesh()
-        # On one chip the row-major upper-factor engine (ops/blocked.py) is
-        # the production engine at EVERY large N: donated in-place
-        # factorization + the streaming-v2 V V^T gradient keep peak HBM at
-        # ONE (Npad,Npad) buffer (the N=50k single-chip envelope,
-        # docs/scaling.md), and the round-3 TPU head-to-head measured it
-        # faster than the fused builtin dense-direct program at every N
-        # (8192: 0.125 vs 0.164; 14000: 0.417 vs 0.724; 20000: 1.099 vs
-        # 2.065 s/val+grad) with ~20x smaller one-time compiles.
-        dense = (mesh.devices.size == 1)
+        # The two-level deferred engines are the production route at every
+        # mesh size: on one chip the row-major upper-factor engine
+        # (ops/blocked.py — donated in-place factorization + streaming-v2
+        # V V^T gradient, one (Npad,Npad) buffer peak, measured faster than
+        # the fused builtin program at every N: 8192: 0.125 vs 0.164;
+        # 14000: 0.417 vs 0.724; 20000: 1.099 vs 2.065 s/val+grad); on a
+        # multi-device mesh the distributed deferred engine
+        # (parallel/cyclic_deferred.py) with the same big-matmul structure
+        # and ring pair-tile streamed backward.
         dgp = dist.DistributedGP(self._N, mesh, block=block,
-                                 dense_kernels=dense)
+                                 dense_kernels=True)
         variance = np.asarray(self._kernel.data.variance.np[0], dtype=FLOAT())
         lengthscales = np.broadcast_to(
             np.asarray(self._kernel.data.lengthscales.np, dtype=FLOAT()),

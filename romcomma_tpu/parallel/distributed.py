@@ -408,11 +408,19 @@ class DistributedGP:
         FLOAT()-pinned stage would silently cast an intended f64 rescue back
         to f32 under ROMCOMMA_X64=0).
 
-        ``dense_kernels`` (single-device meshes only): factorize/solve with
-        the MXU-blocked dense kernels (ops/blocked.py) instead of the
-        block-cyclic shard_map engine — same padding conventions (unit
-        diagonal on padding rows), far smaller HLO (measured 7 s vs 153 s
-        val+grad compile at N=8192), one large matmul per panel."""
+        ``dense_kernels``: factorize/solve with the round-3 two-level
+        deferred-update kernels instead of the round-1 right-looking
+        block-cyclic engine. On a SINGLE-device mesh this selects the
+        row-major upper-factor engine (ops/blocked.py — same padding
+        conventions, far smaller HLO: measured 7 s vs 153 s val+grad
+        compile at N=8192, one large matmul per panel). On a MULTI-device
+        mesh it selects the distributed deferred engine
+        (parallel/cyclic_deferred.py): per super panel ONE big
+        deferred-update matmul per device (contraction up to Npad/S, the
+        CHOL_PRECISION tier) + one psum + one all_gather, with a
+        ring-rotating pair-tile streamed backward — so a real v5e-8
+        inherits the single-chip engine's structure instead of NB
+        latency-bound rank-B steps."""
         self.mesh = mesh if mesh is not None else make_n_mesh()
         self.dtype = dtype
         self.plan = plan(N, S=self.mesh.devices.size, B=block)
@@ -449,6 +457,24 @@ class DistributedGP:
                                   precision=self._grad_precision),
                 donate_argnums=(0,))
             self._engine = 'upper'
+        elif dense_kernels:
+            # Multi-device deferred two-level engine (round-3 structure on
+            # the mesh): global-order columns, big deferred-update matmuls,
+            # in-place distributed triangular inverse + ring pair-tile
+            # streamed gradient (parallel/cyclic_deferred.py docstring).
+            from romcomma_tpu.parallel.cyclic_deferred import DeferredEngine
+            self._deferred = DeferredEngine(
+                self.plan, self.mesh, super_block=self.DENSE_SUPER_BLOCK,
+                chol_precision=self.CHOL_PRECISION,
+                grad_precision=self.GRAD_PRECISION)
+            self._gram = self._deferred.gram
+            self._chol = self._deferred.chol
+            self._fwd = self._deferred.fwd
+            self._bwd = self._deferred.bwd
+            self._logdiag = self._deferred.logdiag
+            self._inv = self._deferred.inv
+            self._grad_precision = self.GRAD_PRECISION
+            self._engine = 'cyclic2'
         else:
             self._chol = cholesky(self.plan, self.mesh)
             self._fwd = solve_forward(self.plan, self.mesh)
@@ -736,15 +762,21 @@ class DistributedGP:
         # #2). The substitution-sweep v1 stays memory-triggered: per-strip
         # sweeps are latency-bound (measured 25 s/eval at N=50k).
         use_streaming_v2 = pl_.S == 1 and self._engine == 'upper'
+        # cyclic2 (the multi-device deferred engine) shares streaming-v2's
+        # residual discipline: the forward donates U into the distributed
+        # in-place inversion, the backward is the ring pair-tile sweep.
+        use_ring_pairs = self._engine == 'cyclic2'
         if use_streaming_v2:
             grads_stream = (self._grads_streaming_pairs_fn()
                             if self.GRAD_PAIR_TILES else
                             self._grads_streaming_fn(kinv_source='vvt'))
+        elif use_ring_pairs:
+            grads_stream = self._deferred.grads
         elif use_streaming:
             grads_stream = self._grads_streaming_fn()
         else:
             grads_stream = None
-        grads = self._grads_fn()
+        grads = self._grads_fn() if not use_ring_pairs else None
         inv = self._inv
         mesh = self.mesh
 
@@ -777,7 +809,7 @@ class DistributedGP:
             # (Npad,Npad) buffer (~10 GB at N=50k f32 on a 16 GB chip) and
             # the backward needs no gram/factorization at all — only the
             # full-rate V V^T strip matmuls.
-            res_L = inv(L) if use_streaming_v2 else L
+            res_L = inv(L) if (use_streaming_v2 or use_ring_pairs) else L
             return value, (ls, s2, noise, x, res_L, alpha)
 
         row_shard = _row_sharding(mesh)
@@ -815,7 +847,7 @@ class DistributedGP:
 
         def lml_bwd(res, gbar):
             ls, s2, noise, x, L, alpha = res
-            if use_streaming_v2:
+            if use_streaming_v2 or use_ring_pairs:
                 # res carries V = U^{-1} (inverted in place during the
                 # forward); K^{-1} strips are single full-rate V V^T matmuls
                 # instead of per-strip substitution sweeps (which are
@@ -1535,7 +1567,7 @@ class DistributedGP:
                               positive(rnoise, NOISE_LOWER_BOUND), x_dev, y_dev)
 
         itemsize = np.dtype(dt).itemsize
-        if (self._engine == 'upper'
+        if (self._engine in ('upper', 'cyclic2')
                 or 3 * self.plan.Npad ** 2 * itemsize > self.GRADS_MEMORY_BUDGET_BYTES):
             # Streaming-gradient route: minimize_host's optax step fuses
             # value+grad into ONE program that holds the gram and the
