@@ -168,6 +168,24 @@ def bench_scale_gsa(N: int = 8192, M: int = 30) -> dict:
             'steady_s': round(steady, 2), 'S0': round(float(S[0]), 4)}
 
 
+def bench_north_star(N: int = 20000, M: int = 30, maxiter: int = 10) -> dict:
+    """The BASELINE.md north-star under the driver's own protocol (VERDICT
+    r3 #2): N=20000/M=30 single-chip production path — stage, 10-iteration
+    host-paced training, both-kind factorized GSA, and the warm val+grad
+    s/eval. Delegates to benchmarks/north_star.py so the driver record and
+    the builder measurements are the same code path."""
+    import contextlib
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'north_star', Path(__file__).parent / 'benchmarks' / 'north_star.py')
+    ns = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ns)
+    # north_star.main prints its own JSON line; bench.py's stdout contract
+    # is ONE headline line, so the delegate's print is routed to stderr.
+    with contextlib.redirect_stdout(sys.stderr):
+        return ns.main(N, M, maxiter)
+
+
 def main():
     fallback = not _probe_accelerator()
     if fallback:
@@ -188,7 +206,8 @@ def main():
         # line — a diagnostic crash is reported and skipped.
         import traceback
         for name, fn in (('scale bench', bench_scale),
-                         ('scale GSA bench', bench_scale_gsa)):
+                         ('scale GSA bench', bench_scale_gsa),
+                         ('north star (N=20000)', bench_north_star)):
             try:
                 print(f'{name}: {fn()}', file=sys.stderr, flush=True)
             except Exception:

@@ -59,7 +59,23 @@ def main(N: int = 20000, M: int = 30, maxiter: int = 10,
                           kind=('first_order', 'total'))
     t_gsa = time.time() - t0
 
+    # Warm val+grad s/eval at the trained hyperparameters (programs compiled
+    # during training): the engine's steady-state unit of work.
+    import jax.numpy as jnp
+
+    def valgrad():
+        return jax.value_and_grad(
+            lambda p: dgp._lml(p[0], p[1], p[2], x_dev, y_dev)
+        )((jnp.asarray(ls), jnp.asarray(s2), jnp.asarray(noise)))
+
+    vg_times = []
+    for _ in range(2):
+        t0 = time.time()
+        jax.block_until_ready(valgrad())
+        vg_times.append(time.time() - t0)
+
     out = {'N': N, 'M': M, 'dense_kernels': bool(dense_kernels),
+           'valgrad_s': round(min(vg_times), 3),
            'iters': int(np.asarray(iters)),
            'gsa_phases': getattr(dgp, 'last_gsa_timings', None),
            'lml': float(np.asarray(lml)),

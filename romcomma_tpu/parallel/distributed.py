@@ -401,7 +401,8 @@ class DistributedGP:
     INV_SUPER_BLOCK: int = 3584
 
     def __init__(self, N: int, mesh: Mesh | None = None, block: int = 256,
-                 dtype=None, dense_kernels: bool = False):
+                 dtype=None, dense_kernels: bool = False,
+                 engine: str | None = None):
         """``dtype``: working dtype of staged arrays and therefore of the
         whole engine; None uses base.definitions.FLOAT(). Pass np.float64 to
         force a true-f64 engine (the escalation ladder relies on this — a
@@ -425,7 +426,15 @@ class DistributedGP:
         self.dtype = dtype
         self.plan = plan(N, S=self.mesh.devices.size, B=block)
         self._gram = ring_gram(self.plan, self.mesh)
-        if dense_kernels and self.plan.S == 1:
+        # ``engine`` overrides the dense_kernels auto-selection (benchmark
+        # harnesses measure engines head-to-head on the same mesh):
+        # 'upper' (S=1 only), 'cyclic2' (any S), 'cyclic'.
+        if engine is not None:
+            dense_kernels = engine in ('upper', 'cyclic2')
+            force_cyclic2 = engine == 'cyclic2'
+        else:
+            force_cyclic2 = False
+        if dense_kernels and self.plan.S == 1 and not force_cyclic2:
             # Row-major (upper-factor) engine: K = U^T U with every hot
             # access a contiguous (B, Npad) row slab, so the donated gram
             # aliases the factorization carry with NO transposed

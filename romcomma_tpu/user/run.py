@@ -233,18 +233,97 @@ def rom(name: str, repo: Repository, m: int = 1, **kwargs) -> List[Dict[str, Any
     return run_rom(name, repo, m=m, **kwargs)
 
 
+def _gsa_fold_batched(name: str, repo: Repository, is_covariant: Optional[bool],
+                      is_isotropic: Optional[bool], kinds, m: int,
+                      is_error_calculated: bool, **kwargs) -> Optional[List[Path]]:
+    """Run every equal-shape fold's GSA (all model passes, all kinds) through
+    ONE vmapped program per pass via marginalize_all_kinds_folds — the
+    analytics analog of _gpr_fold_batched (run.gsa's per-fold loop is its
+    own dispatch chain per fold, reference user/run.py:130-147). Odd-shaped
+    folds (the improper fold) run through the standard single-fold call in
+    place. Returns the result paths of the last fold, or ``None`` when the
+    workload is ineligible (fewer than 2 folds, or at-scale N where the
+    host-paced per-fold route is mandatory)."""
+    from romcomma_tpu.gsa.calibrators import (
+        GSA_HOST_PACED_AT_N, marginalize_all_kinds, marginalize_all_kinds_folds)
+    fold_ks = list(repo.folds)
+    if len(fold_ks) < 2:
+        return None
+    names_by_fold: Dict[int, List[Path]] = {}
+    for covariant, isotropic in _model_passes(is_covariant, is_isotropic):
+        full_name = _model_name(name, covariant, isotropic)
+        per_fold = []
+        for k in fold_ks:
+            fold = Fold(repo, k)
+            gp = MOGP(full_name, fold, is_read=True, is_covariant=covariant,
+                      is_isotropic=isotropic)
+            sobols = [Sobol(gp, kind, m, is_error_calculated, **kwargs)
+                      for kind in kinds]
+            per_fold.append((fold, gp, sobols))
+        if any(gp.N >= GSA_HOST_PACED_AT_N for _, gp, _ in per_fold):
+            return None
+        groups: Dict[tuple, List[int]] = {}
+        for i, (_, gp, _) in enumerate(per_fold):
+            groups.setdefault((gp.N, gp.M, gp.L), []).append(i)
+        for idxs in groups.values():
+            batch = [per_fold[i] for i in idxs]
+            kind_slices = {s.kind.name: tuple(s._m_dataset)
+                           for s in batch[0][2]}
+            if len(idxs) >= 2:
+                with contexts.Timer(f'fold-batched x{len(idxs)} {full_name} GSA'):
+                    results = marginalize_all_kinds_folds(
+                        [gp for _, gp, _ in batch], kind_slices,
+                        is_error_calculated, **batch[0][2][0].meta)
+            else:
+                results = [marginalize_all_kinds(batch[0][1], kind_slices,
+                                                 is_error_calculated,
+                                                 **batch[0][2][0].meta)]
+            for i, ((fold, gp, sobols), (by_kind, extras)) in zip(
+                    idxs, zip(batch, results)):
+                fold_names = names_by_fold.setdefault(i, [])
+                for s in sobols:
+                    folder = s.calibrate(
+                        precomputed=(by_kind[s.kind.name], extras)).get('folder')
+                    fold_names.append(Path(folder).relative_to(fold.folder))
+    # parity with the sequential loop: return the LAST fold's names
+    return names_by_fold[len(fold_ks) - 1]
+
+
 def gsa(name: str, repo: Repository, is_covariant: Optional[bool], is_isotropic: Optional[bool],
         kinds: 'GSA.Kind | Sequence[GSA.Kind]' = None, m: int = -1,
-        ignore_exceptions: bool = False, is_error_calculated: bool = False, **kwargs) -> List[Path]:
+        ignore_exceptions: bool = False, is_error_calculated: bool = False,
+        fold_parallel: Optional[bool] = None, **kwargs) -> List[Path]:
     """Undertake GSA on a Fold, or recursively across the Folds in a Repository
-    (reference run.py:105-158)."""
+    (reference run.py:105-158).
+
+    ``fold_parallel`` (repository-level only): run every equal-shape fold's
+    GSA as one vmapped program set instead of the per-fold loop. ``None``
+    (default) auto-enables when eligible and falls back (with a warning) to
+    the sequential loop on failure; ``False`` forces the sequential loop."""
     kinds = GSA.ALL_KINDS if kinds is None else kinds
     kinds = (kinds,) if isinstance(kinds, GSA.Kind) else kinds
     if not isinstance(repo, Fold):
-        names: List[Path] = []
-        for k in repo.folds:
-            names = gsa(name, Fold(repo, k), is_covariant, is_isotropic, kinds, m,
-                        ignore_exceptions, is_error_calculated, **kwargs)
+        names_opt: Optional[List[Path]] = None
+        if fold_parallel is not False:
+            try:
+                names_opt = _gsa_fold_batched(name, repo, is_covariant,
+                                              is_isotropic, kinds, m,
+                                              is_error_calculated, **kwargs)
+            except Exception as error:
+                if fold_parallel:       # explicitly requested: surface it
+                    raise
+                warnings.warn(f'fold-parallel GSA failed ({type(error).__name__}: '
+                              f'{error}); falling back to the sequential fold '
+                              f'loop.', RuntimeWarning, stacklevel=2)
+                names_opt = None
+        if names_opt is not None:
+            names = names_opt
+        else:
+            names = []
+            for k in repo.folds:
+                names = gsa(name, Fold(repo, k), is_covariant, is_isotropic,
+                            kinds, m, ignore_exceptions, is_error_calculated,
+                            **kwargs)
         results.Collect({'S': {}, 'V': {}} | ({'T': {}, 'W': {}} if is_error_calculated else {}),
                         {str(n): {} for n in names}, ignore_exceptions).from_folds(repo, True)
         for n in names:
