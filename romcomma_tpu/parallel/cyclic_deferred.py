@@ -404,8 +404,17 @@ def grads_ring_pairs(pl_: Plan, mesh: Mesh, super_block: int = 3584,
     segment-narrowed to the pair's live columns, rebuilds the matching
     signal-gram tile from the rotating x rows, and accumulates the closed-
     form reductions of dLML/dK = (alpha alpha^T - K^{-1})/2 locally; one
-    final psum combines devices. Every ordered (i, j) pair of the matrix is
-    visited exactly once across devices and ring steps."""
+    final psum combines devices.
+
+    HALF-RING symmetry sweep (W = Bbar o K is symmetric because both
+    alpha alpha^T and V V^T are): only ring offsets 0..S//2 run. The self
+    step (offset 0) enumerates unordered chunk pairs with off-diagonal
+    weight 2 — the single-chip pair-tile kernel exactly; offsets
+    1..ceil(S/2)-1 carry each unordered device pair once and weigh their
+    tiles 2; for even S the antipodal offset S/2 is computed by BOTH
+    endpoints (transposed tiles) at weight 1. Halves both the tile flops
+    (~Npad^3/3 total MACs with segment narrowing, matching the single-chip
+    kernel) and the ring traffic vs the full ordered enumeration."""
     from romcomma_tpu.ops.gram import rbf_gram
 
     S, B, c, NB, Npad, N = pl_.S, pl_.B, pl_.c, pl_.NB, pl_.Npad, pl_.N
@@ -439,17 +448,16 @@ def grads_ring_pairs(pl_: Plan, mesh: Mesh, super_block: int = 3584,
                 (c, 1, B, 1)).reshape(cB, 1)
 
         a_mine = a_of(me)
-        acc0 = (jnp.zeros((M,), dt), jnp.zeros((), dt), jnp.zeros((), dt))
-        V_buf, x_buf = V_local, x_local
-        acc = acc0
-        for step in range(S):
-            src = (me - step) % S
-            a_buf = a_of(src)
+        # self-step unordered chunk pairs (sr <= sc), off-diagonal weight 2
+        self_pairs = [(sr, sc) for sc in range(NS) for sr in range(sc + 1)]
+        sp_r = jnp.asarray([p[0] for p in self_pairs], jnp.int32)
+        sp_c = jnp.asarray([p[1] for p in self_pairs], jnp.int32)
 
+        def make_pair_body(src, a_buf, V_buf, x_buf, pr, pc, w_off):
             def pair_body(p, acc):
                 dls, ds2, dnoise = acc
-                sr = p // NS
-                sc = p % NS
+                sr = pr[p] if pr is not None else p // NS
+                sc = pc[p] if pc is not None else p % NS
                 Vr, xr, ar, gr, mr = chunk(V_local, x_local, a_mine, me, sr)
                 Vc, xc, ac, gc, mc = chunk(V_buf, x_buf, a_buf, src, sc)
                 seg = _segment_index(seg_starts,
@@ -471,19 +479,43 @@ def grads_ring_pairs(pl_: Plan, mesh: Mesh, super_block: int = 3584,
                 mask2 = mr[:, None] * mc[None, :]
                 Bbar = 0.5 * (ar[:, None] * ac[None, :] - kinv) * mask2
                 W_t = Bbar * (K_t * mask2)
-                ds2 = ds2 + jnp.sum(W_t)
+                w = (jnp.where(sr == sc, 1.0, 2.0).astype(dt)
+                     if w_off is None else jnp.asarray(w_off, dt))
+                ds2 = ds2 + w * jnp.sum(W_t)
+                # true diagonal entries live only in self-step diagonal
+                # pairs (weight 1 by construction); eye is zero elsewhere
                 eye = (gr[:, None] == gc[None, :]).astype(dt)
                 dnoise = dnoise + jnp.sum(Bbar * eye)
                 rs = jnp.sum(W_t, axis=1)
                 cs = jnp.sum(W_t, axis=0)
                 Wx = jnp.matmul(W_t, xc, precision=lax.Precision.HIGHEST)
-                dls = dls + (jnp.einsum('am,a->m', xr * xr, rs)
-                             + jnp.einsum('bm,b->m', xc * xc, cs)
-                             - 2.0 * jnp.einsum('am,am->m', xr, Wx))
+                dls = dls + w * (jnp.einsum('am,a->m', xr * xr, rs)
+                                 + jnp.einsum('bm,b->m', xc * xc, cs)
+                                 - 2.0 * jnp.einsum('am,am->m', xr, Wx))
                 return dls, ds2, dnoise
 
-            acc = lax.fori_loop(0, NS * NS, pair_body, acc)
-            if step + 1 < S:
+            return pair_body
+
+        acc = (jnp.zeros((M,), dt), jnp.zeros((), dt), jnp.zeros((), dt))
+        V_buf, x_buf = V_local, x_local
+        for step in range(S // 2 + 1):
+            src = (me - step) % S
+            a_buf = a_of(src)
+            if step == 0:
+                # self tiles: unordered chunk pairs, off-diag weight 2
+                body = make_pair_body(src, a_buf, V_buf, x_buf,
+                                      sp_r, sp_c, None)
+                acc = lax.fori_loop(0, len(self_pairs), body, acc)
+            else:
+                # distinct device pair: all ordered chunk pairs. Offsets
+                # 1..ceil(S/2)-1 carry each unordered device pair once
+                # (weight 2); the antipodal offset S/2 of an even ring is
+                # computed by both endpoints (weight 1).
+                w_off = 1.0 if (S % 2 == 0 and step == S // 2) else 2.0
+                body = make_pair_body(src, a_buf, V_buf, x_buf,
+                                      None, None, w_off)
+                acc = lax.fori_loop(0, NS * NS, body, acc)
+            if step < S // 2:
                 V_buf = lax.ppermute(V_buf, 'n', right)
                 x_buf = lax.ppermute(x_buf, 'n', right)
         return tuple(lax.psum(a, 'n') for a in acc)
