@@ -80,6 +80,8 @@ def main(N: int = 20000, M: int = 30) -> dict:
     S_oracle = {m: float(V[m] / V[-1]) for m in range(M)}
     dS_alpha_fixed = max(abs(S_prod[m] - S_oracle[m]) for m in range(M))
 
+    np.savez('/tmp/converged_diag.npz', ls=ls64, s2=s264, noise=nz64,
+             alpha_eng=a_eng, alpha_host=alpha_host)
     out = {'N': N, 'M': M, 'iters': int(np.asarray(iters)),
            'noise': nz64, 'cond_est': N * s264 / nz64,
            'alpha_rel_err': alpha_rel, 'host_f64_posterior_s': round(t_host, 1),

@@ -145,8 +145,14 @@ def test_large_n_route_matches_fused(tmp_path):
     lml_fused = float(gp_fused.likelihood.data.log_marginal.np[0, 0])
     lml_large = float(gp_large.likelihood.data.log_marginal.np[0, 0])
     assert abs(lml_fused - lml_large) < max(0.02 * abs(lml_fused), 0.5)
-    np.testing.assert_allclose(gp_large.kernel.data.lengthscales.np,
-                               gp_fused.kernel.data.lengthscales.np, rtol=0.3, atol=0.3)
+    # Compare INVERSE lengthscales: an inactive dimension's lengthscale is a
+    # flat direction of the LML (any sufficiently large value is the same
+    # optimum — the two engines' descents land at different points on the
+    # plateau), while 1/lengthscale is the identifiable sensitivity.
+    np.testing.assert_allclose(
+        1.0 / np.asarray(gp_large.kernel.data.lengthscales.np, dtype=float),
+        1.0 / np.asarray(gp_fused.kernel.data.lengthscales.np, dtype=float),
+        rtol=0.3, atol=0.01)
 
 
 def test_model_pass_expansion_and_warm_start(tmp_path):
