@@ -1085,6 +1085,32 @@ GSA_HOST_PACED_AT_N: int = 16384
 from romcomma_tpu.base.definitions import host_cpu_device as _host_cpu_device
 
 
+#: conditioning ceiling of the f32-planes + f64-accumulation interval tier.
+#: The tier's failure mode (measured, round 4): the V quadforms contract
+#: alpha = K^{-1}y against positive plane products, and alpha's norm grows
+#: like the gram's conditioning ~ N*s2/noise — at a CONVERGED optimum the
+#: noise lands at the data's true noise floor and the cancellation inside
+#: the quadform amplifies the f32 plane error past the result. Measured on
+#: the north-star posterior (N=20000, s2=1.08, noise=0.0102, cond~2.1e6):
+#: V_M came out NEGATIVE and S in [-3.3, 2.4] under f32 planes with BOTH an
+#: exact-f64 and an engine alpha, while f64 planes were exact to ~1e-4
+#: (benchmarks/converged_diag.py + the 2x2 isolation). Measured SAFE:
+#: |dS| 4.9e-6 at cond 4e5 (N=20000, noise 0.05) and 1.9e-5 at cond 1e6
+#: (N=50000, noise 0.05). The gate escalates the DEFAULT tier selection to
+#: f64 planes above this; the post-pass sanity check in
+#: DistributedGP.sobol_indices is the second line of defense.
+F32_PLANES_COND_LIMIT: float = 1.2e6
+
+
+def f32_planes_safe(N: int, s2, noise) -> bool:
+    """Whether the f32-planes interval tier is inside its measured-safe
+    conditioning envelope for a gram with signal variance ``s2`` and noise
+    ``noise`` (worst output: callers pass max(s2)/min(noise))."""
+    noise = float(np.min(np.asarray(noise, dtype=np.float64)))
+    s2 = float(np.max(np.asarray(s2, dtype=np.float64)))
+    return N * s2 / max(noise, 1e-300) <= F32_PLANES_COND_LIMIT
+
+
 def _gsa_cpu_device(meta: Dict[str, Any], N: int):
     """The CPU device to run GSA on, or None to stay on the default backend.
     Pops meta['gsa_on_cpu'] (True/False override; None = auto).
@@ -1164,14 +1190,23 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
                 if is_error_calculated:
                     meta.setdefault('intervals_mixed', 'ff')
                 else:
-                    if 'intervals_acc_f64' not in meta:
+                    noise_floor = np.asarray(
+                        gp.likelihood.data.variance.np, dtype=np.float64)
+                    if 'intervals_acc_f64' in meta:
+                        meta.setdefault('intervals_mixed', False)
+                    elif f32_planes_safe(gp.N, np.asarray(arrays['F']),
+                                         noise_floor):
                         meta['intervals_acc_f64'] = True
                         arrays = {k: v.astype(jnp.float32)
                                   for k, v in arrays.items()}
-                    # f32 planes need no exp tier (same policy as
-                    # DistributedGP.sobol_indices) — the shifted-f32 exp
-                    # only matters when the EXPONENTS are f64.
-                    meta.setdefault('intervals_mixed', False)
+                        # f32 planes need no exp tier (same policy as
+                        # DistributedGP.sobol_indices) — the shifted-f32 exp
+                        # only matters when the EXPONENTS are f64.
+                        meta.setdefault('intervals_mixed', False)
+                    else:
+                        # past the f32-tier conditioning envelope (see
+                        # F32_PLANES_COND_LIMIT): f64 planes + shifted exp
+                        meta.setdefault('intervals_mixed', True)
             else:
                 meta.setdefault('intervals_mixed', False)
             cal = cls.from_arrays(is_F_diagonal=is_F_diagonal,

@@ -971,6 +971,39 @@ class DistributedGP:
     #: relative on the benchmark posterior, round 2 at 2e-14).
     REFINE_RTOL: float = 1e-9
 
+    #: relative-residual QUALITY FLOOR of the refined posterior: if the
+    #: safeguarded refinement stalls above this, the factor itself is the
+    #: problem (the CHOL_PRECISION=HIGH bf16x3 trailing updates lose ground
+    #: to a true-f32 factor once cond(K) ~ N s2/noise reaches ~2e6 —
+    #: measured 3.4e-2 relative alpha error at the converged north-star
+    #: optimum vs 5.6e-7 from a true-f32 factor + refinement) — the engine
+    #: refactorizes once at HIGHEST precision and refines again.
+    ALPHA_QUALITY_RTOL: float = 1e-6
+
+    def _chol_precise(self):
+        """A HIGHEST-precision factorization for the refinement escalation
+        (lazily built; None when the production factor is already HIGHEST)."""
+        if self.CHOL_PRECISION == lax.Precision.HIGHEST:
+            return None
+        if getattr(self, '_chol_precise_cached', None) is None:
+            if self._engine == 'upper':
+                from romcomma_tpu.ops import blocked
+                bb = max(self.plan.B, min(self.DENSE_BLOCK, self.plan.Npad))
+                self._chol_precise_cached = jax.jit(
+                    functools.partial(blocked.cholesky_blocked_upper_2level,
+                                      block=bb,
+                                      super_block=self.DENSE_SUPER_BLOCK,
+                                      precision=None),
+                    donate_argnums=(0,))
+            elif self._engine == 'cyclic2':
+                from romcomma_tpu.parallel.cyclic_deferred import cholesky_deferred
+                self._chol_precise_cached = cholesky_deferred(
+                    self.plan, self.mesh, self.DENSE_SUPER_BLOCK,
+                    precision=None)
+            else:
+                return None          # cyclic: already HIGHEST everywhere
+        return self._chol_precise_cached
+
     def posterior_alpha(self, ls, s2, noise, x_dev, y_dev, refine: int = 2):
         """alpha = K⁻¹ y (stored order, replicated, float64) and L (row-
         sharded). When the working dtype is f32, up to ``refine`` rounds of
@@ -978,7 +1011,9 @@ class DistributedGP:
         against an on-the-fly f64 gram) recover f64-grade accuracy — an f32
         solve alone breaks down once cond(K) ~ N s2/noise nears 1/eps_f32.
         Rounds stop early once the true residual reaches REFINE_RTOL
-        relative to ||y||."""
+        relative to ||y||; a stall above ALPHA_QUALITY_RTOL escalates the
+        factor to HIGHEST precision once and refines again (round-4 fix:
+        the HIGH-tier factor stalls refinement at the converged optimum)."""
         ls, s2, noise = self._cast_hypers(x_dev, ls, s2, noise)
         K = self._gram(x_dev, ls, s2, noise)
         L = self._chol(K)
@@ -992,23 +1027,41 @@ class DistributedGP:
         y64 = jnp.asarray(y_dev, f64)
         ls64, s264, n64 = (jnp.asarray(ls, f64), jnp.asarray(s2, f64),
                            jnp.asarray(noise, f64))
-        alpha = jnp.asarray(alpha, f64)
-        # Safeguarded refinement: iterative refinement diverges once
-        # eps_f32 * cond(K) exceeds ~1, so keep the iterate with the smallest
-        # true (f64) residual instead of trusting a fixed iteration count.
-        r = residual(x64, y64, alpha, ls64, s264, n64)
-        best_alpha, best_norm = alpha, float(jnp.linalg.norm(r))
-        tol = self.REFINE_RTOL * float(jnp.linalg.norm(y64))
-        for _ in range(refine):
-            if best_norm <= tol:
-                break
-            d = self._bwd(L, self._fwd(L, jnp.asarray(r, x_dev.dtype)))
-            alpha = alpha + jnp.asarray(d, f64)
+        norm_y = float(jnp.linalg.norm(y64))
+        tol = self.REFINE_RTOL * norm_y
+
+        def refine_with(L, alpha0, rounds):
+            # Safeguarded refinement: iterative refinement diverges once
+            # eps_factor * cond(K) exceeds ~1, so keep the iterate with the
+            # smallest true (f64) residual, never a fixed iteration count.
+            alpha = jnp.asarray(alpha0, f64)
             r = residual(x64, y64, alpha, ls64, s264, n64)
-            norm = float(jnp.linalg.norm(r))
-            if not np.isfinite(norm) or norm >= best_norm:
-                break
-            best_alpha, best_norm = alpha, norm
+            best_alpha, best_norm = alpha, float(jnp.linalg.norm(r))
+            for _ in range(rounds):
+                if best_norm <= tol:
+                    break
+                d = self._bwd(L, self._fwd(L, jnp.asarray(r, x_dev.dtype)))
+                alpha = alpha + jnp.asarray(d, f64)
+                r = residual(x64, y64, alpha, ls64, s264, n64)
+                norm = float(jnp.linalg.norm(r))
+                if not np.isfinite(norm) or norm >= best_norm:
+                    break
+                best_alpha, best_norm = alpha, norm
+            return best_alpha, best_norm
+
+        best_alpha, best_norm = refine_with(L, alpha, refine)
+        if best_norm > self.ALPHA_QUALITY_RTOL * norm_y:
+            chol_precise = self._chol_precise()
+            if chol_precise is not None:
+                L = z = None    # free the HIGH factor BEFORE the rebuild —
+                #                 two resident (Npad,Npad) buffers would
+                #                 breach HBM at N=50k
+                K = self._gram(x_dev, ls, s2, noise)
+                L = chol_precise(K)
+                alpha2 = self._bwd(L, self._fwd(L, y_dev))
+                alpha2, norm2 = refine_with(L, alpha2, max(refine, 4))
+                if norm2 < best_norm:
+                    best_alpha, best_norm = alpha2, norm2
         return best_alpha, L
 
     def predict(self, ls, s2, noise, x_dev, y_dev, Xs: np.ndarray):
@@ -1204,7 +1257,10 @@ class DistributedGP:
         #   difference that amplifies plane noise ~1e3, so f32's ~6e-8
         #   floors near-zero T at ~3e-3 while 'ff' keeps every T within
         #   ~1e-7 of the f64 oracle.
-        if gsa_dtype is None and not error and on_accel:
+        from romcomma_tpu.gsa.calibrators import f32_planes_safe
+        if (gsa_dtype is None and not error and on_accel
+                and f32_planes_safe(N, float(np.asarray(s2)),
+                                    float(np.asarray(noise)))):
             f64 = jnp.float32
             meta['intervals_acc_f64'] = True
         else:
@@ -1285,6 +1341,39 @@ class DistributedGP:
         # host-paced chunks: bounded dispatches for tunnelled TPU runtimes
         out = cal.marginalize_intervals(tuple(flat), host_paced=True)
         V_all = np.asarray(out['V'])[0, 0]
+        # Post-pass sanity (second line of defense behind f32_planes_safe):
+        # every V is a closed-Sobol' variance in [0, V_M]. A reduced-
+        # precision tier that broke its cancellation envelope produces
+        # negative or super-unit values (measured: V_M < 0 at the converged
+        # north-star optimum) — escalate to full-f64 planes and rerun.
+        V0 = float(V_all[0])
+        v_sane = (np.all(np.isfinite(V_all)) and V0 > 0.0
+                  and np.all(V_all >= -0.02 * V0)
+                  and np.all(V_all <= 1.02 * V0))
+        if not v_sane and (meta.get('intervals_acc_f64')
+                           or meta.get('fast_V')
+                           or f64 == jnp.float32):
+            import warnings
+            warnings.warn(
+                f'reduced-precision GSA interval tier produced invalid '
+                f'variances (V0={V0:.3e}) at N={N} — escalating to f64 '
+                f'planes and re-running.', RuntimeWarning)
+            meta = {k: v for k, v in meta.items()
+                    if k not in ('intervals_acc_f64', 'fast_V')}
+            meta['intervals_mixed'] = (('ff' if error else True)
+                                       if on_accel else False)
+            f64 = jnp.float64
+            cal = cls.from_arrays(
+                F=jnp.asarray([[float(np.asarray(s2))]], f64),
+                K_cho=(K_cho if error else jnp.zeros((1, 1, 1), f64)),
+                K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N), f64),
+                Lambda=jnp.asarray(np.asarray(ls), f64)[None, :],
+                X=jnp.asarray(np.asarray(X), f64),
+                is_F_diagonal=True, L=1, M=M, N=N, defer_V=True, **meta)
+            if self.mesh.devices.size > 1:
+                cal.gsa_mesh = self.mesh
+            out = cal.marginalize_intervals(tuple(flat), host_paced=True)
+            V_all = np.asarray(out['V'])[0, 0]
         self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),
                                  'setup_s': round(t_setup, 1),
                                  'intervals_s': round(time.time() - t0, 1),
@@ -1343,8 +1432,12 @@ class DistributedGP:
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
         on_accel = jax.default_backend() != 'cpu'
         # Same precision policy as sobol_indices: f32 planes + f64 quadform
-        # accumulation on accelerators (no-error pass), f64 otherwise.
-        if gsa_dtype is None and on_accel:
+        # accumulation on accelerators (no-error pass) INSIDE the tier's
+        # conditioning envelope (f32_planes_safe, worst output), f64
+        # otherwise.
+        from romcomma_tpu.gsa.calibrators import f32_planes_safe
+        if (gsa_dtype is None and on_accel
+                and f32_planes_safe(N, s2, noise)):
             f64 = jnp.float32
             meta['intervals_acc_f64'] = True
         else:
@@ -1360,26 +1453,47 @@ class DistributedGP:
             alphas.append(from_stored(self.plan, np.asarray(a_stored)))
         t_posterior = time.time() - t0
         t0 = time.time()
-        X64 = jnp.asarray(np.asarray(X), f64)
-        cals = [ClosedSobol.from_arrays(
-                    F=jnp.asarray([[float(s2[l])]], f64),
-                    K_cho=jnp.zeros((1, 1, 1), f64),
-                    K_inv_Y=jnp.asarray(alphas[l].T.reshape(1, 1, N), f64),
-                    Lambda=jnp.asarray(ls[l], f64)[None, :], X=X64,
-                    is_F_diagonal=True, L=1, M=M, N=N, defer_V=True, **meta)
-                for l in range(L_out)]
         family = {'first_order': [(m, m + 1) for m in range(M)],
                   'closed': [(0, m + 1) for m in range(M)],
                   'total': [(m + 1, M) for m in range(M)]}
         flat = [(0, M)] + [s for k in kinds for s in family[k]]
-        outs = marginalize_intervals_stacked(cals, tuple(flat), host_paced=True)
+
+        def run_pass(f64p, meta_p):
+            Xp = jnp.asarray(np.asarray(X), f64p)
+            cals = [ClosedSobol.from_arrays(
+                        F=jnp.asarray([[float(s2[l])]], f64p),
+                        K_cho=jnp.zeros((1, 1, 1), f64p),
+                        K_inv_Y=jnp.asarray(alphas[l].T.reshape(1, 1, N), f64p),
+                        Lambda=jnp.asarray(ls[l], f64p)[None, :], X=Xp,
+                        is_F_diagonal=True, L=1, M=M, N=N, defer_V=True,
+                        **meta_p)
+                    for l in range(L_out)]
+            return marginalize_intervals_stacked(cals, tuple(flat),
+                                                 host_paced=True)
+
+        outs = run_pass(f64, meta)
+        V_cols = [np.asarray(o['V'])[0, 0] for o in outs]
+        sane = all(np.all(np.isfinite(V)) and V[0] > 0
+                   and np.all(V >= -0.02 * V[0]) and np.all(V <= 1.02 * V[0])
+                   for V in V_cols)
+        if not sane and f64 == jnp.float32:
+            # tier broke its cancellation envelope (see sobol_indices):
+            # escalate every output to f64 planes and rerun once.
+            import warnings
+            warnings.warn(f'reduced-precision stacked GSA tier produced '
+                          f'invalid variances at N={N} — escalating to f64 '
+                          f'planes and re-running.', RuntimeWarning)
+            meta_p = {k: v for k, v in meta.items()
+                      if k != 'intervals_acc_f64'}
+            meta_p['intervals_mixed'] = bool(on_accel)
+            outs = run_pass(jnp.float64, meta_p)
+            V_cols = [np.asarray(o['V'])[0, 0] for o in outs]
         self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),
                                  'intervals_s': round(time.time() - t0, 1),
                                  'args_fetch_s': round(
                                      getattr(self, '_t_args_fetch', 0.0), 1),
                                  'outputs': L_out}
-        return [self._kinds_from_V(np.asarray(o['V'])[0, 0], kinds, M, kind)
-                for o in outs]
+        return [self._kinds_from_V(V, kinds, M, kind) for V in V_cols]
 
     def _sobol_indices_multi_error(self, ls: np.ndarray, s2: np.ndarray,
                                    noise: np.ndarray, x_dev, y_dev,
