@@ -979,6 +979,10 @@ class DistributedGP:
     #: optimum vs 5.6e-7 from a true-f32 factor + refinement) — the engine
     #: refactorizes once at HIGHEST precision and refines again.
     ALPHA_QUALITY_RTOL: float = 1e-6
+    #: f64 (Npad,Npad) bytes allowed for the last-rung true-f64 posterior
+    #: rescue (one emulated-f64 factorization); past it the deep refinement
+    #: is the ceiling.
+    F64_RESCUE_BUDGET_BYTES: int = 12 * 2 ** 30
 
     def _chol_precise(self):
         """A HIGHEST-precision factorization for the refinement escalation
@@ -1050,18 +1054,57 @@ class DistributedGP:
             return best_alpha, best_norm
 
         best_alpha, best_norm = refine_with(L, alpha, refine)
-        if best_norm > self.ALPHA_QUALITY_RTOL * norm_y:
+        escalated = rescued = False
+        # REFINE_RTOL=inf is the explicit opt-out of refinement cost — the
+        # quality-floor escalations honor it too.
+        if (best_norm > self.ALPHA_QUALITY_RTOL * norm_y
+                and np.isfinite(tol)):
             chol_precise = self._chol_precise()
             if chol_precise is not None:
+                escalated = True
                 L = z = None    # free the HIGH factor BEFORE the rebuild —
                 #                 two resident (Npad,Npad) buffers would
                 #                 breach HBM at N=50k
                 K = self._gram(x_dev, ls, s2, noise)
                 L = chol_precise(K)
                 alpha2 = self._bwd(L, self._fwd(L, y_dev))
-                alpha2, norm2 = refine_with(L, alpha2, max(refine, 4))
+                # Deep budget: an f32-grade factor contracts the residual by
+                # ~eps_f32*cond per round (~0.25 at the measured cond 2e6),
+                # so crossing from ~3e-2 to the 1e-9 target takes O(15)
+                # rounds of one O(N^2) f64 residual each — one-shot
+                # analytics cost, and the monotone safeguard still stops a
+                # genuinely diverging sequence immediately.
+                alpha2, norm2 = refine_with(L, alpha2, max(refine, 16))
                 if norm2 < best_norm:
                     best_alpha, best_norm = alpha2, norm2
+        if (best_norm > self.ALPHA_QUALITY_RTOL * norm_y
+                and np.isfinite(tol)
+                and self.plan.Npad ** 2 * 8 <= self.F64_RESCUE_BUDGET_BYTES):
+            # Last rung: ONE true-f64 engine solve (emulated on TPU — slow
+            # but exact; the same rescue dtype the calibration ladder uses,
+            # models/gpr.py). Infeasible past ~38k rows (f64 (Npad,Npad)
+            # exceeds HBM); there the deep refinement above is the ceiling.
+            rescued = True
+            L = K = None
+            # Same plan (N, S, B) -> the stored layout is identical: reuse
+            # the staged arrays cast to f64 instead of re-staging from host.
+            dgp64 = DistributedGP(self.plan.N, self.mesh, block=self.plan.B,
+                                  dtype=np.float64,
+                                  dense_kernels=self._engine != 'cyclic')
+            x64s = jax.device_put(x64, _row_sharding(self.mesh))
+            K64 = dgp64._gram(x64s, ls64, s264, n64)
+            L64 = dgp64._chol(K64)
+            alpha3 = jnp.asarray(dgp64._bwd(L64, dgp64._fwd(L64, y64)), f64)
+            r3 = residual(x64, y64, alpha3, ls64, s264, n64)
+            norm3 = float(jnp.linalg.norm(r3))
+            if np.isfinite(norm3) and norm3 < best_norm:
+                best_alpha, best_norm = alpha3, norm3
+            del L64, K64, dgp64
+            # the caller still receives a working-dtype factor
+            K = self._gram(x_dev, ls, s2, noise)
+            L = self._chol(K)
+        self.last_refine = {'final_rel': best_norm / max(norm_y, 1e-300),
+                            'escalated': escalated, 'rescued': rescued}
         return best_alpha, L
 
     def predict(self, ls, s2, noise, x_dev, y_dev, Xs: np.ndarray):
