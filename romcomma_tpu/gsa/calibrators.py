@@ -1205,8 +1205,10 @@ def marginalize_all_kinds(gp: GPR, kind_slices: 'Dict[str, Tuple[Tuple[int, int]
                         meta.setdefault('intervals_mixed', False)
                     else:
                         # past the f32-tier conditioning envelope (see
-                        # F32_PLANES_COND_LIMIT): f64 planes + shifted exp
-                        meta.setdefault('intervals_mixed', True)
+                        # F32_PLANES_COND_LIMIT): f64 planes + float-float
+                        # exp (a shifted-f32 exp's ~1e-7 breaks under the
+                        # same amplification that breaks f32 planes)
+                        meta.setdefault('intervals_mixed', 'ff')
             else:
                 meta.setdefault('intervals_mixed', False)
             cal = cls.from_arrays(is_F_diagonal=is_F_diagonal,

@@ -1301,9 +1301,9 @@ class DistributedGP:
         #   floors near-zero T at ~3e-3 while 'ff' keeps every T within
         #   ~1e-7 of the f64 oracle.
         from romcomma_tpu.gsa.calibrators import f32_planes_safe
-        if (gsa_dtype is None and not error and on_accel
-                and f32_planes_safe(N, float(np.asarray(s2)),
-                                    float(np.asarray(noise)))):
+        gate_ok = f32_planes_safe(N, float(np.asarray(s2)),
+                                  float(np.asarray(noise)))
+        if gsa_dtype is None and not error and on_accel and gate_ok:
             f64 = jnp.float32
             meta['intervals_acc_f64'] = True
         else:
@@ -1320,7 +1320,13 @@ class DistributedGP:
                 # emulated-f64 V pass (~167 s of a ~740 s N=20k error run).
                 meta['fast_V'] = True
         if intervals_mixed is None:
-            intervals_mixed = (('ff' if error else True)
+            # exp tier of f64 planes on accelerators: shifted-f32 (~1e-7)
+            # normally, but float-float (~3e-11) whenever the conditioning
+            # gate failed — the same amplification that breaks f32 planes
+            # breaks a 1e-7 exp tier (measured: S in [-0.18, 0.82] vs the
+            # oracle's [0.44, 0.56] at the converged optimum under the
+            # shifted tier, with a 5e-7-accurate alpha).
+            intervals_mixed = (('ff' if (error or not gate_ok) else True)
                                if on_accel and f64 == jnp.float64 else False)
         meta['intervals_mixed'] = intervals_mixed
         t0 = time.time()
@@ -1395,16 +1401,17 @@ class DistributedGP:
                   and np.all(V_all <= 1.02 * V0))
         if not v_sane and (meta.get('intervals_acc_f64')
                            or meta.get('fast_V')
-                           or f64 == jnp.float32):
+                           or f64 == jnp.float32
+                           or meta.get('intervals_mixed')):
             import warnings
             warnings.warn(
                 f'reduced-precision GSA interval tier produced invalid '
                 f'variances (V0={V0:.3e}) at N={N} — escalating to f64 '
-                f'planes and re-running.', RuntimeWarning)
+                f'planes with the native f64 exp and re-running.',
+                RuntimeWarning)
             meta = {k: v for k, v in meta.items()
                     if k not in ('intervals_acc_f64', 'fast_V')}
-            meta['intervals_mixed'] = (('ff' if error else True)
-                                       if on_accel else False)
+            meta['intervals_mixed'] = False      # native f64 exp: exact rung
             f64 = jnp.float64
             cal = cls.from_arrays(
                 F=jnp.asarray([[float(np.asarray(s2))]], f64),
@@ -1479,15 +1486,18 @@ class DistributedGP:
         # conditioning envelope (f32_planes_safe, worst output), f64
         # otherwise.
         from romcomma_tpu.gsa.calibrators import f32_planes_safe
-        if (gsa_dtype is None and on_accel
-                and f32_planes_safe(N, s2, noise)):
+        gate_ok = f32_planes_safe(N, s2, noise)
+        if gsa_dtype is None and on_accel and gate_ok:
             f64 = jnp.float32
             meta['intervals_acc_f64'] = True
         else:
             f64 = jnp.float64 if gsa_dtype is None else jnp.dtype(gsa_dtype)
         if intervals_mixed is None:
-            intervals_mixed = (f64 == jnp.float64 and on_accel)
-        meta['intervals_mixed'] = bool(intervals_mixed)
+            # same exp-tier ladder as sobol_indices: 'ff' once the
+            # conditioning gate failed, shifted-f32 otherwise
+            intervals_mixed = (('ff' if not gate_ok else True)
+                               if f64 == jnp.float64 and on_accel else False)
+        meta['intervals_mixed'] = intervals_mixed
         t0 = time.time()
         alphas = []
         for l in range(L_out):
@@ -1519,16 +1529,17 @@ class DistributedGP:
         sane = all(np.all(np.isfinite(V)) and V[0] > 0
                    and np.all(V >= -0.02 * V[0]) and np.all(V <= 1.02 * V[0])
                    for V in V_cols)
-        if not sane and f64 == jnp.float32:
+        if not sane and (f64 == jnp.float32 or meta.get('intervals_mixed')):
             # tier broke its cancellation envelope (see sobol_indices):
-            # escalate every output to f64 planes and rerun once.
+            # escalate every output to f64 planes + native f64 exp, rerun.
             import warnings
             warnings.warn(f'reduced-precision stacked GSA tier produced '
                           f'invalid variances at N={N} — escalating to f64 '
-                          f'planes and re-running.', RuntimeWarning)
+                          f'planes with the native f64 exp and re-running.',
+                          RuntimeWarning)
             meta_p = {k: v for k, v in meta.items()
                       if k != 'intervals_acc_f64'}
-            meta_p['intervals_mixed'] = bool(on_accel)
+            meta_p['intervals_mixed'] = False
             outs = run_pass(jnp.float64, meta_p)
             V_cols = [np.asarray(o['V'])[0, 0] for o in outs]
         self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),

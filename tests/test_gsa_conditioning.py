@@ -50,7 +50,7 @@ def test_sobol_default_tier_escalates_on_accelerator(monkeypatch):
     monkeypatch.undo()
     S_f64 = dgp.sobol_indices(ls, jnp.asarray(1.0), tiny, x_dev, y_dev, X,
                               kind='first_order', gsa_dtype=np.float64,
-                              intervals_mixed=True)
+                              intervals_mixed='ff')
     for m in range(M):
         np.testing.assert_allclose(S_gate[m], S_f64[m], rtol=1e-12)
     assert 0.5 < S_safe[0] <= 1.01 and abs(S_safe[1]) < 0.1
