@@ -1069,12 +1069,13 @@ class DistributedGP:
                 L = chol_precise(K)
                 alpha2 = self._bwd(L, self._fwd(L, y_dev))
                 # Deep budget: an f32-grade factor contracts the residual by
-                # ~eps_f32*cond per round (~0.25 at the measured cond 2e6),
-                # so crossing from ~3e-2 to the 1e-9 target takes O(15)
-                # rounds of one O(N^2) f64 residual each — one-shot
-                # analytics cost, and the monotone safeguard still stops a
-                # genuinely diverging sequence immediately.
-                alpha2, norm2 = refine_with(L, alpha2, max(refine, 16))
+                # ~eps_f32*cond per round (~0.25 at the measured cond 2e6,
+                # ~0.6 at N=50k's 5e6), so crossing to the 1e-9 target can
+                # take tens of rounds of one O(N^2) f64 residual each —
+                # one-shot analytics cost, and the monotone safeguard stops
+                # a stalled/diverging sequence immediately, so the budget
+                # only spends while it is actually converging.
+                alpha2, norm2 = refine_with(L, alpha2, max(refine, 40))
                 if norm2 < best_norm:
                     best_alpha, best_norm = alpha2, norm2
         if (best_norm > self.ALPHA_QUALITY_RTOL * norm_y
