@@ -1135,13 +1135,17 @@ class DistributedGP:
     #: host builds are cheap and exact.
     PSI_SOLVER_MIN_N: int = 16384
 
-    def make_psi_solver(self, ls, s2, noise, x_dev, refine: int = 3,
+    def make_psi_solver(self, ls, s2, noise, x_dev, refine: int = 40,
                         factor=None):
         """K⁻¹-application in ORIGINAL row order for the error-GSA psi
         integrals (gsa/factorized_errors.py psi_solver mode): ONE
         working-dtype factorization on this engine + safeguarded f64
         iterative refinement against on-the-fly f64 gram row strips — no
         dense f64 (N,N) buffer is ever built, on host or device. The
+        ``refine`` budget is deep (round-4): at a converged optimum's
+        cond ~ 2e6+ the per-round contraction is only ~0.25-0.6, and the
+        monotone safeguard exits immediately on stall, so the budget spends
+        only while converging — exactly posterior_alpha's policy. The
         factorized error engine pairs (raw, K⁻¹-solved) factors so every
         mu_psi quadform is f1ᵀ K⁻¹ f2, replacing the K_cho half-solves.
 
