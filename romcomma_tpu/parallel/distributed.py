@@ -1629,19 +1629,26 @@ class DistributedGP:
                         K, jnp.asarray(float(noise[l]), f64)))
                 K_cho = jnp.asarray(np.asarray(K_cho), f64)
             t_kcho += time.time() - t0
-            cals.append(ClosedSobolWithError.from_arrays(
+            cals.append(dict(
                 F=jnp.asarray([[float(s2[l])]], f64),
                 K_cho=K_cho,
                 K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N), f64),
                 Lambda=jnp.asarray(np.asarray(ls[l]), f64)[None, :],
                 X=X64, is_F_diagonal=True, L=1, M=M, N=N, defer_V=True,
                 **meta_l))
-        if self.mesh.devices.size > 1:
-            # The stacked W/T sweep shards its q chunks over the ('n',)
-            # mesh (gsa/mesh.py error_sweep, psi_rank=5); the stacked base
-            # V pass is single-device (same as _sobol_indices_multi).
-            for c in cals:
-                c.gsa_mesh = self.mesh
+
+        def build_cals(kwargs_list):
+            built = [ClosedSobolWithError.from_arrays(**kw)
+                     for kw in kwargs_list]
+            if self.mesh.devices.size > 1:
+                # The stacked W/T sweep shards its q chunks over the ('n',)
+                # mesh (gsa/mesh.py error_sweep, psi_rank=5); the stacked
+                # base V pass is single-device (as _sobol_indices_multi).
+                for c in built:
+                    c.gsa_mesh = self.mesh
+            return built
+
+        cal_kwargs, cals = cals, build_cals(cals)
         family = {'first_order': [(m, m + 1) for m in range(M)],
                   'closed': [(0, m + 1) for m in range(M)],
                   'total': [(m + 1, M) for m in range(M)]}
@@ -1649,6 +1656,23 @@ class DistributedGP:
         t0 = time.time()
         outs = marginalize_intervals_error_stacked(cals, tuple(flat),
                                                    host_paced=True)
+        # V-sanity of the opt-in fast_V tier (same second line of defense as
+        # sobol_indices): an insane base V escalates the whole stacked pass
+        # to all-f64 V planes and reruns once.
+        if meta.get('fast_V'):
+            V_cols = [np.asarray(o['V'])[0, 0] for o in outs]
+            sane = all(np.all(np.isfinite(V)) and V[0] > 0
+                       and np.all(V >= -0.02 * V[0])
+                       and np.all(V <= 1.02 * V[0]) for V in V_cols)
+            if not sane:
+                import warnings
+                warnings.warn(f'fast_V base pass produced invalid variances '
+                              f'at N={N} — escalating to f64 V planes and '
+                              f're-running.', RuntimeWarning)
+                cals = build_cals([{k: v for k, v in kw.items()
+                                    if k != 'fast_V'} for kw in cal_kwargs])
+                outs = marginalize_intervals_error_stacked(cals, tuple(flat),
+                                                           host_paced=True)
         self.last_gsa_timings = {'posterior_s': round(t_posterior, 1),
                                  'k_cho_s': round(t_kcho, 1),
                                  'intervals_s': round(time.time() - t0, 1),
