@@ -68,19 +68,37 @@ def test_closed_is_monotone_and_normalized(trained_repo):
     np.testing.assert_allclose(S[:, -1], 1.0, atol=1e-6)
 
 
-def test_fold_batched_gsa_matches_sequential(trained_repo):
+def test_fold_batched_gsa_matches_sequential(tmp_path):
     """run.gsa's fold-batched path (ONE vmapped program for all equal-shape
     folds, VERDICT r3 #5) writes byte-identical indices to the sequential
-    per-fold loop, and a failure inside it falls back loudly."""
+    per-fold loop, and a failure inside it falls back loudly. Needs a K=2
+    repository (3 folds: 2 proper to batch + the odd-shaped improper one
+    running through the single-fold call in place)."""
     import warnings
     from unittest import mock
-    batched = {k: _S(trained_repo, k).iloc[:, 2:].values.copy()
-               for k in ('first_order', 'total')}
-    run.gsa('gpr', trained_repo, is_covariant=False, is_isotropic=False,
+    np.random.seed(1)
+    noise = sample.GaussianNoise.Variance(3, 0.05, False, True)
+    repo = sample.Function(tmp_path, sample.DOE.latin_hypercube,
+                           functions.ISHIGAMI, 120, 3, noise,
+                           overwrite_existing=True).repo.into_K_folds(2)
+    run.gpr('gpr', repo, is_read=False, is_covariant=False,
+            is_isotropic=False, ignore_exceptions=False, maxiter=40)
+    run.gsa('gpr', repo, is_covariant=False, is_isotropic=False,
+            is_error_calculated=True, is_T_partial=False, fold_parallel=True)
+    trained_repo = repo
+    batched = {}
+    for k in repo.folds:
+        f = repo.fold_folder(k) / 'gpr.v.a' / 'gsa'
+        batched[k] = {name: pd.read_csv(f / 'first_order' / f'{name}.csv')
+                      .iloc[:, 2:].values.copy() for name in ('S', 'T')}
+    run.gsa('gpr', repo, is_covariant=False, is_isotropic=False,
             is_error_calculated=True, is_T_partial=False, fold_parallel=False)
-    for k, vals in batched.items():
-        np.testing.assert_array_equal(_S(trained_repo, k).iloc[:, 2:].values,
-                                      vals)
+    for k in repo.folds:
+        f = repo.fold_folder(k) / 'gpr.v.a' / 'gsa'
+        for name in ('S', 'T'):
+            np.testing.assert_array_equal(
+                pd.read_csv(f / 'first_order' / f'{name}.csv').iloc[:, 2:].values,
+                batched[k][name], err_msg=f'fold {k} {name}')
     # auto mode falls back with a RuntimeWarning when the batch engine fails
     with mock.patch.object(run, '_gsa_fold_batched',
                            side_effect=RuntimeError('gsa engine down')):
