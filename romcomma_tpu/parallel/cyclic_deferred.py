@@ -69,14 +69,19 @@ from romcomma_tpu.ops.blocked import _width_segments, _segment_index
 
 
 def super_q(pl_: Plan, target: int) -> int:
-    """Blocks-per-device q of one super panel: the largest divisor of c with
-    panel width q*S*B <= target (q=1 — one block per device — always
-    qualifies, so a panel never exceeds max(target, S*B))."""
-    best = 1
-    for q in range(1, pl_.c + 1):
-        if pl_.c % q == 0 and q * pl_.S * pl_.B <= max(target, pl_.S * pl_.B):
-            best = q
-    return best
+    """Blocks-per-device q of one super panel: the largest q with panel
+    width q*S*B <= target (q=1 always qualifies, so a panel never exceeds
+    max(target, S*B)). q need NOT divide c — the last super panel is a
+    partial tail (super_sizes), every size static at trace time."""
+    return max(1, min(pl_.c, max(target, pl_.S * pl_.B) // (pl_.S * pl_.B)))
+
+
+def super_sizes(pl_: Plan, q: int):
+    """Per-panel blocks-per-device [q, q, ..., tail] covering c exactly."""
+    NS = -(-pl_.c // q)
+    sizes = [q] * (NS - 1) + [pl_.c - (NS - 1) * q]
+    assert sizes[-1] >= 1 and sum(sizes) == pl_.c
+    return sizes
 
 
 def stored_global_perms(pl_: Plan) -> Tuple[np.ndarray, np.ndarray]:
@@ -147,18 +152,16 @@ def cholesky_deferred(pl_: Plan, mesh: Mesh, super_block: int = 3584,
     upd_prec = lax.Precision.HIGHEST if precision is None else precision
     S, B, c, NB, Npad = pl_.S, pl_.B, pl_.c, pl_.NB, pl_.Npad
     q = super_q(pl_, super_block)
-    P_blocks = q * S
-    SB = P_blocks * B
-    NS = c // q
-    qB = q * B
+    sizes = super_sizes(pl_, q)                  # per-panel blocks/device
     eye_b = jnp.eye(B)
-    # micro trailing tile rows (single-chip 2level discipline)
-    Cm = B
-    for d in range(1, P_blocks + 1):
-        if P_blocks % d == 0 and d * B <= max(B, 1024):
-            Cm = d * B
-    n_tiles_m = SB // Cm
-    tile_idx = jnp.arange(Cm)
+
+    def _cm(P_blocks: int) -> int:
+        """Micro trailing tile rows dividing this panel's SB exactly."""
+        best = 1
+        for d in range(1, P_blocks + 1):
+            if P_blocks % d == 0 and d * B <= max(B, 1024):
+                best = d
+        return best * B
 
     def local(K_local):
         me = lax.axis_index('n')
@@ -166,26 +169,33 @@ def cholesky_deferred(pl_: Plan, mesh: Mesh, super_block: int = 3584,
         dt = K_local.dtype
         eye = eye_b.astype(dt)
 
-        for s in range(NS):                      # unrolled: static widths
-            S0 = s * SB
+        for s, q_s in enumerate(sizes):          # unrolled: static widths
+            lo = s * q * B                       # local row offset
+            qB_s = q_s * B
+            SB_s = q_s * S * B
+            S0 = s * q * S * B                   # global col offset
             W = Npad - S0
+            Cm = _cm(q_s * S)
+            n_tiles_m = SB_s // Cm
+            tile_idx = jnp.arange(Cm)
             # ---- phase 1: deferred update from all finalized local rows --
             if s > 0:
-                left = lax.slice(A, (0, S0), (s * qB, S0 + SB))
-                right = lax.slice(A, (0, S0), (s * qB, Npad))
-                Cd = jnp.matmul(left.T, right, precision=upd_prec)  # (SB, W)
+                left = lax.slice(A, (0, S0), (lo, S0 + SB_s))
+                right = lax.slice(A, (0, S0), (lo, Npad))
+                Cd = jnp.matmul(left.T, right, precision=upd_prec)  # (SB_s, W)
             else:
-                Cd = jnp.zeros((SB, W), dtype=dt)
+                Cd = jnp.zeros((SB_s, W), dtype=dt)
             Upd = lax.psum(Cd, 'n')
             # ---- gather the panel's gram rows, reorder to global ----------
-            mine = lax.slice(A, (s * qB, S0), ((s + 1) * qB, Npad))  # (qB, W)
-            g_all = lax.all_gather(mine, 'n')                # (S, qB, W)
-            slab = (g_all.reshape(S, q, B, W).transpose(1, 0, 2, 3)
-                    .reshape(SB, W)) - Upd
+            mine = lax.slice(A, (lo, S0), (lo + qB_s, Npad))  # (qB_s, W)
+            g_all = lax.all_gather(mine, 'n')                 # (S, qB_s, W)
+            slab = (g_all.reshape(S, q_s, B, W).transpose(1, 0, 2, 3)
+                    .reshape(SB_s, W)) - Upd
             # ---- phase 2: redundant micro factorization of the panel ------
             col_rel = jnp.arange(W)
 
-            def micro(k, slab):
+            def micro(k, slab, W=W, Cm=Cm, n_tiles_m=n_tiles_m,
+                      tile_idx=tile_idx):
                 r0 = (k * B).astype(jnp.int32)   # relative row AND diag col
                 panel = lax.dynamic_slice(slab, _i32(r0, 0), (B, W))
                 diag = lax.dynamic_slice(panel, _i32(0, r0), (B, B))
@@ -209,14 +219,14 @@ def cholesky_deferred(pl_: Plan, mesh: Mesh, super_block: int = 3584,
                 t0 = ((r0 + B) // Cm).astype(jnp.int32)
                 return lax.fori_loop(t0, n_tiles_m, upd_tile, slab)
 
-            slab = lax.fori_loop(0, P_blocks, micro, slab)
-            # ---- keep my q row blocks, zero the strict-left garbage -------
+            slab = lax.fori_loop(0, q_s * S, micro, slab)
+            # ---- keep my q_s row blocks, zero the strict-left garbage -----
             mine_f = lax.dynamic_slice(
-                slab.reshape(q, S, B, W), _i32(0, me, 0, 0), (q, 1, B, W)
-            ).reshape(qB, W)
+                slab.reshape(q_s, S, B, W), _i32(0, me, 0, 0), (q_s, 1, B, W)
+            ).reshape(qB_s, W)
             row = jnp.concatenate(
-                [jnp.zeros((qB, S0), dtype=dt), mine_f], axis=1)
-            A = lax.dynamic_update_slice(A, row, _i32(s * qB, 0))
+                [jnp.zeros((qB_s, S0), dtype=dt), mine_f], axis=1)
+            A = lax.dynamic_update_slice(A, row, _i32(lo, 0))
         return A
 
     fn = _shard_map(local, mesh=mesh, in_specs=(P('n'),), out_specs=P('n'))
@@ -234,13 +244,8 @@ def invert_deferred(pl_: Plan, mesh: Mesh, super_block: int = 3584,
     with the contraction distributed over row owners."""
     S, B, c, NB, Npad = pl_.S, pl_.B, pl_.c, pl_.NB, pl_.Npad
     q = super_q(pl_, super_block)
-    P_blocks = q * S
-    SB = P_blocks * B
-    NS = c // q
-    qB = q * B
-    NBm = P_blocks
+    sizes = super_sizes(pl_, q)
     eye_b = jnp.eye(B)
-    scol_idx = jnp.arange(SB)
 
     def local(U_local):
         me = lax.axis_index('n')
@@ -248,11 +253,13 @@ def invert_deferred(pl_: Plan, mesh: Mesh, super_block: int = 3584,
         dt = U_local.dtype
         eye = eye_b.astype(dt)
 
-        def invert_diag(D):
-            """Micro bottom-up inverse of one (SB,SB) upper block."""
+        def invert_diag(D, SB_s, NBm):
+            """Micro bottom-up inverse of one (SB_s, SB_s) upper block."""
+            scol_idx = jnp.arange(SB_s)
+
             def micro(i, D):
                 r0 = ((NBm - 1 - i) * B).astype(jnp.int32)
-                row = lax.dynamic_slice(D, _i32(r0, 0), (B, SB))
+                row = lax.dynamic_slice(D, _i32(r0, 0), (B, SB_s))
                 Dkk = lax.dynamic_slice(row, _i32(0, r0), (B, B))
                 Vkk = lax.linalg.triangular_solve(Dkk, eye, left_side=True,
                                                   lower=False)
@@ -268,38 +275,44 @@ def invert_deferred(pl_: Plan, mesh: Mesh, super_block: int = 3584,
 
             return lax.fori_loop(0, NBm, micro, D)
 
-        for s in range(NS - 1, -1, -1):          # bottom-up, unrolled
-            S0 = s * SB
-            S1 = S0 + SB
+        for s in range(len(sizes) - 1, -1, -1):  # bottom-up, unrolled
+            q_s = sizes[s]
+            lo = s * q * B
+            qB_s = q_s * B
+            SB_s = q_s * S * B
+            S0 = s * q * S * B
+            S1 = S0 + SB_s
             W = Npad - S0
             W1 = Npad - S1
+            c_below = c - (s * q + q_s)          # local blocks below panel
             # gather my panel rows of U, reorder to global panel order
-            mine = lax.slice(A, (s * qB, S0), ((s + 1) * qB, Npad))  # (qB, W)
+            mine = lax.slice(A, (lo, S0), (lo + qB_s, Npad))  # (qB_s, W)
             g_all = lax.all_gather(mine, 'n')
-            slab = (g_all.reshape(S, q, B, W).transpose(1, 0, 2, 3)
-                    .reshape(SB, W))
-            V_ss = invert_diag(lax.slice(slab, (0, 0), (SB, SB)))
+            slab = (g_all.reshape(S, q_s, B, W).transpose(1, 0, 2, 3)
+                    .reshape(SB_s, W))
+            V_ss = invert_diag(lax.slice(slab, (0, 0), (SB_s, SB_s)),
+                               SB_s, q_s * S)
             if W1 > 0:
                 # my finalized V rows below the panel: local blocks
-                # ci >= (s+1)*q, live cols >= S1
-                Vb = lax.slice(A, ((s + 1) * qB, S1), (c * B, Npad))
+                # ci >= s*q + q_s, live cols >= S1
+                Vb = lax.slice(A, (lo + qB_s, S1), (c * B, Npad))
                 # panel's U columns owned by ME below the panel: the
-                # (ci, d, b) view of the slab's cols >= SB, device axis at me
+                # (ci, d, b) view of the slab's cols >= SB_s, device at me
                 Uc = lax.dynamic_slice(
-                    slab[:, SB:].reshape(SB, c - (s + 1) * q, S, B),
-                    _i32(0, 0, me, 0), (SB, c - (s + 1) * q, 1, B)
-                ).reshape(SB, (c - (s + 1) * q) * B)
+                    slab[:, SB_s:].reshape(SB_s, c_below, S, B),
+                    _i32(0, 0, me, 0), (SB_s, c_below, 1, B)
+                ).reshape(SB_s, c_below * B)
                 T = lax.psum(jnp.matmul(Uc, Vb, precision=precision), 'n')
-                right = -jnp.matmul(V_ss, T, precision=precision)  # (SB, W1)
-                V_panel = jnp.concatenate([V_ss, right], axis=1)   # (SB, W)
+                right = -jnp.matmul(V_ss, T, precision=precision)  # (SB_s,W1)
+                V_panel = jnp.concatenate([V_ss, right], axis=1)   # (SB_s, W)
             else:
                 V_panel = V_ss
             mine_f = lax.dynamic_slice(
-                V_panel.reshape(q, S, B, W), _i32(0, me, 0, 0), (q, 1, B, W)
-            ).reshape(qB, W)
+                V_panel.reshape(q_s, S, B, W), _i32(0, me, 0, 0),
+                (q_s, 1, B, W)).reshape(qB_s, W)
             row = jnp.concatenate(
-                [jnp.zeros((qB, S0), dtype=dt), mine_f], axis=1)
-            A = lax.dynamic_update_slice(A, row, _i32(s * qB, 0))
+                [jnp.zeros((qB_s, S0), dtype=dt), mine_f], axis=1)
+            A = lax.dynamic_update_slice(A, row, _i32(lo, 0))
         return A
 
     fn = _shard_map(local, mesh=mesh, in_specs=(P('n'),), out_specs=P('n'))
@@ -421,7 +434,7 @@ def grads_ring_pairs(pl_: Plan, mesh: Mesh, super_block: int = 3584,
     cB = c * B
     q = super_q(pl_, super_block)
     SB = q * S * B
-    NS = c // q
+    NS = -(-c // q)              # tail chunk clamps + fresh-masks (below)
     qB = q * B
     seg_starts = _width_segments(NS, SB)
 
@@ -432,15 +445,19 @@ def grads_ring_pairs(pl_: Plan, mesh: Mesh, super_block: int = 3584,
         right = [(i, (i + 1) % S) for i in range(S)]
 
         def chunk(V_slab, x_slab, a_slab, dev, si):
-            """One qB-row super chunk of a device's slab + its metadata."""
-            r0 = (si * qB).astype(jnp.int32)
+            """One qB-row super chunk of a device's slab + its metadata.
+            The tail chunk is CLAMPED to the slab end and its overlap with
+            the previous chunk fresh-masked to zero (single-chip pair-tile
+            discipline) — q need not divide c."""
+            r0 = jnp.minimum(si * qB, (c - q) * B).astype(jnp.int32)
             Vr = lax.dynamic_slice(V_slab, _i32(r0, 0), (qB, Npad))
             xr = lax.dynamic_slice(x_slab, _i32(r0, 0), (qB, M))
             ar = lax.dynamic_slice(a_slab, _i32(r0, 0), (qB, 1))[:, 0]
-            ci = si * q + jnp.arange(q)
+            ci = (r0 // B) + jnp.arange(q)
             g_rows = ((ci * S + dev)[:, None] * B
                       + jnp.arange(B)[None, :]).reshape(-1)
-            return Vr, xr, ar, g_rows, (g_rows < N).astype(dt)
+            fresh = (r0 + jnp.arange(qB)) >= si * qB
+            return Vr, xr, ar, g_rows, ((g_rows < N) & fresh).astype(dt)
 
         def a_of(dev):
             return lax.dynamic_slice(

@@ -91,6 +91,53 @@ def test_ring_pair_grads_match_closed_form(engine):
     np.testing.assert_allclose(float(dn), np.trace(Bbar), rtol=1e-9)
 
 
+def test_tail_panel_engine_matches_oracle():
+    """q NOT dividing c: the partial tail super panel (round-4 tail-panel
+    generalization — the S=1 prime-c compile fix) is bit/oracle-exact
+    through chol, inverse, solves and the ring-pair grads."""
+    rng = np.random.default_rng(9)
+    M, Bt = 4, 16
+    X = rng.uniform(-1, 1, (N, M))
+    Y = rng.normal(size=(N, 1))
+    ls = jnp.asarray(np.full(M, 0.8))
+    s2, noise = jnp.asarray(1.1), jnp.asarray(0.05)
+    mesh = dist.make_n_mesh()
+    pl = dist.plan(N, S=mesh.devices.size, B=Bt)
+    assert pl.c == 3
+    eng = cd.DeferredEngine(pl, mesh, super_block=2 * mesh.devices.size * Bt,
+                            chol_precision=None,
+                            grad_precision=lax.Precision.HIGHEST)
+    assert eng.q == 2 and cd.super_sizes(pl, eng.q) == [2, 1]
+    xs = dist.to_stored(pl, X)
+    x_dev = jax.device_put(jnp.asarray(xs), dist._row_sharding(mesh))
+    y_dev = jnp.asarray(dist.to_stored(pl, Y))
+    Kg = (np.asarray(rbf_gram(jnp.asarray(X), jnp.asarray(X), ls, s2))
+          + float(noise) * np.eye(N))
+    Kpad = np.eye(pl.Npad)
+    Kpad[:N, :N] = Kg
+    _, inv = cd.stored_global_perms(pl)
+    K = eng.gram(x_dev, ls, s2, noise)
+    U = eng.chol(K)
+    U_oracle = np.linalg.cholesky(Kpad).T
+    np.testing.assert_allclose(np.asarray(U)[inv], U_oracle, atol=1e-11)
+    alpha = eng.bwd(U, eng.fwd(U, y_dev))
+    a_o = np.linalg.solve(Kg, Y)
+    np.testing.assert_allclose(dist.from_stored(pl, np.asarray(alpha)), a_o,
+                               atol=1e-9)
+    V = eng.inv(U)
+    np.testing.assert_allclose(np.asarray(V)[inv], np.linalg.inv(U_oracle),
+                               atol=1e-10)
+    Kinv = np.linalg.inv(Kg)
+    Bbar = 0.5 * (a_o @ a_o.T - Kinv)
+    W = Bbar * (Kg - float(noise) * np.eye(N))
+    D2 = (X[:, None, :] - X[None, :, :]) ** 2
+    dls_o = np.einsum('ab,abm->m', W, D2) / np.asarray(ls) ** 3
+    dls, ds2, dn = eng.grads(V, alpha, x_dev, ls, s2, noise)
+    np.testing.assert_allclose(np.asarray(dls), dls_o, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(float(ds2), W.sum() / float(s2), rtol=1e-9)
+    np.testing.assert_allclose(float(dn), np.trace(Bbar), rtol=1e-9)
+
+
 def test_distributed_gp_cyclic2_valgrad_matches_cyclic():
     """DistributedGP(dense_kernels=True) on the 8-device mesh selects the
     deferred engine and its custom-VJP LML value+grad matches the round-1
