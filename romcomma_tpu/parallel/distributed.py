@@ -399,6 +399,15 @@ class DistributedGP:
     #: variant stays opt-in.
     INV_TWO_LEVEL: bool = False
     INV_SUPER_BLOCK: int = 3584
+    #: N at/above which dense_kernels selects the deferred cyclic engine
+    #: even on a SINGLE-device mesh: with tail super panels its unrolled
+    #: static-width schedule + half-ring pair backward measured FASTER than
+    #: the upper engine on one v5e — 0.378 vs 0.545 s/val+grad at N=20000
+    #: and 4.04 vs 6.00 s at N=50000 (benchmarks/cyclic2_engine.py,
+    #: 2026-08-20) — at a ~3-4x one-time compile premium (55-93 s vs
+    #: 15-25 s through the remote helper, persisted to the compile cache).
+    #: Below this the upper engine's smaller compile wins the trade.
+    CYCLIC2_SINGLE_CHIP_MIN_N: int = 16384
 
     def __init__(self, N: int, mesh: Mesh | None = None, block: int = 256,
                  dtype=None, dense_kernels: bool = False,
@@ -433,7 +442,11 @@ class DistributedGP:
             dense_kernels = engine in ('upper', 'cyclic2')
             force_cyclic2 = engine == 'cyclic2'
         else:
-            force_cyclic2 = False
+            # production auto-selection: the deferred cyclic engine beats
+            # the upper engine on one chip at large N (see
+            # CYCLIC2_SINGLE_CHIP_MIN_N)
+            force_cyclic2 = (dense_kernels
+                             and N >= self.CYCLIC2_SINGLE_CHIP_MIN_N)
         if dense_kernels and self.plan.S == 1 and not force_cyclic2:
             # Row-major (upper-factor) engine: K = U^T U with every hot
             # access a contiguous (B, Npad) row slab, so the donated gram
@@ -1727,7 +1740,8 @@ class DistributedGP:
                 return tuple(fv + m * (rv - fv)
                              for rv, fv, m in zip(raw, frozen0, mask_f))
 
-        if (self.mesh.devices.size == 1 and self._engine != 'upper'
+        if (self.mesh.devices.size == 1
+                and self._engine not in ('upper', 'cyclic2')
                 and len(X) <= self.DENSE_DIRECT_MAX_N):
             # Degenerate mesh WITHOUT dense kernels: the block-cyclic
             # engine's generality costs ~5x per objective eval vs one dense
