@@ -5,6 +5,14 @@ reference lacks — SURVEY.md §4)."""
 import os
 
 os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+# Isolate the test run's persistent compile cache: concurrent writers on the
+# shared ~/.cache/romcomma_jax have produced a fatal abort inside jax's
+# cache deserialization (observed round 4); CPU test compiles are cheap and
+# a per-run tmpdir keeps reruns hermetic.
+import tempfile  # noqa: E402
+
+os.environ.setdefault('ROMCOMMA_JAX_CACHE',
+                      tempfile.mkdtemp(prefix='romcomma_test_cache_'))
 
 import jax  # noqa: E402
 
