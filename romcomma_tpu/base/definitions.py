@@ -44,14 +44,18 @@ jax.config.update('jax_enable_x64', True)
 jax.config.update('jax_default_matmul_precision', 'highest')
 
 # Persistent compilation cache: first-compile costs (20-40s per program on a
-# tunneled TPU) amortize across processes/rounds.
+# tunneled TPU) amortize across processes/rounds. ROMCOMMA_JAX_CACHE=''
+# disables it entirely (no serialization): xla's executable serializer has
+# segfaulted on specific CPU programs (observed round 4 on the rotated-Sobol
+# optimizer program), so cache-less is the safe mode for test runs.
 _cache_dir = os.environ.get('ROMCOMMA_JAX_CACHE', os.path.expanduser('~/.cache/romcomma_jax'))
-try:
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update('jax_compilation_cache_dir', _cache_dir)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
-except Exception:  # cache is an optimization only — never fail import
-    pass
+if _cache_dir:
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', _cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    except Exception:  # cache is an optimization only — never fail import
+        pass
 
 #: N below which always-f64 stages (GSA, posterior factorization) run on the
 #: host CPU backend when the default backend is an accelerator: native f64

@@ -5,14 +5,13 @@ reference lacks — SURVEY.md §4)."""
 import os
 
 os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
-# Isolate the test run's persistent compile cache: concurrent writers on the
-# shared ~/.cache/romcomma_jax have produced a fatal abort inside jax's
-# cache deserialization (observed round 4); CPU test compiles are cheap and
-# a per-run tmpdir keeps reruns hermetic.
-import tempfile  # noqa: E402
-
-os.environ.setdefault('ROMCOMMA_JAX_CACHE',
-                      tempfile.mkdtemp(prefix='romcomma_test_cache_'))
+# Disable the persistent compile cache for tests: xla's executable
+# SERIALIZER has segfaulted on specific CPU programs (observed round 4 on
+# the rotated-Sobol optimizer program — crash inside
+# compilation_cache.put_executable_and_time), and concurrent writers on the
+# shared dir have also corrupted entries mid-read. CPU test compiles are
+# cheap; cache-less is hermetic and immune to both failure modes.
+os.environ.setdefault('ROMCOMMA_JAX_CACHE', '')
 
 import jax  # noqa: E402
 
