@@ -56,6 +56,53 @@ def test_sobol_default_tier_escalates_on_accelerator(monkeypatch):
     assert 0.5 < S_safe[0] <= 1.01 and abs(S_safe[1]) < 0.1
 
 
+def test_fast_v_sanity_rerun_wiring(monkeypatch):
+    """The stacked error path's fast_V sanity check: an invalid base V from
+    the reduced tier triggers ONE rebuild without fast_V and a rerun."""
+    from romcomma_tpu.gsa import calibrators as cal_mod
+    rng = np.random.default_rng(6)
+    N, M, L = 200, 3, 2
+    X = rng.uniform(-1, 1, (N, M))
+    Y = np.stack([np.sin(3 * X[:, 0]), X[:, 1] ** 2], axis=-1) \
+        + 0.05 * rng.standard_normal((N, L))
+    dgp = dist.DistributedGP(N, dist.make_n_mesh(1), block=32,
+                             dense_kernels=True)
+    x_dev, y_dev = dgp.stage(X, Y)
+    ls = np.full((L, M), 1.0)
+    s2 = np.full(L, 1.0)
+    nz = np.full(L, 0.05)
+    real = cal_mod.marginalize_intervals_error_stacked
+    calls = []
+
+    def flaky(cals, flat, host_paced=True):
+        out = real(cals, flat, host_paced=host_paced)
+        calls.append(len(cals))
+        if len(calls) == 1:
+            # corrupt the first pass's V to trip the sanity check
+            import jax
+            return [dict(o, V=jnp.asarray(np.asarray(o['V']) * -1.0))
+                    for o in out]
+        return out
+
+    monkeypatch.setattr(dist, 'marginalize_intervals_error_stacked', flaky,
+                        raising=False)
+    import romcomma_tpu.gsa.calibrators as c2
+    monkeypatch.setattr(c2, 'marginalize_intervals_error_stacked', flaky)
+    import warnings
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        res = dgp.sobol_indices(ls, s2, nz, x_dev, y_dev, X,
+                                kind='first_order', error=True,
+                                is_T_partial=False, gsa_dtype=np.float32,
+                                error_solver='host')
+    assert len(calls) == 2, calls            # rerun happened
+    assert any('fast_V' in str(w.message) for w in caught
+               if w.category is RuntimeWarning)
+    for out in res:
+        for m in range(M):
+            assert 0.0 <= out['S'][m] <= 1.01 or abs(out['S'][m]) < 0.02
+
+
 def test_alpha_quality_escalation_hook(monkeypatch):
     """A refinement stall above ALPHA_QUALITY_RTOL triggers ONE
     HIGHEST-precision refactorization (observable via _chol_precise)."""
