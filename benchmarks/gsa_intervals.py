@@ -53,6 +53,8 @@ def main(N: int = 20000, M: int = 30, modes: str = 'f64,mixed'):
               if mode == 'mixed' else
               {'gsa_dtype': np.float64, 'intervals_mixed': 'ff'}
               if mode == 'ff' else
+              {'gsa_dtype': np.float64, 'intervals_mixed': 'df'}
+              if mode == 'df' else
               {} if mode == 'default' else   # backend policy (accelerators:
                                              # f32 planes + f64 accumulation)
               {'gsa_dtype': np.float32, 'intervals_mixed': False})

@@ -69,15 +69,17 @@ def shifted_exp(E: jnp.ndarray, axes, mode: str = 'f32',
 
 
 def exp_mode_of(intervals_mixed, dtype):
-    """Resolve a meta ``intervals_mixed`` value (False | True | 'ff') and the
-    working dtype to a :func:`shifted_exp` mode: None (pure f64 exp), 'f32'
-    or 'ff'. A float32 working dtype always shifts ('f32' — the direct
-    path; it reaches the same E > 88 overflow regime)."""
+    """Resolve a meta ``intervals_mixed`` value (False | True | 'ff' | 'df')
+    and the working dtype to a plane tier: None (pure f64 exp), 'f32', 'ff'
+    (float-float exp on f64 planes) or 'df' (the whole plane pipeline in
+    double-f32 pairs — ops/fastmath.py — at native f32 rate). A float32
+    working dtype always shifts ('f32' — the direct path; it reaches the
+    same E > 88 overflow regime)."""
     if dtype != jnp.float64:
         return 'f32'
     if not intervals_mixed:
         return None
-    return 'ff' if intervals_mixed == 'ff' else 'f32'
+    return intervals_mixed if intervals_mixed in ('ff', 'df') else 'f32'
 
 
 # the float-float exp implementation lives in the ops layer so the gram

@@ -296,6 +296,25 @@ class ClosedSobol(Calibrator):
             return ('suffix', a)
         return ('general', 0)
 
+    @staticmethod
+    def _interval_specs(slices: 'Tuple[Tuple[int, int], ...]', M: int):
+        """(specs, need) of the factorized pass, with the FULL (0, M) slice
+        served by whichever cumulative sweep already runs: it is both
+        families' end state (E_{<=M} == E_{>=0}), so when no PROPER prefix
+        (0, b<M) is requested it reclassifies to ('suffix', 0) and the
+        forward scan is skipped entirely. The production first_order+total
+        pass then runs ONE reverse scan — one e_step and two quadforms per
+        dim instead of two scans with two e_steps (measured ~25% of the
+        interval sweep at N=20000)."""
+        specs = [ClosedSobol._classify_interval(m, M) for m in slices]
+        proper_prefix = any(k == 'prefix' and idx < M for k, idx in specs)
+        if not proper_prefix:
+            specs = [('suffix', 0) if (k == 'prefix' and idx == M) else (k, idx)
+                     for k, idx in specs]
+        need = {k: any(s[0] == k for s in specs)
+                for k in ('single', 'prefix', 'suffix')}
+        return specs, need
+
     def _intervals_chunk(self) -> int:
         """Column-chunk size for the factorized pass: ~5 live
         (l,L,N,j,J,chunk) planes inside the scan."""
@@ -308,11 +327,20 @@ class ClosedSobol(Calibrator):
         budget = self.V_MEMORY_BUDGET_BYTES // jnp.dtype(self.X.dtype).itemsize
         return int(min(self.N, max(128, budget // (lb * lb * self.N * 5))))
 
-    def _intervals_pack(self, chunk: int) -> Dict[str, jnp.ndarray]:
+    def _intervals_pack(self, chunk: int, pairs: bool = False
+                        ) -> Dict[str, jnp.ndarray]:
         """The traced per-OUTPUT tensors of the factorized interval pass, as
         one flat pytree — so independent single-output calibrators sharing X
         can be stacked along a leading axis and the chunk step vmapped over
-        outputs (:func:`marginalize_intervals_stacked`)."""
+        outputs (:func:`marginalize_intervals_stacked`).
+
+        ``pairs`` (the 'df' tier) adds double-f32 (hi, lo) splits of every
+        e-plane input. The splits MUST happen here, in the eagerly-built
+        pack, never inside the compiled chunk body: fused with consuming
+        f32 arithmetic, the XLA CPU emitter elides the f64->f32 convert and
+        computes the consuming add at f64 — a non-IEEE 1-ulp divergence
+        (verified against a host IEEE add) that silently defeats the
+        two_sum error capture the whole tier is built on."""
         l, L, N, M = self.G.shape
         g = self.g0KY                                             # (l,L,N)
         Gamma = 1 - self.Phi
@@ -327,14 +355,36 @@ class ClosedSobol(Calibrator):
         Gq = jnp.moveaxis(Gq.reshape(l, L, nc, chunk, M), 2, 0)    # (nc,j,J,c,M)
         gq = jnp.moveaxis(jnp.pad(g, ((0, 0), (0, 0), (0, Npad - N))
                                   ).reshape(l, L, nc, chunk), 2, 0)  # (nc,j,J,c)
-        return {'g': g,
-                'Gq': Gq, 'gq': gq,
-                'Gp_m': jnp.moveaxis(self.G, -1, 0),               # (M,l,L,N)
-                'Phi_m': jnp.moveaxis(self.Phi, -1, 0),            # (M,l,L)
-                'PsiPhi_m': jnp.moveaxis(PsiPhi, -1, 0),           # (M,l,L,j,J)
-                'inv_single': 1.0 / d,
-                'inv_prefix': 1.0 / jnp.cumprod(d, axis=-1),       # 1/D_{<=m+1}
-                'inv_suffix': 1.0 / jnp.cumprod(d[..., ::-1], axis=-1)[..., ::-1]}
+        out = {'g': g,
+               'Gq': Gq, 'gq': gq,
+               'Gp_m': jnp.moveaxis(self.G, -1, 0),               # (M,l,L,N)
+               'Phi_m': jnp.moveaxis(self.Phi, -1, 0),            # (M,l,L)
+               'PsiPhi_m': jnp.moveaxis(PsiPhi, -1, 0),           # (M,l,L,j,J)
+               'inv_single': 1.0 / d,
+               'inv_prefix': 1.0 / jnp.cumprod(d, axis=-1),       # 1/D_{<=m+1}
+               'inv_suffix': 1.0 / jnp.cumprod(d[..., ::-1], axis=-1)[..., ::-1]}
+        if pairs:
+            from romcomma_tpu.ops import fastmath as fm
+            sh = 0.5 * self.G ** 2 / self.Phi[:, :, None, :]       # (l,L,N,M)
+            w = -0.5 / PsiPhi                                      # (l,L,j,J,M)
+            for key, val in (('Gp_m', out['Gp_m']),
+                             ('sh_m', jnp.moveaxis(sh, -1, 0)),
+                             ('Phi_m', out['Phi_m']),
+                             ('w_m', jnp.moveaxis(w, -1, 0)),
+                             ('Gq', Gq)):
+                out[key + '_hi'], out[key + '_lo'] = fm.split_f64(val)
+            # runtime-opaque 1.0 for fastmath._seal — MUST reach the body
+            # as a traced argument (never a closed-over literal), so every
+            # chunk-loop passes the pack as a jit parameter.
+            out['one'] = jnp.ones((), jnp.float32)
+        return out
+
+    #: chunk-stacked pack keys sliced per chunk step as the body's ``xs``
+    #: (the df tier adds the pre-split q-side pair).
+    @staticmethod
+    def _intervals_xs_keys(exp_mode) -> Tuple[str, ...]:
+        return (('Gq', 'gq', 'Gq_hi', 'Gq_lo') if exp_mode == 'df'
+                else ('Gq', 'gq'))
 
     def _intervals_exp_mode(self):
         """The shifted_exp tier of the interval planes: None (pure f64 exp),
@@ -397,27 +447,27 @@ class ClosedSobol(Calibrator):
         outside jit.
         """
         from jax import lax
-        specs = [self._classify_interval(m, self.M) for m in slices]
+        specs, need = self._interval_specs(slices, self.M)
         if self.meta.get('defer_V', False) and any(k == 'general' for k, _ in specs):
             # The general-slice fallback goes through marginalize(), whose S
             # normalization reads self.V[2] — skipped under defer_V.
             raise ValueError('defer_V mode supports only canonical interval '
                              'slices (single dim / prefix / suffix / empty); '
                              f'got a general slice in {tuple(slices)}.')
-        need = {k: any(s[0] == k for s in specs)
-                for k in ('single', 'prefix', 'suffix')}
         l, L, N, M = self.G.shape
         import time as _time
         _t_pack = _time.time()
+        exp_mode = self._intervals_exp_mode()
         chunk = self._intervals_chunk()
-        pack = self._intervals_pack(chunk)
+        pack = self._intervals_pack(chunk, pairs=exp_mode == 'df')
         _t_pack = _time.time() - _t_pack
         nc = pack['Gq'].shape[0]
+        xs_keys = self._intervals_xs_keys(exp_mode)
         acc_dtype = (jnp.float64 if self.meta.get('intervals_acc_f64', False)
                      else self.G.dtype)
         from romcomma_tpu.gsa.base import contract_by_reduce
         chunk_body, chunk_body_jit = _intervals_programs(
-            need, self._intervals_exp_mode(), (l, L, N, M), self.G.dtype,
+            need, exp_mode, (l, L, N, M), self.G.dtype,
             acc_dtype, contract_by_reduce(self.G))
         zero_qf = jnp.zeros((M, l, L, l, L), dtype=acc_dtype)
 
@@ -428,7 +478,8 @@ class ClosedSobol(Calibrator):
             # S chunks per host round-trip (gsa/mesh.py).
             from romcomma_tpu.gsa.mesh import intervals_sweep
             acc = intervals_sweep(mesh, pack, chunk_body,
-                                  (zero_qf, zero_qf, zero_qf), host_paced)
+                                  (zero_qf, zero_qf, zero_qf), host_paced,
+                                  xs_keys=xs_keys)
         elif host_paced:
             import jax
             import time as _time
@@ -436,14 +487,20 @@ class ClosedSobol(Calibrator):
             step = chunk_body_jit
             acc = (zero_qf, zero_qf, zero_qf)
             for i in range(int(nc)):
-                acc = step(pack, acc, (pack['Gq'][i], pack['gq'][i]))
+                acc = step(pack, acc, tuple(pack[k][i] for k in xs_keys))
             jax.block_until_ready(acc)
             self.last_v_sweep_timings = {
                 'chunks': int(nc), 'loop_s': round(_time.time() - t0, 2)}
         else:
-            acc, _ = lax.scan(lambda a, xs: (chunk_body(pack, a, xs), None),
-                              (zero_qf, zero_qf, zero_qf),
-                              (pack['Gq'], pack['gq']))
+            import jax
+
+            def _sweep(pack_a, xs_stack, acc0):
+                # pack rides as an ARGUMENT (not a closure constant) so the
+                # df tier's runtime-opaque one cannot be constant-folded
+                return lax.scan(lambda a, xs: (chunk_body(pack_a, a, xs),
+                                               None), acc0, xs_stack)[0]
+            acc = jax.jit(_sweep)(pack, tuple(pack[k] for k in xs_keys),
+                                  (zero_qf, zero_qf, zero_qf))
         _t_fin = _time.time()
         columns = self._intervals_finalize(pack, acc, specs, slices)
         V = jnp.stack(columns, axis=-1)
@@ -504,6 +561,10 @@ def _intervals_body(need: Dict[str, bool], exp_mode,
     from jax import lax
     from romcomma_tpu.gsa.base import shifted_exp
     l, L, N, M = dims
+    is_df = exp_mode == 'df'
+    if is_df:
+        assert dtype == jnp.float64, 'the df tier splits float64 inputs'
+        acc_dtype = jnp.float64
     acc_dtype = dtype if acc_dtype is None else acc_dtype
 
     def e_step(Gp1, Phi1, PsiPhi1, Gq1):
@@ -517,12 +578,40 @@ def _intervals_body(need: Dict[str, bool], exp_mode,
         e = -0.5 * diff * diff / PsiPhi1[:, :, :, :, None, None]
         return e + 0.5 * (Gp1 * Gp1 / Phi1[..., None])[:, :, None, None, :, None]
 
+    def e_step_df(Gp, sh, Phi, w, Gq):
+        """The 'df' tier's exponent plane as a double-f32 (hi, lo) pair —
+        the same math as :func:`e_step` carried in error-free-transformed
+        f32 pairs (ops/fastmath.py) at native f32 VPU rate, ~2e-12 plane
+        accuracy vs the 'ff' tier's 3e-11 at a fraction of its
+        emulated-f64 cost. EVERY argument arrives as an already-split pair
+        from the EAGERLY-built pack: inside a compiled body an f64->f32
+        convert feeding f32 arithmetic is not reliably rounded (the XLA
+        CPU emitter fuses the convert away and computes the consuming add
+        at f64, a 1-ulp non-IEEE divergence that defeats the two_sum error
+        capture — measured, see _intervals_pack), so the body must be
+        pure-f32."""
+        from romcomma_tpu.ops import fastmath as fm
+        bq = fm.df_mul(tuple(t[:, :, None, None, None] for t in Phi),
+                       tuple(t[None, None] for t in Gq))       # (l,L,j,J,c)
+        GpB = tuple(t[:, :, None, None, :, None] for t in Gp)
+        d = fm.df_add_norm(GpB, fm.df_neg(
+            tuple(t[:, :, :, :, None, :] for t in bq)))
+        q = fm.df_mul(fm.df_square(d),
+                      tuple(t[:, :, :, :, None, None] for t in w))
+        return fm.df_add_norm(
+            q, tuple(t[:, :, None, None, :, None] for t in sh))
+
     def body(pack, acc, xs):
         g = pack['g']                                          # (l,L,N)
-        Gq_c, gq_c = xs                                        # (j,J,c,M), (j,J,c)
+        Gq_c, gq_c = xs[0], xs[1]                              # (j,J,c,M), (j,J,c)
         acc_s, acc_p, acc_f = acc
-        Gq_cm = jnp.moveaxis(Gq_c, -1, 0)                      # (M,j,J,c)
-        dims_m = (pack['Gp_m'], pack['Phi_m'], pack['PsiPhi_m'], Gq_cm)
+        if is_df:
+            pair = lambda k: (pack[k + '_hi'], pack[k + '_lo'])
+            dims_m = (pair('Gp_m'), pair('sh_m'), pair('Phi_m'), pair('w_m'),
+                      (jnp.moveaxis(xs[2], -1, 0), jnp.moveaxis(xs[3], -1, 0)))
+        else:
+            Gq_cm = jnp.moveaxis(Gq_c, -1, 0)                  # (M,j,J,c)
+            dims_m = (pack['Gp_m'], pack['Phi_m'], pack['PsiPhi_m'], Gq_cm)
 
         def contract(plane):
             """g- and gq-weighted contraction of a plane over (N, c).
@@ -547,29 +636,84 @@ def _intervals_body(need: Dict[str, bool], exp_mode,
             return (contract(plane).astype(acc_dtype)
                     * jnp.exp(c_max[:, :, :, :, 0, 0].astype(acc_dtype)))
 
-        E0_shape = (l, L) + Gq_c.shape[:2] + (N, Gq_c.shape[2])
-        if need['single'] or need['prefix']:
-            zero = jnp.zeros((l, L, l, L), dtype=acc_dtype)
+        def qf_df(Epair):
+            """df-tier quadform: shift by the plane max (the shift rounding
+            captured into the lo part), double-f32 exp, then the SAME f64
+            contraction as the f64-plane tiers on the pair collapsed to f64
+            (2 cheap f64 ops per element). The contraction CANNOT run in
+            f32 — the quadform cancellation is joint over (N, c), so an
+            f32 MXU sum against the alpha-weighted gq reintroduces the
+            amplification the pair pipeline just removed (measured: ~2e-7
+            tier error at benign conditioning and O(1) breakage at the
+            converged optimum, vs ~1e-11 with the f64 contraction)."""
+            from romcomma_tpu.ops import fastmath as fm
+            E_hi, E_lo = Epair
+            c_max = jnp.max(E_hi, axis=(4, 5), keepdims=True)
+            r_hi, e_r = fm.two_sum(E_hi, -c_max)
+            p_hi, p_lo = fm.df_exp_nonpos(r_hi, e_r + E_lo)
+            plane = p_hi.astype(jnp.float64) + p_lo.astype(jnp.float64)
+            return (contract(plane)
+                    * jnp.exp(c_max[:, :, :, :, 0, 0].astype(jnp.float64)))
 
-            def fwd(E, xs_m):
-                e = e_step(*xs_m)
-                E = E + e
-                ys = (qf(e) if need['single'] else zero,
-                      qf(E) if need['prefix'] else zero)
-                return E, ys
-            E0 = jnp.zeros(E0_shape, dtype=dtype)
-            _, (ys_s, ys_p) = lax.scan(fwd, E0, dims_m)
-            if need['single']:
-                acc_s = acc_s + ys_s
+        E0_shape = (l, L) + Gq_c.shape[:2] + (N, Gq_c.shape[2])
+        zero = jnp.zeros((l, L, l, L), dtype=acc_dtype)
+        if is_df:
+            import contextlib
+            from romcomma_tpu.ops import fastmath as fm
+            e_fn, qf_fn = e_step_df, qf_df
+            eacc = fm.df_add_norm
+            # the runtime-opaque one rides the pack (a traced argument) —
+            # required on backends whose emitter rewrites f32 arithmetic
+            # inside fusions (XLA:CPU; the TPU backend measured IEEE-clean)
+            seal_ctx = fm.opaque_one(pack['one'])
+
+            def make_E0():
+                z = jnp.zeros(E0_shape, dtype=jnp.float32)
+                return (z, z)
+        else:
+            import contextlib
+            e_fn, qf_fn = e_step, qf
+            seal_ctx = contextlib.nullcontext()
+
+            def eacc(E, e):
+                return E + e
+
+            def make_E0():
+                return jnp.zeros(E0_shape, dtype=dtype)
+        # The single-dim quadform rides whichever cumulative scan already
+        # runs (its plane e_m is bitwise the same either way); only when
+        # neither family is requested does it get a carry-less scan of its
+        # own. Production (first_order+total via _interval_specs) is the
+        # suffix branch alone: one e_step + two quadforms per dim.
+        single_on_bwd = need['suffix']
+        with seal_ctx:
             if need['prefix']:
+                def fwd(E, xs_m):
+                    e = e_fn(*xs_m)
+                    E = eacc(E, e)
+                    ys = (qf_fn(e) if need['single'] and not single_on_bwd
+                          else zero, qf_fn(E))
+                    return E, ys
+                _, (ys_s, ys_p) = lax.scan(fwd, make_E0(), dims_m)
                 acc_p = acc_p + ys_p
-        if need['suffix']:
-            def bwd(E, xs_m):
-                E = E + e_step(*xs_m)
-                return E, qf(E)
-            E0 = jnp.zeros(E0_shape, dtype=dtype)
-            _, ys_f = lax.scan(bwd, E0, dims_m, reverse=True)
-            acc_f = acc_f + ys_f
+                if need['single'] and not single_on_bwd:
+                    acc_s = acc_s + ys_s
+            elif need['single'] and not single_on_bwd:
+                def fwd(carry, xs_m):
+                    return carry, qf_fn(e_fn(*xs_m))
+                _, ys_s = lax.scan(fwd, jnp.zeros((), dtype=dtype), dims_m)
+                acc_s = acc_s + ys_s
+            if need['suffix']:
+                def bwd(E, xs_m):
+                    e = e_fn(*xs_m)
+                    E = eacc(E, e)
+                    ys = (qf_fn(e) if need['single'] else zero, qf_fn(E))
+                    return E, ys
+                _, (ys_s, ys_f) = lax.scan(bwd, make_E0(), dims_m,
+                                           reverse=True)
+                acc_f = acc_f + ys_f
+                if need['single']:
+                    acc_s = acc_s + ys_s
         return (acc_s, acc_p, acc_f)
 
     return body
@@ -593,12 +737,10 @@ def marginalize_intervals_stacked(cals: 'List[ClosedSobol]',
     from jax import lax
     first = cals[0]
     O = len(cals)
-    specs = [first._classify_interval(m, first.M) for m in slices]
+    specs, need = first._interval_specs(slices, first.M)
     if any(k == 'general' for k, _ in specs):
         raise ValueError('stacked interval passes support only canonical '
                          f'interval slices; got {tuple(slices)}.')
-    need = {k: any(s[0] == k for s in specs)
-            for k in ('single', 'prefix', 'suffix')}
     l, L, N, M = first.G.shape
     exp_mode = first._intervals_exp_mode()
     for c in cals:
@@ -613,9 +755,10 @@ def marginalize_intervals_stacked(cals: 'List[ClosedSobol]',
     chunk = (first._intervals_chunk()
              if first.meta.get('n_chunk', None) is not None
              else max(64, first._intervals_chunk() // O))
-    packs = [c._intervals_pack(chunk) for c in cals]
+    packs = [c._intervals_pack(chunk, pairs=exp_mode == 'df') for c in cals]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *packs)
     nc = packs[0]['Gq'].shape[0]
+    xs_keys = first._intervals_xs_keys(exp_mode)
     acc_dtype = (jnp.float64 if first.meta.get('intervals_acc_f64', False)
                  else first.G.dtype)
     from romcomma_tpu.gsa.base import contract_by_reduce
@@ -627,10 +770,16 @@ def marginalize_intervals_stacked(cals: 'List[ClosedSobol]',
     if host_paced:
         step = vbody_jit
         for i in range(int(nc)):
-            acc = step(stacked, acc, (stacked['Gq'][:, i], stacked['gq'][:, i]))
+            acc = step(stacked, acc,
+                       tuple(stacked[k][:, i] for k in xs_keys))
     else:
-        xs = (jnp.moveaxis(stacked['Gq'], 1, 0), jnp.moveaxis(stacked['gq'], 1, 0))
-        acc, _ = lax.scan(lambda a, x: (vbody(stacked, a, x), None), acc, xs)
+        xs = tuple(jnp.moveaxis(stacked[k], 1, 0) for k in xs_keys)
+
+        def _sweep(stacked_a, xs_stack, acc0):
+            # argument, not closure — see marginalize_intervals
+            return lax.scan(lambda a, x: (vbody(stacked_a, a, x), None),
+                            acc0, xs_stack)[0]
+        acc = jax.jit(_sweep)(stacked, xs, acc)
     out = []
     for o, cal in enumerate(cals):
         cols = cal._intervals_finalize(packs[o], tuple(a[o] for a in acc),

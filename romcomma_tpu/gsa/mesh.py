@@ -66,35 +66,38 @@ def _tree_psum(t, axis_name: str = 'n'):
 # --------------------------------------------------------------------------- #
 
 def intervals_sweep(mesh: Mesh, pack: Dict, chunk_body, zeros: Tuple,
-                    host_paced: bool) -> Tuple:
+                    host_paced: bool,
+                    xs_keys: Tuple[str, ...] = ('Gq', 'gq')) -> Tuple:
     """Run the V-pass chunk loop over the mesh; returns the psum'd
     accumulator triple (replicated), drop-in for the single-device loop in
-    ClosedSobol.marginalize_intervals."""
+    ClosedSobol.marginalize_intervals. ``xs_keys`` names the chunk-stacked
+    pack entries the body consumes per chunk (the df tier adds its
+    pre-split q-side pair)."""
     S = mesh.devices.size
-    xs, nc_pad = _pad_chunks((pack['Gq'], pack['gq']), S)
+    xs, nc_pad = _pad_chunks(tuple(pack[k] for k in xs_keys), S)
     # the chunk stacks ride the sharded xs; everything else replicates
-    pack_rep = {k: v for k, v in pack.items() if k not in ('Gq', 'gq')}
+    pack_rep = {k: v for k, v in pack.items() if k not in xs_keys}
 
     if host_paced:
         def slab(pack_r, xs_s):
-            out = chunk_body(pack_r, zeros, (xs_s[0][0], xs_s[1][0]))
+            out = chunk_body(pack_r, zeros, tuple(x[0] for x in xs_s))
             return _tree_psum(out)
         step = jax.jit(_shard_map(slab, mesh=mesh, in_specs=(P(), P('n')),
                                   out_specs=P()))
         acc = zeros
         for i in range(nc_pad // S):
             sl = slice(i * S, (i + 1) * S)
-            acc = _tree_add(acc, step(pack_rep, (xs[0][sl], xs[1][sl])))
+            acc = _tree_add(acc, step(pack_rep, tuple(x[sl] for x in xs)))
         return acc
 
-    def local(pack_r, Gq, gq):
+    def local(pack_r, xs_l):
         out, _ = lax.scan(lambda a, x: (chunk_body(pack_r, a, x), None),
-                          zeros, (Gq, gq))
+                          zeros, xs_l)
         return _tree_psum(out)
 
-    fn = _shard_map(local, mesh=mesh, in_specs=(P(), P('n'), P('n')),
+    fn = _shard_map(local, mesh=mesh, in_specs=(P(), P('n')),
                     out_specs=P())
-    return fn(pack_rep, xs[0], xs[1])
+    return fn(pack_rep, xs)
 
 
 # --------------------------------------------------------------------------- #

@@ -439,6 +439,13 @@ class DistributedGP:
         # harnesses measure engines head-to-head on the same mesh):
         # 'upper' (S=1 only), 'cyclic2' (any S), 'cyclic'.
         if engine is not None:
+            if engine == 'upper' and self.mesh.devices.size > 1:
+                # Silently serving cyclic2 here would let a benchmark
+                # harness "measure the upper engine" on a mesh where it
+                # cannot run (ADVICE r4).
+                raise ValueError("engine='upper' is single-device only; "
+                                 f"this mesh has {self.mesh.devices.size} "
+                                 "devices — use engine='cyclic2'.")
             dense_kernels = engine in ('upper', 'cyclic2')
             force_cyclic2 = engine == 'cyclic2'
         else:
@@ -1102,9 +1109,12 @@ class DistributedGP:
             L = K = None
             # Same plan (N, S, B) -> the stored layout is identical: reuse
             # the staged arrays cast to f64 instead of re-staging from host.
+            # Same plan AND same engine: dense_kernels=True alone would
+            # auto-select cyclic2 at N>=16384 even when this engine is
+            # 'upper', compiling a second engine whose f64 emulated compile
+            # is ~7x slower, for a one-shot solve (ADVICE r4).
             dgp64 = DistributedGP(self.plan.N, self.mesh, block=self.plan.B,
-                                  dtype=np.float64,
-                                  dense_kernels=self._engine != 'cyclic')
+                                  dtype=np.float64, engine=self._engine)
             x64s = jax.device_put(x64, _row_sharding(self.mesh))
             K64 = dgp64._gram(x64s, ls64, s264, n64)
             L64 = dgp64._chol(K64)
@@ -1338,13 +1348,16 @@ class DistributedGP:
                 # emulated-f64 V pass (~167 s of a ~740 s N=20k error run).
                 meta['fast_V'] = True
         if intervals_mixed is None:
-            # exp tier of f64 planes on accelerators: shifted-f32 (~1e-7)
-            # normally, but float-float (~3e-11) whenever the conditioning
-            # gate failed — the same amplification that breaks f32 planes
-            # breaks a 1e-7 exp tier (measured: S in [-0.18, 0.82] vs the
-            # oracle's [0.44, 0.56] at the converged optimum under the
-            # shifted tier, with a 5e-7-accurate alpha).
-            intervals_mixed = (('ff' if (error or not gate_ok) else True)
+            # Tier of f64 planes on accelerators: shifted-f32 exp (~1e-7)
+            # normally; whenever the conditioning gate failed, the 'df'
+            # double-f32 pipeline (~2e-12 planes at near-f32 rate,
+            # ops/fastmath.py) — the same amplification that breaks f32
+            # planes breaks a 1e-7 exp tier (measured: S in [-0.18, 0.82]
+            # vs the oracle's [0.44, 0.56] at the converged optimum under
+            # the shifted tier, with a 5e-7-accurate alpha). ERROR passes
+            # keep f64 planes + 'ff' exp (the W/T sweep engine's tier).
+            intervals_mixed = (('ff' if error else
+                                ('df' if not gate_ok else True))
                                if on_accel and f64 == jnp.float64 else False)
         meta['intervals_mixed'] = intervals_mixed
         t0 = time.time()

@@ -252,16 +252,21 @@ def _gsa_fold_batched(name: str, repo: Repository, is_covariant: Optional[bool],
     names_by_fold: Dict[int, List[Path]] = {}
     for covariant, isotropic in _model_passes(is_covariant, is_isotropic):
         full_name = _model_name(name, covariant, isotropic)
-        per_fold = []
+        loaded = []
         for k in fold_ks:
             fold = Fold(repo, k)
             gp = MOGP(full_name, fold, is_read=True, is_covariant=covariant,
                       is_isotropic=isotropic)
-            sobols = [Sobol(gp, kind, m, is_error_calculated, **kwargs)
-                      for kind in kinds]
-            per_fold.append((fold, gp, sobols))
-        if any(gp.N >= GSA_HOST_PACED_AT_N for _, gp, _ in per_fold):
+            loaded.append((fold, gp))
+        # Eligibility BEFORE constructing Sobol objects: their constructors
+        # create gsa output folders on disk, so an ineligible at-scale run
+        # must not pay those side effects twice when the sequential loop
+        # re-creates them (ADVICE r4).
+        if any(gp.N >= GSA_HOST_PACED_AT_N for _, gp in loaded):
             return None
+        per_fold = [(fold, gp, [Sobol(gp, kind, m, is_error_calculated,
+                                      **kwargs) for kind in kinds])
+                    for fold, gp in loaded]
         groups: Dict[tuple, List[int]] = {}
         for i, (_, gp, _) in enumerate(per_fold):
             groups.setdefault((gp.N, gp.M, gp.L), []).append(i)

@@ -53,6 +53,18 @@ class DOE:
         levels_per_axis = N // M
         if levels_per_axis < 1:
             raise ValueError(f'full_factorial needs N >= M, got N={N}, M={M}.')
+        rows = levels_per_axis ** M
+        if rows > 2 ** 24:
+            # N here is levels-budget, NOT row count: a caller passing a
+            # sample budget as N at production M (~30) would otherwise get
+            # an astronomically sized design instead of an error (ADVICE
+            # r4). 2^24 rows (~4 GB at M=30 f64) is far beyond any design
+            # this framework trains on.
+            raise ValueError(
+                f'full_factorial produces (N // M)**M = {levels_per_axis}**{M} '
+                f'= {rows:.3e} rows — N is a levels budget (N // M levels '
+                'per axis), not a sample count; use latin_hypercube for '
+                'sample-budget designs.')
         centers = (np.arange(levels_per_axis) + 0.5) / levels_per_axis
         mesh = np.meshgrid(*(M * (centers,)), indexing='ij')
         return np.stack([axis.ravel() for axis in mesh], axis=-1)
