@@ -460,15 +460,25 @@ class ClosedSobol(Calibrator):
         exp_mode = self._intervals_exp_mode()
         chunk = self._intervals_chunk()
         pack = self._intervals_pack(chunk, pairs=exp_mode == 'df')
+        pack_device = self.meta.get('pack_device', None)
+        if pack_device is not None:
+            # setup ran on the host CPU (native f64, no per-op tunnel
+            # round-trips — distributed.sobol_indices); the chunk loop runs
+            # on the accelerator: ONE batched transfer of the whole pack.
+            import jax
+            pack = jax.device_put(pack, pack_device)
+            jax.block_until_ready(pack)
         _t_pack = _time.time() - _t_pack
         nc = pack['Gq'].shape[0]
         xs_keys = self._intervals_xs_keys(exp_mode)
         acc_dtype = (jnp.float64 if self.meta.get('intervals_acc_f64', False)
                      else self.G.dtype)
         from romcomma_tpu.gsa.base import contract_by_reduce
+        # the contraction form follows where the chunk loop EXECUTES (the
+        # moved pack), not where the calibrator was built
         chunk_body, chunk_body_jit = _intervals_programs(
             need, exp_mode, (l, L, N, M), self.G.dtype,
-            acc_dtype, contract_by_reduce(self.G))
+            acc_dtype, contract_by_reduce(pack['g']))
         zero_qf = jnp.zeros((M, l, L, l, L), dtype=acc_dtype)
 
         mesh = getattr(self, 'gsa_mesh', None)

@@ -499,6 +499,22 @@ def calibrate_covariant_host(raw: CovariantParams, mask: CovariantParams,
     wd = jax.tree_util.tree_leaves(raw)[0].dtype
     x, y = x.astype(wd), y.astype(wd)
     if ls_frozen:
+        from romcomma_tpu.parallel.distributed import make_n_mesh
+        mesh = make_n_mesh()
+        if mesh.devices.size > 1:
+            # Multi-device: the covariant gram is just another SPD matrix —
+            # route through the cyclic2 deferred engine with the covariant
+            # gram builder + one-hot (dF, dnoise) pair-tile gradient
+            # (parallel/covariant_mesh.py), lifting the single-chip
+            # LN ~ 32k HBM ceiling to ~32k * sqrt(S) (per-device memory
+            # LN^2/S). Parity vs this single-chip chain pinned at
+            # S in {1, 2, 8} by tests/test_covariant_mesh.py.
+            import numpy as _np
+            from romcomma_tpu.parallel.covariant_mesh import (
+                DistributedCovariantGP)
+            dgp = DistributedCovariantGP(x.shape[0], y.shape[1], mesh)
+            return dgp.calibrate(_np.asarray(x), _np.asarray(y), raw, mask,
+                                 maxiter=maxiter, gtol=gtol, ftol=ftol)
         objective, merge = _covariant_objective_upper(raw, mask, x, y)
         res = lbfgs.minimize_scipy(objective, raw, maxiter=maxiter, gtol=gtol,
                                    ftol=ftol, fuse=False)

@@ -999,6 +999,13 @@ class DistributedGP:
     #: optimum vs 5.6e-7 from a true-f32 factor + refinement) — the engine
     #: refactorizes once at HIGHEST precision and refines again.
     ALPHA_QUALITY_RTOL: float = 1e-6
+
+    #: conditioning above which posterior_alpha factors at HIGHEST precision
+    #: DIRECTLY: the HIGH (bf16x3) factor's refinement provably stalls there
+    #: (measured floor 3.4e-2 alpha error at cond ~2.1e6, round 4) and the
+    #: old path paid a doomed HIGH Cholesky + stalled rounds before
+    #: escalating. Set at the same decade the GSA f32-planes gate uses.
+    HIGH_FACTOR_COND_LIMIT: float = 1e6
     #: f64 (Npad,Npad) bytes allowed for the last-rung true-f64 posterior
     #: rescue (one emulated-f64 factorization); past it the deep refinement
     #: is the ceiling.
@@ -1039,8 +1046,21 @@ class DistributedGP:
         factor to HIGHEST precision once and refines again (round-4 fix:
         the HIGH-tier factor stalls refinement at the converged optimum)."""
         ls, s2, noise = self._cast_hypers(x_dev, ls, s2, noise)
+        # Round-5 shortcut: at conditioning where the HIGH (bf16x3) factor
+        # is KNOWN to stall iterative refinement (measured: alpha error
+        # floor 3.4e-2 at the converged optimum's cond ~2.1e6), factor at
+        # HIGHEST precision DIRECTLY instead of paying a doomed HIGH
+        # Cholesky plus its stalled refinement rounds and then escalating
+        # (round-4's path). Saves one (Npad, Npad) factorization + 2-3
+        # O(N^2) f64 residual evaluations per converged-model GSA call.
+        direct_precise = None
+        if x_dev.dtype != jnp.float64 and refine > 0:
+            cond_est = (self.plan.N * float(np.max(np.asarray(s2)))
+                        / max(float(np.min(np.asarray(noise))), 1e-300))
+            if cond_est > self.HIGH_FACTOR_COND_LIMIT:
+                direct_precise = self._chol_precise()
         K = self._gram(x_dev, ls, s2, noise)
-        L = self._chol(K)
+        L = direct_precise(K) if direct_precise is not None else self._chol(K)
         z = self._fwd(L, y_dev)
         alpha = self._bwd(L, z)
         if x_dev.dtype == jnp.float64 or refine <= 0:
@@ -1073,12 +1093,17 @@ class DistributedGP:
                 best_alpha, best_norm = alpha, norm
             return best_alpha, best_norm
 
-        best_alpha, best_norm = refine_with(L, alpha, refine)
-        escalated = rescued = False
+        # direct-HIGHEST factors get the deep budget immediately (they ARE
+        # the escalation rung, minus the wasted HIGH attempt)
+        best_alpha, best_norm = refine_with(
+            L, alpha, max(refine, 40) if direct_precise is not None else refine)
+        escalated = direct_precise is not None
+        rescued = False
         # REFINE_RTOL=inf is the explicit opt-out of refinement cost — the
         # quality-floor escalations honor it too.
         if (best_norm > self.ALPHA_QUALITY_RTOL * norm_y
-                and np.isfinite(tol)):
+                and np.isfinite(tol)
+                and direct_precise is None):
             chol_precise = self._chol_precise()
             if chol_precise is not None:
                 escalated = True
@@ -1396,17 +1421,33 @@ class DistributedGP:
         # defer_V: V0 comes from the (0, M) interval below — no separate
         # full-interval V dispatch.
         cls = ClosedSobolWithError if error else ClosedSobol
+        # NO-ERROR setup runs on the HOST CPU: the calibrator's _calibrate
+        # precompute is ~50 tiny O(N M) eager ops, which on a tunnelled
+        # accelerator cost a ~60 ms round-trip EACH (the 4.3 s 'setup'
+        # phase of BENCH_r04) but run in milliseconds of native f64 on the
+        # host; the interval pack then ships to the device in ONE transfer
+        # (meta['pack_device'] — marginalize_intervals moves it).
+        import contextlib
+        from romcomma_tpu.base.definitions import host_cpu_device
+        if on_accel and not error:
+            meta['pack_device'] = jax.devices()[0]
+
+            def build_ctx():
+                return jax.default_device(host_cpu_device(True))
+        else:
+            build_ctx = contextlib.nullcontext
         # Hyperparameters may arrive mesh-replicated from calibrate(); pull
         # them to host values so the calibrator's arrays are unsharded (the
         # error engine commits its final solves to the host CPU device, and
         # committed-vs-mesh-replicated operands cannot mix).
-        cal = cls.from_arrays(
-            F=jnp.asarray([[float(np.asarray(s2))]], f64),
-            K_cho=K_cho,
-            K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N), f64),
-            Lambda=jnp.asarray(np.asarray(ls), f64)[None, :],
-            X=jnp.asarray(np.asarray(X), f64),
-            is_F_diagonal=True, L=1, M=M, N=N, defer_V=True, **meta)
+        with build_ctx():
+            cal = cls.from_arrays(
+                F=jnp.asarray([[float(np.asarray(s2))]], f64),
+                K_cho=K_cho,
+                K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N), f64),
+                Lambda=jnp.asarray(np.asarray(ls), f64)[None, :],
+                X=jnp.asarray(np.asarray(X), f64),
+                is_F_diagonal=True, L=1, M=M, N=N, defer_V=True, **meta)
         t_setup = time.time() - t0
         t0 = time.time()
         if self.mesh.devices.size > 1:
@@ -1444,13 +1485,14 @@ class DistributedGP:
                     if k not in ('intervals_acc_f64', 'fast_V')}
             meta['intervals_mixed'] = False      # native f64 exp: exact rung
             f64 = jnp.float64
-            cal = cls.from_arrays(
-                F=jnp.asarray([[float(np.asarray(s2))]], f64),
-                K_cho=(K_cho if error else jnp.zeros((1, 1, 1), f64)),
-                K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N), f64),
-                Lambda=jnp.asarray(np.asarray(ls), f64)[None, :],
-                X=jnp.asarray(np.asarray(X), f64),
-                is_F_diagonal=True, L=1, M=M, N=N, defer_V=True, **meta)
+            with build_ctx():
+                cal = cls.from_arrays(
+                    F=jnp.asarray([[float(np.asarray(s2))]], f64),
+                    K_cho=(K_cho if error else jnp.zeros((1, 1, 1), f64)),
+                    K_inv_Y=jnp.asarray(alpha.T.reshape(1, 1, N), f64),
+                    Lambda=jnp.asarray(np.asarray(ls), f64)[None, :],
+                    X=jnp.asarray(np.asarray(X), f64),
+                    is_F_diagonal=True, L=1, M=M, N=N, defer_V=True, **meta)
             if self.mesh.devices.size > 1:
                 cal.gsa_mesh = self.mesh
             out = cal.marginalize_intervals(tuple(flat), host_paced=True)

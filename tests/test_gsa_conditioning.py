@@ -41,18 +41,25 @@ def test_sobol_default_tier_escalates_on_accelerator(monkeypatch):
     # safe conditioning: N*s2/noise = 6e3 -> f32 tier
     S_safe = dgp.sobol_indices(ls, jnp.asarray(1.0), jnp.asarray(0.05),
                                x_dev, y_dev, X, kind='first_order')
-    # unsafe conditioning (tiny noise): the gate must route to f64 planes;
-    # at this small N the f32 tier would not be catastrophic, so assert the
-    # ROUTE by matching the forced-f64 result bit-for-bit.
+    # unsafe conditioning (tiny noise): the gate must route to the 'df'
+    # double-f32 tier (round 5 — f64 planes with the float-float exp before
+    # it); at this small N the f32 tier would not be catastrophic, so
+    # assert the ROUTE by matching the forced-df result to fp accuracy
+    # (the gated run ships its pack through pack_device; same programs).
     tiny = jnp.asarray(N * 1.0 / (2 * F32_PLANES_COND_LIMIT))  # cond 2x limit
     S_gate = dgp.sobol_indices(ls, jnp.asarray(1.0), tiny, x_dev, y_dev, X,
                                kind='first_order')
     monkeypatch.undo()
-    S_f64 = dgp.sobol_indices(ls, jnp.asarray(1.0), tiny, x_dev, y_dev, X,
-                              kind='first_order', gsa_dtype=np.float64,
-                              intervals_mixed='ff')
+    S_df = dgp.sobol_indices(ls, jnp.asarray(1.0), tiny, x_dev, y_dev, X,
+                             kind='first_order', gsa_dtype=np.float64,
+                             intervals_mixed='df')
+    S_ff = dgp.sobol_indices(ls, jnp.asarray(1.0), tiny, x_dev, y_dev, X,
+                             kind='first_order', gsa_dtype=np.float64,
+                             intervals_mixed='ff')
     for m in range(M):
-        np.testing.assert_allclose(S_gate[m], S_f64[m], rtol=1e-12)
+        np.testing.assert_allclose(S_gate[m], S_df[m], rtol=1e-12)
+        # and the df tier agrees with the ff rung at its design accuracy
+        np.testing.assert_allclose(S_df[m], S_ff[m], atol=1e-8)
     assert 0.5 < S_safe[0] <= 1.01 and abs(S_safe[1]) < 0.1
 
 
@@ -145,3 +152,32 @@ def test_alpha_quality_escalation_hook(monkeypatch):
     a_o = np.linalg.solve(K, Y32)
     np.testing.assert_allclose(dist.from_stored(dgp.plan, np.asarray(alpha2)),
                                a_o, atol=1e-8)
+
+
+def test_df_tier_matches_f64_oracle():
+    """The 'df' double-f32 interval tier (round 5) matches the pure-f64
+    pass to ~1e-10 on all canonical slice families — the design point that
+    replaces the 'ff' tier above the f32 conditioning gate at a fraction
+    of its emulated-f64 cost (measured max rel 1.5e-11 at N=256)."""
+    from romcomma_tpu.gsa.calibrators import ClosedSobol
+    rng = np.random.default_rng(0)
+    N, M = 256, 5
+    X = rng.standard_normal((N, M))
+    alpha = rng.standard_normal((N, 1))
+    ls = np.full(M, 1.5)
+    slices = tuple([(m, m + 1) for m in range(M)]
+                   + [(m + 1, M) for m in range(M)] + [(0, M)]
+                   + [(0, m + 1) for m in range(M)])
+    out = {}
+    for tier, kw in (('f64', dict(intervals_mixed=False)),
+                     ('df', dict(intervals_mixed='df'))):
+        cal = ClosedSobol.from_arrays(
+            F=jnp.asarray([[1.0]]), K_cho=jnp.zeros((1, 1, 1)),
+            K_inv_Y=jnp.asarray(alpha.T[None]),
+            Lambda=jnp.asarray(ls[None, :]), X=jnp.asarray(X),
+            is_F_diagonal=True, L=1, M=M, N=N, defer_V=True, n_chunk=64,
+            **kw)
+        out[tier] = np.asarray(cal.marginalize_intervals(slices)['V'])[0, 0]
+    ok = np.abs(out['f64']) > 1e-20
+    rel = np.abs(out['df'] / out['f64'] - 1)[ok]
+    assert rel.max() < 1e-9, rel.max()
