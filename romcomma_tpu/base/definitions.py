@@ -57,6 +57,35 @@ if _cache_dir:
     except Exception:  # cache is an optimization only — never fail import
         pass
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def no_compile_cache():
+    """Temporarily disable the persistent compilation cache around a
+    compilation known to CRASH the XLA executable serializer.
+
+    Observed (round 4): serializing the rotated-Sobol Cayley-optimizer
+    program to a fresh cache SEGFAULTS the process (and concurrent writers
+    corrupt shared entries). Tests run cache-less globally
+    (ROMCOMMA_JAX_CACHE='' in conftest); PRODUCTION paths compiling such a
+    program wrap the first compilation in this context instead, so the
+    executable simply never serializes while every other program keeps the
+    cross-process cache. No-op when the cache is already disabled."""
+    try:
+        cur = jax.config.jax_compilation_cache_dir
+    except AttributeError:
+        cur = None
+    if not cur:
+        yield
+        return
+    jax.config.update('jax_compilation_cache_dir', None)
+    try:
+        yield
+    finally:
+        jax.config.update('jax_compilation_cache_dir', cur)
+
+
 #: N below which always-f64 stages (GSA, posterior factorization) run on the
 #: host CPU backend when the default backend is an accelerator: native f64
 #: beats TPU-emulated f64 on both compile time (seconds vs minutes) and

@@ -1260,6 +1260,16 @@ from romcomma_tpu.base.definitions import host_cpu_device as _host_cpu_device
 #: DistributedGP.sobol_indices is the second line of defense.
 F32_PLANES_COND_LIMIT: float = 1.2e6
 
+#: conditioning ceiling of the 'df' double-f32 interval tier (the rung above
+#: the f32 gate). Measured on the converged-hypers fixture at N=4096
+#: (benchmarks via /tmp/converged_diag.npz hypers, noise scaled to the
+#: target conditioning): |dS| vs the pure-f64 oracle 1.9e-7 at cond 2.1e6,
+#: 5.8e-6 at 1e7 — inside the 1e-5 acceptance — and 4e-4 at 1e8, where the
+#: ~2e-12 pair-plane error's amplification breaks through (the 'ff' tier
+#: breaks identically there: 3e-4). Above this the default routes to pure
+#: f64 planes + native f64 exp, the exact rung.
+DF_PLANES_COND_LIMIT: float = 1e7
+
 
 def f32_planes_safe(N: int, s2, noise) -> bool:
     """Whether the f32-planes interval tier is inside its measured-safe
@@ -1616,10 +1626,16 @@ class ClosedSobolWithRotation(ClosedSobol):
         starts += [jnp.asarray(rng.normal(scale=scale, size=n_free), dtype=dt)
                    for _ in range(max(0, n_starts - 1))]
         best = None
-        for x0 in starts:
-            res = lbfgs.minimize(objective, x0, maxiter=maxiter)
-            if best is None or float(res.value) < float(best.value):
-                best = res
+        # The fused Cayley-descent executable is the one program known to
+        # SEGFAULT the XLA executable serializer (round 4) — compile it
+        # with the persistent cache bypassed so production runs keep the
+        # cache for everything else (base/definitions.no_compile_cache).
+        from romcomma_tpu.base.definitions import no_compile_cache
+        with no_compile_cache():
+            for x0 in starts:
+                res = lbfgs.minimize(objective, x0, maxiter=maxiter)
+                if best is None or float(res.value) < float(best.value):
+                    best = res
         theta = np.asarray(self._cayley(best.params, M))
         # Deterministic signs (leading entry of each row positive) keep the
         # persisted rotation reproducible; row sign flips leave S invariant.

@@ -1373,17 +1373,30 @@ class DistributedGP:
                 # emulated-f64 V pass (~167 s of a ~740 s N=20k error run).
                 meta['fast_V'] = True
         if intervals_mixed is None:
-            # Tier of f64 planes on accelerators: shifted-f32 exp (~1e-7)
-            # normally; whenever the conditioning gate failed, the 'df'
-            # double-f32 pipeline (~2e-12 planes at near-f32 rate,
-            # ops/fastmath.py) — the same amplification that breaks f32
-            # planes breaks a 1e-7 exp tier (measured: S in [-0.18, 0.82]
-            # vs the oracle's [0.44, 0.56] at the converged optimum under
-            # the shifted tier, with a 5e-7-accurate alpha). ERROR passes
-            # keep f64 planes + 'ff' exp (the W/T sweep engine's tier).
-            intervals_mixed = (('ff' if error else
-                                ('df' if not gate_ok else True))
-                               if on_accel and f64 == jnp.float64 else False)
+            # Tier ladder of f64 planes on accelerators: shifted-f32 exp
+            # (~1e-7) inside the f32 gate; the 'df' double-f32 pipeline
+            # (~2e-12 planes at near-f32 rate, ops/fastmath.py) up to its
+            # own measured ceiling; PURE f64 planes + native exp beyond —
+            # the same amplification that breaks f32 planes breaks a 1e-7
+            # exp tier (measured: S in [-0.18, 0.82] vs the oracle's
+            # [0.44, 0.56] at the converged optimum under the shifted
+            # tier, with a 5e-7-accurate alpha), and breaks BOTH reduced
+            # f64 tiers ('df' AND 'ff') at cond ~1e8 (3-4e-4 — the
+            # DF_PLANES_COND_LIMIT anchors). ERROR passes keep f64 planes
+            # + 'ff' exp (the W/T sweep engine's tier).
+            from romcomma_tpu.gsa.calibrators import DF_PLANES_COND_LIMIT
+            cond_est = (N * float(np.max(np.asarray(s2)))
+                        / max(float(np.min(np.asarray(noise))), 1e-300))
+            if not (on_accel and f64 == jnp.float64):
+                intervals_mixed = False
+            elif error:
+                intervals_mixed = 'ff'
+            elif gate_ok:
+                intervals_mixed = True
+            elif cond_est <= DF_PLANES_COND_LIMIT:
+                intervals_mixed = 'df'
+            else:
+                intervals_mixed = False          # exact rung: native f64
         meta['intervals_mixed'] = intervals_mixed
         t0 = time.time()
         if error:
@@ -1566,10 +1579,20 @@ class DistributedGP:
         else:
             f64 = jnp.float64 if gsa_dtype is None else jnp.dtype(gsa_dtype)
         if intervals_mixed is None:
-            # same exp-tier ladder as sobol_indices: 'ff' once the
-            # conditioning gate failed, shifted-f32 otherwise
-            intervals_mixed = (('ff' if not gate_ok else True)
-                               if f64 == jnp.float64 and on_accel else False)
+            # same tier ladder as sobol_indices: 'df' double-f32 pipeline
+            # once the conditioning gate failed (up to its own ceiling),
+            # shifted-f32 exp inside the gate, pure f64 beyond
+            from romcomma_tpu.gsa.calibrators import DF_PLANES_COND_LIMIT
+            cond_est = (N * float(np.max(np.asarray(s2)))
+                        / max(float(np.min(np.asarray(noise))), 1e-300))
+            if not (f64 == jnp.float64 and on_accel):
+                intervals_mixed = False
+            elif gate_ok:
+                intervals_mixed = True
+            elif cond_est <= DF_PLANES_COND_LIMIT:
+                intervals_mixed = 'df'
+            else:
+                intervals_mixed = False
         meta['intervals_mixed'] = intervals_mixed
         t0 = time.time()
         alphas = []
