@@ -58,6 +58,15 @@ def main(N: int = 20000, M: int = 30, maxiter: int = 10,
     S = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X,
                           kind=('first_order', 'total'))
     t_gsa = time.time() - t0
+    # Steady-state GSA: the first pass pays one-time per-process costs
+    # (executable deserialization through the remote compile helper,
+    # refinement warm-up); production serving re-runs analytics on live
+    # models, so the warm wall-clock is the headline unit of work.
+    t0 = time.time()
+    S2 = dgp.sobol_indices(ls, s2, noise, x_dev, y_dev, X,
+                           kind=('first_order', 'total'))
+    t_gsa_warm = time.time() - t0
+    warm_phases = dict(getattr(dgp, 'last_gsa_timings', None) or {})
 
     # Warm val+grad s/eval at the trained hyperparameters (programs compiled
     # during training): the engine's steady-state unit of work.
@@ -77,10 +86,11 @@ def main(N: int = 20000, M: int = 30, maxiter: int = 10,
     out = {'N': N, 'M': M, 'dense_kernels': bool(dense_kernels),
            'valgrad_s': round(min(vg_times), 3),
            'iters': int(np.asarray(iters)),
-           'gsa_phases': getattr(dgp, 'last_gsa_timings', None),
+           'gsa_phases_warm': warm_phases,
            'lml': float(np.asarray(lml)),
            'stage_s': round(t_stage, 1), 'train_s': round(t_train, 1),
            'gsa_both_kinds_s': round(t_gsa, 1),
+           'gsa_both_kinds_warm_s': round(t_gsa_warm, 1),
            'end_to_end_s': round(t_stage + t_train + t_gsa, 1),
            'S1_first3': [round(S['first_order'][m], 4) for m in range(3)],
            'ST_first3': [round(S['total'][m], 4) for m in range(3)]}

@@ -1055,25 +1055,36 @@ class ClosedSobolWithError(ClosedSobol):
         eff = slices + ((0, self.M),) if extra else slices
         eff_specs = specs + [('prefix', self.M)] if extra else specs
         if self.meta.get('fast_V', False) and self.is_F_diagonal:
-            # fast_V: the base V pass runs in the f32-planes +
-            # f64-accumulation tier on a throwaway twin while the error
-            # sweep below stays f64 — V only feeds the S ratios and the T
-            # normalizers (V[1]/V[4]/per-slice Vm), where its ~6e-6
-            # relative error lands as \|dT\| ~ 1.4e-5 against the all-f64
-            # oracle (measured N=2048/M=10; near-zero T unaffected at
-            # ~1e-12). On TPU this removes the emulated-f64 V pass — 167 s
-            # of a 740 s N=20000 error run.
+            # fast_V: the base V pass runs on a reduced-precision throwaway
+            # twin while the error sweep below stays f64 — V only feeds the
+            # S ratios and the T normalizers (V[1]/V[4]/per-slice Vm),
+            # where the tier error lands as \|dT\| ~ 1.4e-5 against the
+            # all-f64 oracle (measured N=2048/M=10; near-zero T unaffected
+            # at ~1e-12). fast_V='f32' (or legacy True): the f32-planes +
+            # f64-accumulation tier — INSIDE its conditioning gate only.
+            # fast_V='df': the double-f32 tier, the safe fast rung at
+            # converged conditioning (callers pick by f32_planes_safe; the
+            # f32 twin there would only trip the sanity rerun and pay the
+            # pass twice). On TPU either removes the emulated-f64 V pass —
+            # 167 s of a 740 s N=20000 error run.
             twin_meta = {k: self.meta[k] for k in ('n_chunk',)
                          if k in self.meta}
-            f32 = jnp.float32
-            twin = ClosedSobol.from_arrays(
-                F=jnp.asarray(self.F_input, f32),
-                K_cho=jnp.zeros((1, 1, 1), f32),
-                K_inv_Y=jnp.asarray(self.K_inv_Y, f32),
-                Lambda=jnp.asarray(self.Lambda, f32),
-                X=jnp.asarray(self.X, f32),
-                is_F_diagonal=True, L=self.L, M=self.M, N=self.N,
-                defer_V=True, intervals_acc_f64=True, **twin_meta)
+            if self.meta['fast_V'] == 'df':
+                twin = ClosedSobol.from_arrays(
+                    F=self.F_input, K_cho=jnp.zeros((1, 1, 1), jnp.float64),
+                    K_inv_Y=self.K_inv_Y, Lambda=self.Lambda, X=self.X,
+                    is_F_diagonal=True, L=self.L, M=self.M, N=self.N,
+                    defer_V=True, intervals_mixed='df', **twin_meta)
+            else:
+                f32 = jnp.float32
+                twin = ClosedSobol.from_arrays(
+                    F=jnp.asarray(self.F_input, f32),
+                    K_cho=jnp.zeros((1, 1, 1), f32),
+                    K_inv_Y=jnp.asarray(self.K_inv_Y, f32),
+                    Lambda=jnp.asarray(self.Lambda, f32),
+                    X=jnp.asarray(self.X, f32),
+                    is_F_diagonal=True, L=self.L, M=self.M, N=self.N,
+                    defer_V=True, intervals_acc_f64=True, **twin_meta)
             base = {k: jnp.asarray(v, jnp.float64) for k, v in
                     twin.marginalize_intervals(eff, host_paced).items()}
             v_detail = getattr(twin, 'last_v_sweep_timings', None)
@@ -1186,21 +1197,31 @@ def marginalize_intervals_error_stacked(
     extra = deferred[0] and (0, first.M) not in slices
     eff = slices + ((0, first.M),) if extra else slices
     if first.meta.get('fast_V', False) and first.is_F_diagonal:
-        # Same fast_V tier as the single-output path: the base V pass runs
-        # f32 planes + f64 accumulation on throwaway twins while the error
-        # sweep stays f64 (precision notes at ClosedSobolWithError.
-        # marginalize_intervals).
-        f32 = jnp.float32
-        twins = [ClosedSobol.from_arrays(
-            F=jnp.asarray(c.F_input, f32),
-            K_cho=jnp.zeros((1, 1, 1), f32),
-            K_inv_Y=jnp.asarray(c.K_inv_Y, f32),
-            Lambda=jnp.asarray(c.Lambda, f32),
-            X=jnp.asarray(c.X, f32),
-            is_F_diagonal=True, L=c.L, M=c.M, N=c.N,
-            defer_V=True, intervals_acc_f64=True,
-            **{k: c.meta[k] for k in ('n_chunk',) if k in c.meta})
-            for c in cals]
+        # Same fast_V tier ladder as the single-output path: the base V
+        # pass runs on reduced-precision throwaway twins while the error
+        # sweep stays f64 — 'f32'/True = f32 planes + f64 accumulation,
+        # 'df' = the double-f32 tier (converged-conditioning safe;
+        # precision notes at ClosedSobolWithError.marginalize_intervals).
+        if first.meta['fast_V'] == 'df':
+            twins = [ClosedSobol.from_arrays(
+                F=c.F_input, K_cho=jnp.zeros((1, 1, 1), jnp.float64),
+                K_inv_Y=c.K_inv_Y, Lambda=c.Lambda, X=c.X,
+                is_F_diagonal=True, L=c.L, M=c.M, N=c.N,
+                defer_V=True, intervals_mixed='df',
+                **{k: c.meta[k] for k in ('n_chunk',) if k in c.meta})
+                for c in cals]
+        else:
+            f32 = jnp.float32
+            twins = [ClosedSobol.from_arrays(
+                F=jnp.asarray(c.F_input, f32),
+                K_cho=jnp.zeros((1, 1, 1), f32),
+                K_inv_Y=jnp.asarray(c.K_inv_Y, f32),
+                Lambda=jnp.asarray(c.Lambda, f32),
+                X=jnp.asarray(c.X, f32),
+                is_F_diagonal=True, L=c.L, M=c.M, N=c.N,
+                defer_V=True, intervals_acc_f64=True,
+                **{k: c.meta[k] for k in ('n_chunk',) if k in c.meta})
+                for c in cals]
         bases = [{k: jnp.asarray(v, jnp.float64) for k, v in b.items()}
                  for b in marginalize_intervals_stacked(twins, eff,
                                                         host_paced)]

@@ -1366,12 +1366,15 @@ class DistributedGP:
                     jnp.dtype(gsa_dtype) == jnp.float32:
                 # Opt-in fast error mode: the W/T sweep keeps f64 planes +
                 # 'ff' exp (T needs them — see the policy note above), but
-                # the base V pass runs the f32-planes + f64-accumulation
-                # tier on a twin calibrator (calibrators.py fast_V).
-                # Measured vs the all-f64 oracle at N=2048/M=10:
-                # |dT| <= 1.4e-5, |dS| ~ 6e-6; on TPU it removes the
-                # emulated-f64 V pass (~167 s of a ~740 s N=20k error run).
-                meta['fast_V'] = True
+                # the base V pass runs a reduced twin (calibrators.py
+                # fast_V): the f32-planes tier inside its conditioning
+                # gate, the df double-f32 tier beyond it (an f32 twin
+                # there would only trip the V-sanity rerun and pay the
+                # pass twice). Measured vs the all-f64 oracle at
+                # N=2048/M=10: |dT| <= 1.4e-5, |dS| ~ 6e-6; on TPU it
+                # removes the emulated-f64 V pass (~167 s of a ~740 s
+                # N=20k error run).
+                meta['fast_V'] = 'f32' if gate_ok else 'df'
         if intervals_mixed is None:
             # Tier ladder of f64 planes on accelerators: shifted-f32 exp
             # (~1e-7) inside the f32 gate; the 'df' double-f32 pipeline
@@ -1677,7 +1680,10 @@ class DistributedGP:
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
         f64 = jnp.float64
         if gsa_dtype is not None and jnp.dtype(gsa_dtype) == jnp.float32:
-            meta['fast_V'] = True
+            # same fast_V tier ladder as the single-output error path
+            from romcomma_tpu.gsa.calibrators import f32_planes_safe
+            meta['fast_V'] = ('f32' if f32_planes_safe(N, s2, noise)
+                              else 'df')
         if intervals_mixed is None:
             intervals_mixed = 'ff' if on_accel else False
         meta['intervals_mixed'] = intervals_mixed
