@@ -1620,11 +1620,27 @@ class ClosedSobolWithRotation(ClosedSobol):
     def _cayley(A_flat: jnp.ndarray, M: int) -> jnp.ndarray:
         """Theta in SO(M) from M(M-1)/2 free parameters via the Cayley
         transform Theta = (I + A)^{-1} (I - A), A skew-symmetric."""
+        import jax
         idx = jnp.tril_indices(M, -1)
         A = jnp.zeros((M, M), dtype=A_flat.dtype).at[idx].set(A_flat)
         A = A - A.T
         I = jnp.eye(M, dtype=A_flat.dtype)
-        return jnp.linalg.solve(I + A, I - A)
+        lhs, rhs = I + A, I - A
+        if A_flat.dtype == jnp.float64 and jax.default_backend() != 'cpu':
+            # TPU LuDecomposition implements only F32/C64 (AOT compile
+            # error on f64[10,10], measured round 5): factor the tiny
+            # (M, M) system in f32 and recover f64-grade accuracy with two
+            # refinement steps against the f64 residual (each is one more
+            # f32 solve + f64 matmuls — all TPU-supported and
+            # differentiable through jnp ops).
+            f32, f64 = jnp.float32, jnp.float64
+            lhs32 = lhs.astype(f32)
+            X = jnp.linalg.solve(lhs32, rhs.astype(f32)).astype(f64)
+            for _ in range(2):
+                R = rhs - lhs @ X
+                X = X + jnp.linalg.solve(lhs32, R.astype(f32)).astype(f64)
+            return X
+        return jnp.linalg.solve(lhs, rhs)
 
     def optimize_theta(self, Mu: int, maxiter: int = 200, n_starts: int = 4,
                        seed: int = 0, scale: float = 0.5):
