@@ -105,3 +105,47 @@ def test_df_exp_float32_shift_capture():
     got = _f64(fm.df_exp_nonpos(r_hi, e_r + lo))
     want = np.exp(E64 - float(np.asarray(c, np.float64)))
     assert np.abs(got - want).max() < 5e-12
+
+
+def test_eft_survives_compilation_in_context():
+    """Regression guard for the round-5 compiler findings: XLA:CPU applies
+    the float-invalid algsimp rewrite sub(add(x,y),y)->x and FMA-contracts
+    mul+add across optimization_barrier, both of which silently destroy
+    error-free transformations INSIDE fusions (while the same ops are exact
+    eagerly). The production seal (multiply by a runtime-opaque 1.0,
+    fastmath.opaque_one) must keep a jitted e-step-like pipeline at pair
+    accuracy; without it this test measured ~1e-6 relative error."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    N, c = 512, 256
+    Gp = rng.standard_normal(N) * 3
+    Gq = rng.standard_normal(c) * 3
+    Phi, PsiPhi = 0.3, 0.25
+    sh64 = 0.5 * Gp ** 2 / Phi
+    w64 = -0.5 / PsiPhi
+    pairs = dict(Gp=fm.split_f64(jnp.asarray(Gp)),
+                 bq=fm.split_f64(jnp.asarray(Phi * Gq)),
+                 sh=fm.split_f64(jnp.asarray(sh64)),
+                 w=fm.split_f64(jnp.asarray(np.full((), w64))),
+                 one=jnp.ones((), jnp.float32))
+
+    def estep(p):
+        with fm.opaque_one(p['one']):
+            d = fm.df_add_norm(tuple(t[:, None] for t in p['Gp']),
+                               fm.df_neg(tuple(t[None, :] for t in p['bq'])))
+            q = fm.df_mul(fm.df_square(d),
+                          tuple(jnp.broadcast_to(t, d[0].shape)
+                                for t in p['w']))
+            e = fm.df_add_norm(q, tuple(t[:, None] for t in p['sh']))
+            c_max = jnp.max(e[0])
+            r_hi, e_r = fm.two_sum(e[0], -c_max)
+            ph, pl = fm.df_exp_nonpos(r_hi, e_r + e[1])
+            return (ph.astype(jnp.float64) + pl.astype(jnp.float64),
+                    c_max.astype(jnp.float64))
+
+    plane, c_max = jax.jit(estep)(pairs)
+    e_true = (w64 * (Gp[:, None] - Phi * Gq[None, :]) ** 2 + sh64[:, None])
+    want = np.exp(e_true - float(c_max))
+    assert np.abs(np.asarray(plane) - want).max() < 1e-10, \
+        np.abs(np.asarray(plane) - want).max()
