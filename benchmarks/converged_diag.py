@@ -35,8 +35,18 @@ def main(N: int = 20000, M: int = 30) -> dict:
 
     dgp = dist.DistributedGP(N, dist.make_n_mesh(), dense_kernels=True)
     x_dev, y_dev = dgp.stage(X, Y)
-    (ls, s2, noise), lml, iters = dgp.calibrate(
-        X, Y, ls0=np.full(M, 2.0), s2_0=1.0, noise0=0.05, maxiter=5000)
+    ckpt = f'/tmp/converged_diag_hypers_{N}_{M}.npz'
+    if os.path.exists(ckpt):
+        # resume: training already converged in an earlier (crashed) run
+        d = np.load(ckpt)
+        ls, s2, noise = d['ls'], float(d['s2']), float(d['noise'])
+        lml, iters = float(d['lml']), int(d['iters'])
+    else:
+        (ls, s2, noise), lml, iters = dgp.calibrate(
+            X, Y, ls0=np.full(M, 2.0), s2_0=1.0, noise0=0.05, maxiter=5000)
+        np.savez(ckpt, ls=np.asarray(ls, np.float64),
+                 s2=float(np.asarray(s2)), noise=float(np.asarray(noise)),
+                 lml=float(np.asarray(lml)), iters=int(np.asarray(iters)))
     ls64 = np.asarray(ls, np.float64)
     s264, nz64 = float(np.asarray(s2)), float(np.asarray(noise))
     print(f'converged: iters={int(np.asarray(iters))} lml={float(np.asarray(lml)):.2f} '
@@ -49,17 +59,20 @@ def main(N: int = 20000, M: int = 30) -> dict:
     nrm = np.sum(Xs * Xs, axis=1)
     K = s264 * np.exp(-0.5 * np.maximum(
         nrm[:, None] + nrm[None, :] - 2.0 * (Xs @ Xs.T), 0.0))
-    Kn = K + nz64 * np.eye(N)
     del Xs
-    cho = scipy.linalg.cho_factor(Kn, lower=True)
+    K[np.arange(N), np.arange(N)] += nz64         # in place: one 20 GB buffer
+    cho = scipy.linalg.cho_factor(K, lower=True, overwrite_a=True)
     alpha_host = scipy.linalg.cho_solve(cho, Y.astype(np.float64))
-    del cho, Kn, K
+    del cho, K
     t_host = time.time() - t0
 
-    # engine posterior (refined)
-    alpha_eng, _ = dgp.posterior_alpha(jnp.asarray(ls), jnp.asarray(s2),
-                                       jnp.asarray(noise), x_dev, y_dev)
+    # engine posterior (refined). The factor is an (Npad, Npad) buffer —
+    # it MUST be freed before sobol_indices runs its own posterior solve,
+    # or two resident factors breach HBM at N=50k (measured OOM).
+    alpha_eng, _factor = dgp.posterior_alpha(jnp.asarray(ls), jnp.asarray(s2),
+                                             jnp.asarray(noise), x_dev, y_dev)
     a_eng = dist.from_stored(dgp.plan, np.asarray(alpha_eng))
+    del alpha_eng, _factor
     alpha_rel = float(np.linalg.norm(a_eng - alpha_host)
                       / np.linalg.norm(alpha_host))
 

@@ -21,7 +21,9 @@ os.environ.setdefault('ROMCOMMA_X64', '0')
 import numpy as np
 
 
-def main(N: int = 50000, M: int = 30, n_test: int = 4096) -> dict:
+def main(N: int = 50000, M: int = 30, n_test: int = 1024) -> dict:
+    # n_test=4096 at N=50000 OOM'd the 16 GB chip in the wide triangular
+    # solve (factor 10.5 GB + several (Npad, o) solve buffers); 1024 fits.
     import jax
     from romcomma_tpu.parallel import distributed as dist
 
