@@ -499,16 +499,22 @@ def calibrate_covariant_host(raw: CovariantParams, mask: CovariantParams,
     wd = jax.tree_util.tree_leaves(raw)[0].dtype
     x, y = x.astype(wd), y.astype(wd)
     if ls_frozen:
+        from romcomma_tpu.parallel.covariant_mesh import (
+            COVARIANT_MESH_MIN_LN)
         from romcomma_tpu.parallel.distributed import make_n_mesh
         mesh = make_n_mesh()
-        if mesh.devices.size > 1:
-            # Multi-device: the covariant gram is just another SPD matrix —
-            # route through the cyclic2 deferred engine with the covariant
-            # gram builder + one-hot (dF, dnoise) pair-tile gradient
-            # (parallel/covariant_mesh.py), lifting the single-chip
-            # LN ~ 32k HBM ceiling to ~32k * sqrt(S) (per-device memory
-            # LN^2/S). Parity vs this single-chip chain pinned at
-            # S in {1, 2, 8} by tests/test_covariant_mesh.py.
+        if (mesh.devices.size > 1
+                and x.shape[0] * y.shape[1] >= COVARIANT_MESH_MIN_LN):
+            # Multi-device at scale: the covariant gram is just another SPD
+            # matrix — route through the cyclic2 deferred engine with the
+            # covariant gram builder + one-hot (dF, dnoise) pair-tile
+            # gradient (parallel/covariant_mesh.py), lifting the
+            # single-chip LN ~ 32k HBM ceiling to ~32k * sqrt(S)
+            # (per-device memory LN^2/S). Parity vs this single-chip chain
+            # pinned at S in {1, 2, 8} by tests/test_covariant_mesh.py.
+            # Below COVARIANT_MESH_MIN_LN the single-chip chain stands —
+            # sharding gains nothing there and the block-cyclic plan
+            # degenerates (see the gate's docstring).
             import numpy as _np
             from romcomma_tpu.parallel.covariant_mesh import (
                 DistributedCovariantGP)

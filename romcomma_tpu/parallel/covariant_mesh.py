@@ -60,6 +60,14 @@ from romcomma_tpu.parallel.cyclic_deferred import (DeferredEngine,
 _PICK = lax.Precision.HIGHEST
 
 
+#: LN below which covariant calibration stays on the single-chip chain even
+#: on a multi-device mesh: small problems gain nothing from sharding, and
+#: the deferred engine's block-cyclic plan degenerates at LN << S*B
+#: (measured: a 42x-padded LN=48/S=8/B=256 plan CRASHES the XLA CPU
+#: compiler — the round-5 routing regression this gate fixes).
+COVARIANT_MESH_MIN_LN: int = 4096
+
+
 class CovariantStage(NamedTuple):
     """Device-resident staged inputs of the covariant chain."""
     u: jnp.ndarray        # (Npad, M) scaled coords, row-sharded
